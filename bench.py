@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as a full pipeline ending in a cheap action
+(count via noop-style aggregation) so the measured time is the real
+plan execution, not result serialization to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from westtopologies_spark.queries import catalog  # noqa: E402
+from westtopologies_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+    for spec in catalog():
+        t0 = time.time()
+        df = spec.spark(spark, sf_dir)
+        # foreach-noop action: executes the whole plan, returns nothing
+        df.write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""SparkSession factory.
+
+Tuned for the test environment (single-JVM ``local[N]``) but every
+setting is chosen to also be correct on a 1000-executor cluster:
+
+- AQE on: runtime coalescing, skew-join splitting, dynamic join
+  strategy switch — the knobs that keep a 100 TB shuffle healthy.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster AQE's coalescing makes the initial number much
+  less sensitive.
+- Session timezone pinned to UTC so results hash-compare against
+  DuckDB (whose timestamps are UTC-naive).
+- Arrow enabled for every pandas-UDF boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP = "westtopologies-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver parquet table, normalizing timestamp encodings.
+
+    The driver's ``events`` table is written with parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    ([PARQUET_TYPE_ILLEGAL]). We flip the documented escape hatch
+    ``spark.sql.legacy.parquet.nanosAsLong`` (runtime-settable) and
+    convert the resulting nanos-long back to a microsecond timestamp
+    in the plan — semantics identical to DuckDB's nanos->micros
+    truncation.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Self-defend when running under a caller-owned session (the
+    # driver's): both configs are runtime-settable and required for
+    # oracle parity (UTC == DuckDB's naive timestamps).
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - config locked down
+            pass
+    df = spark.read.parquet(path)
+    if name == "events":
+        field = dict((f.name, f.dataType) for f in df.schema.fields).get("ts")
+        if isinstance(field, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the driver's parquet tables as a dict of DataFrames and
+    register each as a temp view (mirrors the DuckDB oracle's views).
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
