@@ -548,6 +548,225 @@ def p9_p10_geo_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# §2.7 role-analysis kernel: features + tercile levels + rule cascade
+# ---------------------------------------------------------------------------
+#
+# Demonstration forest derived deterministically from `events`:
+# roots every 5th event, otherwise parent = previous event (chain) or
+# the block root, depending on props.k — bounded depth ≤ 5, all
+# parents exist. Exercises with_root_ids / role_features /
+# tercile_levels / assign_roles end-to-end.
+
+_ROLES_FEATS_CTE = """
+WITH RECURSIVE raw AS (
+  SELECT event_id, user_id,
+         CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+  FROM events
+),
+edges AS (
+  SELECT event_id AS tweet_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              WHEN k % 3 = 0 THEN event_id - 1
+              ELSE event_id - (event_id % 5) END AS parent_id,
+         user_id AS author_id
+  FROM raw
+),
+anc AS (
+  SELECT tweet_id, tweet_id AS root_id FROM edges WHERE parent_id IS NULL
+  UNION ALL
+  SELECT e.tweet_id, a.root_id FROM edges e JOIN anc a ON e.parent_id = a.tweet_id
+),
+nodes AS (
+  SELECT e.tweet_id, e.parent_id, e.author_id, a.root_id
+  FROM edges e JOIN anc a ON e.tweet_id = a.tweet_id
+),
+pairs AS (
+  SELECT c.tweet_id AS c_id, c.author_id AS user_id,
+         ch.author_id AS child_author, p.author_id AS parent_author
+  FROM nodes c
+  JOIN nodes ch ON ch.parent_id = c.tweet_id
+  LEFT JOIN nodes p ON c.parent_id = p.tweet_id
+),
+replied AS (
+  SELECT user_id, count(DISTINCT c_id) AS replied_posts,
+         count(DISTINCT child_author) AS n_replying_users
+  FROM pairs GROUP BY 1
+),
+neigh AS (
+  SELECT user_id, count(DISTINCT nb) AS n_neighbours FROM (
+    SELECT user_id, child_author AS nb FROM pairs
+    UNION ALL
+    SELECT user_id, parent_author AS nb FROM pairs WHERE parent_author IS NOT NULL
+  ) GROUP BY 1
+),
+bidir AS (
+  SELECT user_id, count(DISTINCT child_author) AS n_bidir_neighbours,
+         count(DISTINCT c_id) AS bidir_threads
+  FROM pairs WHERE child_author = parent_author GROUP BY 1
+),
+posts AS (SELECT author_id AS user_id, count(*) AS post_count FROM nodes GROUP BY 1),
+tree_sizes AS (SELECT root_id, count(*) AS tree_size FROM nodes GROUP BY 1),
+user_trees AS (
+  SELECT ut.user_id, count(*) AS n_trees,
+         sum(ts.tree_size) AS sum_tree_sizes,
+         sum(ts.tree_size * ts.tree_size) AS sum_tree_sizes_sq
+  FROM (SELECT DISTINCT author_id AS user_id, root_id FROM nodes) ut
+  JOIN tree_sizes ts USING (root_id) GROUP BY 1
+),
+nc AS (SELECT count(DISTINCT author_id) AS n_community_users FROM nodes),
+feats AS (
+  SELECT p.user_id,
+         p.post_count,
+         coalesce(r.replied_posts, 0) AS replied_posts,
+         coalesce(r.n_replying_users, 0) AS n_replying_users,
+         coalesce(ng.n_neighbours, 0) AS n_neighbours,
+         coalesce(b.n_bidir_neighbours, 0) AS n_bidir_neighbours,
+         coalesce(b.bidir_threads, 0) AS bidir_threads,
+         CASE WHEN nc.n_community_users > 0
+              THEN CAST(coalesce(r.n_replying_users, 0) AS DOUBLE) / nc.n_community_users
+              ELSE 0.0 END AS in_degree_ratio,
+         CASE WHEN p.post_count > 0
+              THEN CAST(coalesce(r.replied_posts, 0) AS DOUBLE) / p.post_count
+              ELSE 0.0 END AS posts_reply_ratio,
+         0.0 AS thread_initiation_ratio,
+         CASE WHEN coalesce(ng.n_neighbours, 0) > 0
+              THEN CAST(coalesce(b.n_bidir_neighbours, 0) AS DOUBLE) / ng.n_neighbours
+              ELSE 0.0 END AS bidir_neighbour_ratio,
+         CASE WHEN p.post_count > 0
+              THEN CAST(coalesce(b.bidir_threads, 0) AS DOUBLE) / p.post_count
+              ELSE 0.0 END AS bidir_thread_ratio,
+         CASE WHEN coalesce(t.n_trees, 0) > 0
+              THEN CAST(t.sum_tree_sizes AS DOUBLE) / t.n_trees
+              ELSE 0.0 END AS avg_posts_per_thread,
+         CASE WHEN coalesce(t.n_trees, 0) >= 2
+              THEN sqrt(CAST(t.n_trees * t.sum_tree_sizes_sq
+                             - t.sum_tree_sizes * t.sum_tree_sizes AS DOUBLE)
+                        / CAST(t.n_trees * (t.n_trees - 1) AS DOUBLE))
+              ELSE 0.0 END AS stddev_posts_per_thread
+  FROM posts p
+  LEFT JOIN replied r USING (user_id)
+  LEFT JOIN neigh ng USING (user_id)
+  LEFT JOIN bidir b USING (user_id)
+  LEFT JOIN user_trees t USING (user_id)
+  CROSS JOIN nc
+)
+"""
+
+
+def _roles_bounds_sql() -> str:
+    from .ops.roles import LEVEL_FEATURES
+
+    lists = ", ".join(
+        f"list({f} ORDER BY {f}) AS l_{f}" for f in LEVEL_FEATURES
+    )
+    bounds = ", ".join(
+        f"(l_{f}[n // 3 + 1] + l_{f}[n // 3 + 2]) / 2 AS {f}_lm, "
+        f"(l_{f}[(2 * n) // 3 + 1] + l_{f}[(2 * n) // 3 + 2]) / 2 AS {f}_mh"
+        for f in LEVEL_FEATURES
+    )
+    levels = ", ".join(
+        f"CASE WHEN f.{f} <= bd.{f}_lm THEN 'low' "
+        f"WHEN f.{f} <= bd.{f}_mh THEN 'med' ELSE 'high' END AS {f}_level"
+        for f in LEVEL_FEATURES
+    )
+    return (
+        f", sorted AS (SELECT {lists}, count(*) AS n FROM feats)\n"
+        f", bounds AS (SELECT {bounds} FROM sorted)\n"
+        f", leveled AS (SELECT f.*, {levels} FROM feats f CROSS JOIN bounds bd)\n"
+    )
+
+
+def _roles_case_sql() -> str:
+    from .ops.roles import ROLE_RULES
+
+    whens = []
+    for role, conds in reversed(ROLE_RULES):
+        cond = " AND ".join(f"{feat}_level = '{lvl}'" for feat, lvl in conds.items())
+        whens.append(f"WHEN {cond} THEN '{role}'")
+    return "CASE " + " ".join(whens) + " ELSE '<None>' END"
+
+
+def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k LONG").getField("k")
+    eid = F.col("event_id")
+    return ev.select(
+        eid.alias("tweet_id"),
+        F.when(eid % 5 == 0, F.lit(None).cast("long"))
+        .when(k % 3 == 0, eid - 1)
+        .otherwise(eid - (eid % 5))
+        .alias("parent_id"),
+        F.col("user_id").alias("author_id"),
+    )
+
+
+@_register(
+    "a3_role_features",
+    _ROLES_FEATS_CTE
+    + """
+    SELECT user_id, post_count, replied_posts, n_replying_users, n_neighbours,
+           n_bidir_neighbours, bidir_threads,
+           round(in_degree_ratio, 6) AS in_degree_ratio,
+           round(posts_reply_ratio, 6) AS posts_reply_ratio,
+           round(bidir_neighbour_ratio, 6) AS bidir_neighbour_ratio,
+           round(bidir_thread_ratio, 6) AS bidir_thread_ratio,
+           round(avg_posts_per_thread, 6) AS avg_posts_per_thread,
+           round(stddev_posts_per_thread, 6) AS stddev_posts_per_thread
+    FROM feats
+    """,
+    doc="A3/§2.7 per-user behaviour features over the discussion forest. "
+    "Reference: reveal-interaction-1.0.jar!CommunityAnalysis#analyseUserFeatures.",
+)
+def a3_role_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.roles import role_features
+
+    feats = role_features(_event_edges(spark, sf_dir))
+    return feats.select(
+        "user_id",
+        "post_count",
+        "replied_posts",
+        "n_replying_users",
+        "n_neighbours",
+        "n_bidir_neighbours",
+        "bidir_threads",
+        F.round("in_degree_ratio", 6).alias("in_degree_ratio"),
+        F.round("posts_reply_ratio", 6).alias("posts_reply_ratio"),
+        F.round("bidir_neighbour_ratio", 6).alias("bidir_neighbour_ratio"),
+        F.round("bidir_thread_ratio", 6).alias("bidir_thread_ratio"),
+        F.round("avg_posts_per_thread", 6).alias("avg_posts_per_thread"),
+        F.round("stddev_posts_per_thread", 6).alias("stddev_posts_per_thread"),
+    )
+
+
+def _roles_assign_oracle() -> str:
+    return (
+        _ROLES_FEATS_CTE
+        + _roles_bounds_sql()
+        + f"SELECT user_id, post_count, {_roles_case_sql()} AS role FROM leveled"
+    )
+
+
+@_register(
+    "a3_role_assignment",
+    None,  # oracle attached below (built programmatically)
+    doc="§2.7 full kernel: features -> per-window tercile levels (A4) -> "
+    "8-rule cascade, last match wins (RoleAssociation#assignRole, intended mode).",
+)
+def a3_role_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.roles import assign_roles, role_features, tercile_levels
+
+    feats = role_features(_event_edges(spark, sf_dir))
+    roles = assign_roles(tercile_levels(feats))
+    return roles.select("user_id", "post_count", "role")
+
+
+# attach the programmatic oracle to the spec registered above
+_CATALOG[-1] = QuerySpec(
+    _CATALOG[-1].name, _CATALOG[-1].spark, _roles_assign_oracle(), _CATALOG[-1].doc
+)
+
+
 def catalog() -> list[QuerySpec]:
     return list(_CATALOG)
 
