@@ -1,0 +1,98 @@
+"""Unit tests for the LOD-explorer operators (ops/geo.py) and the
+model-scoring kernel (ops/model.py) on tiny in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from westtopologies_spark.ops.geo import (
+    GEO_LAT,
+    GEO_LONG,
+    OWL_SAMEAS,
+    RDFS_LABEL,
+    assemble_lod_output,
+    dereference,
+    nb_accept,
+    sameas_lookup,
+)
+from westtopologies_spark.ops.model import LocationModel, predict_locations
+
+
+def _triples(spark):
+    rows = [
+        ("http://dbpedia.org/resource/Koblenz", OWL_SAMEAS, "http://linkedgeodata.org/t/1", None),
+        ("http://dbpedia.org/resource/Berlin", OWL_SAMEAS, "http://linkedgeodata.org/t/2", None),
+        ("http://dbpedia.org/resource/AltBerlin", OWL_SAMEAS, "http://linkedgeodata.org/t/2", None),
+        ("http://dbpedia.org/resource/Koblenz", GEO_LAT, "50.36", None),
+        ("http://dbpedia.org/resource/Koblenz", GEO_LONG, "7.60", None),
+        ("http://dbpedia.org/resource/Koblenz", RDFS_LABEL, "Koblenz", "en"),
+        ("http://dbpedia.org/resource/Koblenz", RDFS_LABEL, "Coblence", "fr"),
+        ("http://dbpedia.org/resource/Berlin", GEO_LAT, "52.52", None),
+        ("http://dbpedia.org/resource/Berlin", GEO_LONG, "13.40", None),
+    ]
+    return spark.createDataFrame(rows, "s string, p string, o string, lang string")
+
+
+def test_sameas_first_match(spark):
+    msgs = spark.createDataFrame(
+        [("m1", "http://linkedgeodata.org/t/2")], "item string, lgd_uri string"
+    )
+    out = sameas_lookup(msgs, _triples(spark)).collect()
+    # two sameAs subjects exist for t/2; first by subject ordering wins
+    assert out[0]["dbpedia_uri"] == "http://dbpedia.org/resource/AltBerlin"
+
+
+def test_dereference_and_assembly(spark):
+    places = spark.createDataFrame(
+        [("i1", "http://dbpedia.org/resource/Koblenz"), ("i1", "http://dbpedia.org/resource/Berlin")],
+        "`itinno:item_id` string, place string",
+    )
+    wide = dereference(places, _triples(spark))
+    rows = {r["place"]: r for r in wide.collect()}
+    ko = rows["http://dbpedia.org/resource/Koblenz"]
+    assert (ko["lat"], ko["lon"], ko["label"]) == ("50.36", "7.60", "Koblenz")  # en only
+    be = rows["http://dbpedia.org/resource/Berlin"]
+    assert be["label"] is None  # OPTIONAL label missing
+
+    out = assemble_lod_output(wide).collect()
+    assert len(out) == 1
+    ents = {e["ukob:explored_entity_uri"]: e for e in out[0]["ukob:explored_entities"]}
+    ko_e = ents["http://dbpedia.org/resource/Koblenz"]
+    assert ko_e["ukob:explored_entity_loc"] == "POINT(50.36 7.6)"
+    assert ents["http://dbpedia.org/resource/Berlin"]["ukob:explored_entity_label"] == ""
+
+
+def test_nb_accept_unknown_only_rejected(spark):
+    props = spark.createDataFrame(
+        [("placeA", ["click", "purchase"]), ("placeB", ["zzz"])],
+        "place string, props array<string>",
+    )
+    counts = spark.createDataFrame(
+        [("click", 30, 70), ("purchase", 80, 20), ("total", 100, 200)],
+        "property string, rel int, irrel int",
+    )
+    rows = {r["place"]: r for r in nb_accept(props, counts).collect()}
+    assert rows["placeB"]["accept"] is False  # no known property -> rejected
+    assert rows["placeA"]["pos_log_odds"] > rows["placeA"]["neg_log_odds"]
+    assert rows["placeA"]["accept"] is True
+
+
+def test_predict_locations_deterministic_topk(spark):
+    docs = spark.createDataFrame(
+        [(0, "1 2 3"), (1, "4 5"), (2, ""), (7, "9 9 9 9")],
+        "doc_id long, token_ids string",
+    )
+    model = LocationModel.deterministic(n_regions=6)
+    a = predict_locations(docs, model, top_k=3).collect()
+    b = predict_locations(docs, model, top_k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == {0, 1, 2, 7}
+    for doc_rows in per_doc.values():
+        assert len(doc_rows) == 3
+        assert all(0.0 <= r["probability"] <= 1.0 for r in doc_rows)
+        # location key is "lon,lat" float-formatted (P10)
+        lon, lat = doc_rows[0]["location"].split(",")
+        assert -180 <= float(lon) <= 180 and -90 <= float(lat) <= 90

@@ -549,6 +549,391 @@ def p9_p10_geo_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.8 text pipeline: X1 langid, X2 tokenize, X3 stopwords, X4 stem, X5 encode
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[#@]?[A-Za-z][A-Za-z'']*"
+
+
+@_register(
+    "x2_tokenize",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_TOKEN_RE}', 0)) AS n_tokens,
+           array_to_string(list_slice(regexp_extract_all(text, '{_TOKEN_RE}', 0), 1, 5), ' ')
+             AS token_preview
+    FROM documents
+    """,
+    doc="X2 regex tokenizer (ckling.text.Text#getTerms [bytecode]): "
+    "[#@]?word tokens, JVM-side regexp_extract_all.",
+)
+def x2_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_TOKEN_RE}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("token_preview"),
+    )
+
+
+@_register(
+    "x1_language_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+                 t -> list_contains(['the','a','of','and','to','in','is'], t))) AS score_en,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+                 t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS score_de,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+                 t -> list_contains(['el','la','los','las','es','y','que'], t))) AS score_es,
+             len(list_filter(regexp_extract_all(lower(text), '[a-z]+', 0),
+                 t -> list_contains(['le','la','les','et','est','que'], t))) AS score_fr
+      FROM documents
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE WHEN score_en = greatest(score_en, score_de, score_es, score_fr)
+                     AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'en'
+                WHEN score_de = greatest(score_en, score_de, score_es, score_fr)
+                     AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'de'
+                WHEN score_es = greatest(score_en, score_de, score_es, score_fr)
+                     AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'es'
+                WHEN score_fr = greatest(score_en, score_de, score_es, score_fr)
+                     AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'fr'
+                ELSE 'unknown' END AS lang_pred
+    FROM scored
+    """,
+    doc="X1 deterministic marker-word language scorer (operator shape of "
+    "the cybozu langdetect stage, TweetIndexBolt.java:95-125).",
+)
+def x1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.text import language_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_scores(docs).select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "lang_pred"
+    )
+
+
+@_register(
+    "x3_stopword_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           len(tokens) AS n_before,
+           len(list_filter(tokens, t -> NOT list_contains(
+             ['a','an','and','are','as','at','be','by','for','from','has','he','in','is',
+              'it','its','of','on','that','the','to','was','were','will','with'],
+             lower(t)))) AS n_after
+    FROM toks
+    """,
+    doc="X3 stopword removal as a higher-order array filter (no UDF). "
+    "Reference: ckling.text.Text stopword constants [bytecode].",
+)
+def x3_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.text import remove_stopwords
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_before"),
+        F.size(remove_stopwords(toks)).alias("n_after"),
+    )
+
+
+@_register(
+    "x4_stem_rule_based",
+    """
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    s1 AS (SELECT token, CASE WHEN regexp_matches(lower(token), '^.{4,}ies$')
+                              THEN regexp_replace(lower(token), 'ies$', 'y')
+                              ELSE lower(token) END AS t FROM toks),
+    s2 AS (SELECT token, CASE WHEN regexp_matches(t, '^.{4,}sses$')
+                              THEN regexp_replace(t, 'sses$', 'ss') ELSE t END AS t FROM s1),
+    s3 AS (SELECT token, CASE WHEN regexp_matches(t, '^.{3,}s$')
+                               AND NOT regexp_matches(t, '(ss|us|is)$')
+                              THEN regexp_replace(t, 's$', '') ELSE t END AS t FROM s2),
+    s4 AS (SELECT token, CASE WHEN regexp_matches(t, '^.{5,}ing$')
+                              THEN regexp_replace(t, 'ing$', '') ELSE t END AS t FROM s3),
+    s5 AS (SELECT token, CASE WHEN regexp_matches(t, '^.{5,}ed$')
+                              THEN regexp_replace(t, 'ed$', '') ELSE t END AS t FROM s4)
+    SELECT token, t AS stem FROM s5 WHERE length(token) > 1
+    """,
+    doc="X4 stemming — deterministic rule-based mode (oracle-checkable); "
+    "Snowball pandas-UDF mode available when the library is present. "
+    "Reference: ckling.text.Text snowball field [bytecode].",
+)
+def x4_stem_rule_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.text import stem_rule_based
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+        .filter(F.length("token") > 1)
+    )
+    return toks.select("token", stem_rule_based(F.col("token")).alias("stem"))
+
+
+@_register(
+    "x5_term_index_encode",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    toks2 AS (SELECT * FROM toks WHERE length(token) > 1),
+    dict AS (
+      SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) - 1 AS id
+      FROM toks2 GROUP BY token
+    )
+    SELECT t.doc_id,
+           string_agg(CAST(d.id AS VARCHAR), ' ' ORDER BY t.pos) AS token_ids
+    FROM toks2 t JOIN dict d USING (token)
+    GROUP BY t.doc_id
+    """,
+    doc="X5+J4 dictionary semi-join + order-preserving id encode. "
+    "Reference: TweetIndexBolt.java:176-186.",
+)
+def x5_term_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.text import build_dictionary, encode_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter(F.length("token") > 1)
+    )
+    dictionary = build_dictionary(toks)
+    return encode_terms(toks, dictionary)
+
+
+# ---------------------------------------------------------------------------
+# E4: per-line doc split with positions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "e4_doc_token_positions",
+    """
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+    WHERE doc_id < 20
+    """,
+    doc="E4 doc split into position-indexed tokens (jgibblda batch "
+    "assembly, TopicModelBolt.java:150-163).",
+)
+def e4_doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")).select(
+        "doc_id", "token", (F.col("pos0") + 1).alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7: key-whitelist projection
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p7_key_whitelist",
+    "SELECT doc_id, source FROM documents",
+    doc="P7 output key whitelist (keep only item id + topic set). "
+    "Reference: TopicModelBolt.java:202-212.",
+)
+def p7_key_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# J5: property scan on snapshot triples (events-derived)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j5_property_scan",
+    """
+    WITH triples AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS s,
+             event_type AS p,
+             'k' || json_extract_string(props, 'k') AS o
+      FROM events
+    )
+    SELECT o AS place,
+           string_agg(DISTINCT p, ',' ORDER BY p) AS props,
+           count(DISTINCT s) AS n_subjects
+    FROM triples
+    GROUP BY o
+    """,
+    doc="J5 SPARQL property scan re-expressed over a snapshot triple "
+    "table: group property lists per place. "
+    "Reference: LocationCrawlerBolt.java:131-153.",
+)
+def j5_property_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k STRING").getField("k")
+    triples = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("p"),
+        F.concat(F.lit("k"), k).alias("o"),
+    )
+    return triples.groupBy(F.col("o").alias("place")).agg(
+        F.array_join(F.sort_array(F.collect_set("p")), ",").alias("props"),
+        F.countDistinct("s").alias("n_subjects"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3+A5: naive-Bayes accept with unknown-property smoothing
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a5_nb_accept",
+    """
+    WITH place_props AS (
+      SELECT user_id AS place, event_type AS property FROM events GROUP BY 1, 2
+    ),
+    known AS (SELECT * FROM (VALUES ('click', 30, 70), ('purchase', 80, 20))
+              AS t(property, rel, irrel)),
+    scored AS (
+      SELECT place,
+             sum(CASE WHEN k.rel IS NOT NULL THEN ln((k.rel + 1) / (100 + 2.0))
+                      ELSE ln(1 / (100 + 2.0)) END) AS pos_sum,
+             sum(CASE WHEN k.irrel IS NOT NULL THEN ln((k.irrel + 1) / (200 + 2.0))
+                      ELSE ln(1 / (200 + 2.0)) END) AS neg_sum,
+             max(CASE WHEN k.rel IS NOT NULL THEN 1 ELSE 0 END) AS any_known
+      FROM place_props p LEFT JOIN known k USING (property)
+      GROUP BY 1
+    )
+    SELECT place,
+           round(pos_sum + ln(0.5), 6) AS pos_log_odds,
+           round(neg_sum + ln(0.5), 6) AS neg_log_odds,
+           (any_known = 1 AND pos_sum + ln(0.5) > neg_sum + ln(0.5)) AS accept
+    FROM scored
+    """,
+    doc="J3+A5 full NB screening: property lookup with +1/+2 smoothing, "
+    "unknown-property fallback, accept iff any-known and pos>neg. "
+    "Reference: LocationCrawlerBolt.java:116-122,155-181.",
+)
+def a5_nb_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.geo import nb_accept
+
+    ev = _t(spark, sf_dir, "events")
+    place_props = ev.groupBy(F.col("user_id").alias("place")).agg(
+        F.collect_set("event_type").alias("props")
+    )
+    nb_counts = spark.createDataFrame(
+        [("click", 30, 70), ("purchase", 80, 20), ("total", 100, 200)],
+        "property string, rel int, irrel int",
+    )
+    scored = nb_accept(place_props, nb_counts)
+    return scored.select(
+        "place",
+        F.round("pos_log_odds", 6).alias("pos_log_odds"),
+        F.round("neg_log_odds", 6).alias("neg_log_odds"),
+        "accept",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6: snapshot dereference — triple pivot to wide row
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j6_triple_pivot",
+    """
+    SELECT user_id AS place,
+           round(max(CASE WHEN event_type = 'click' THEN value END), 2) AS lat,
+           round(max(CASE WHEN event_type = 'view' THEN value END), 2) AS lon,
+           coalesce(max(CASE WHEN event_type = 'signup' THEN 'label-' ||
+             CAST(user_id AS VARCHAR) END), '') AS label
+    FROM events
+    GROUP BY 1
+    """,
+    doc="J6 URI dereference as snapshot pivot: triples -> wide "
+    "(lat, long, optional label) row; missing label -> ''. "
+    "Reference: LocationCrawlerBolt.java:183-209.",
+)
+def j6_triple_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").alias("place")).agg(
+        F.round(F.max(F.when(F.col("event_type") == "click", F.col("value"))), 2).alias("lat"),
+        F.round(F.max(F.when(F.col("event_type") == "view", F.col("value"))), 2).alias("lon"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("event_type") == "signup",
+                    F.concat(F.lit("label-"), F.col("user_id").cast("string")),
+                )
+            ),
+            F.lit(""),
+        ).alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M3: deterministic hash-based sample (seeded-threshold filter analog)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "m3_deterministic_sample",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2)) AS INTEGER) < 64
+    """,
+    doc="M3 probability-threshold filter (HTMLMapFilterer.java:33-71) as "
+    "an engine-independent md5-bucket sample (exactly reproducible, "
+    "unlike PRNG sampling).",
+)
+def m3_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 2), 16, 10
+    ).cast("int")
+    return ev.filter(bucket < 64).select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# M1: location prediction kernel (applyInPandas; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "m1_predict_locations",
+    None,  # Gibbs-family model kernel: not SQL-expressible; rows-only gate
+    doc="M1 batch location prediction: X5-encoded docs -> applyInPandas "
+    "over count-batches (W2), broadcast model matrices, top-5 regions "
+    "per doc (T1) with 'lon,lat' float keys (P10). Deterministic "
+    "collapsed scoring; reference: TopicModelBolt.java:87-99,168.",
+)
+def m1_predict_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.model import LocationModel, predict_locations
+    from .ops.text import build_dictionary, encode_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .filter(F.length("token") > 1)
+    )
+    encoded = encode_terms(toks, build_dictionary(toks))
+    model = LocationModel.deterministic()
+    return predict_locations(encoded, model)
+
+
+# ---------------------------------------------------------------------------
 # §2.7 role-analysis kernel: features + tercile levels + rule cascade
 # ---------------------------------------------------------------------------
 #
