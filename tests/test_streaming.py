@@ -1,0 +1,96 @@
+"""Streaming e2e: the stateful W1/W2 operators driven through real
+Structured Streaming micro-batches (file source -> memory sink),
+asserting parity with their deterministic batch formulations."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from westtopologies_spark.session import load_table
+from westtopologies_spark.streaming.stateful import (
+    aligned_window_rollup_stream,
+    count_batches_stream,
+    data_driven_window_rollup_stream,
+    data_driven_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, sf_dir, tmp_path_factory):
+    """300 events split into 3 parquet files with increasing mtimes so
+    the file source replays them as ordered micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    pdf = ev.select("event_id", "ts", "value").toPandas().sort_values("event_id")
+    for i, lo in enumerate(range(0, 300, 100)):
+        chunk = pdf[(pdf.event_id >= lo) & (pdf.event_id < lo + 100)]
+        path = os.path.join(out, f"part-{i}.parquet")
+        chunk.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        mtime = time.time() - 100 + i * 10
+        os.utime(path, (mtime, mtime))
+    return out, ev.select("event_id", "ts", "value")
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_w1_exact_stream_matches_batch(spark, staged_events):
+    path, batch_df = staged_events
+    schema = "event_id long, ts timestamp, value double"
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    got = _run_stream(spark, data_driven_window_rollup_stream(src), "w1_exact_out")
+    expect = data_driven_windows(batch_df)
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, expect.collect()))
+    assert len(g) > 3  # several windows closed across micro-batch boundaries
+    assert g == e
+
+
+def test_w2_count_batches_stream(spark, staged_events):
+    path, _ = staged_events
+    schema = "event_id long, ts timestamp, value double"
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    got = _run_stream(spark, count_batches_stream(src), "w2_out").collect()
+    assert len(got) == 300
+    by_batch = {}
+    for r in got:
+        by_batch.setdefault(r["batch_id"], []).append(r["event_id"])
+    # every batch holds exactly 5 consecutive seqs (state survives
+    # micro-batch boundaries: batches straddle the 100-row files)
+    assert all(len(v) == 5 for v in by_batch.values())
+    assert by_batch[19] == [95, 96, 97, 98, 99]
+    assert by_batch[20] == [100, 101, 102, 103, 104]  # straddles files 0/1
+
+
+def test_aligned_window_stream(spark, staged_events):
+    path, batch_df = staged_events
+    schema = "event_id long, ts timestamp, value double"
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    src = src.withColumn("event_type", F.lit("all"))
+    got = _run_stream(spark, aligned_window_rollup_stream(src), "w1_aligned_out")
+    batch = (
+        batch_df.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    g = {tuple(r) for r in got.select("window_start", "n_events", "sum_value").collect()}
+    e = {tuple(r) for r in batch.collect()}
+    # append-mode watermark holds back the final (unclosed) window(s);
+    # everything emitted must match the batch result exactly
+    assert g <= e
+    assert len(g) >= len(e) - 2

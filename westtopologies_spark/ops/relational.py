@@ -237,9 +237,10 @@ def tercile_boundaries(df: DataFrame, value_col: str, group_cols: list[str] | No
     """
     vals = F.sort_array(F.collect_list(F.col(value_col)))
     n = F.size(vals)
-    # element_at is 1-indexed: v[i] (0-indexed) == element_at(vals, i+1)
+    # try_element_at is 1-indexed: v[i] (0-indexed) == try_element_at(vals, i+1);
+    # `try_` so degenerate populations (n < 4) yield NULL, not an ANSI error
     def mid(idx: Column) -> Column:
-        return (F.element_at(vals, idx + 1) + F.element_at(vals, idx + 2)) / 2.0
+        return (F.try_element_at(vals, idx + 1) + F.try_element_at(vals, idx + 2)) / 2.0
 
     low_i = F.floor(n / 3).cast("int")
     high_i = F.floor(n * 2 / 3).cast("int")

@@ -15,12 +15,17 @@ recursive Community structure maps to pure DataFrame aggregates:
   decompiled assignRole unconditionally overwrites the role at the
   end; SURVEY.md §2.7 replication note).
 
+Every function takes an optional ``community_col``: when set, ALL
+aggregations, self-joins and tercile boundaries are additionally
+keyed by that column, so thousands of windows are processed in ONE
+distributed plan — no driver-side loop over windows (the reference
+processes one window at a time on a single executor; SURVEY.md §4.1).
+
 Scale notes: every step is a keyed aggregation or a self-join on
-tweet_id/parent_id — shuffle-partitioned by Catalyst, no driver
-state. Root discovery is an iterative bounded-depth join (tree depth
-is bounded in practice; the reference recursion would stack-overflow
-otherwise). Tercile training is per-window; a window's user
-population is bounded, so exact sort-based boundaries are safe.
+(community, tweet_id/parent_id) — shuffle-partitioned by Catalyst.
+Root discovery is an iterative bounded-depth join (tree depth is
+bounded in practice). Tercile training is per-window; a window's
+user population is bounded, so exact sort-based boundaries are safe.
 """
 
 from __future__ import annotations
@@ -51,7 +56,13 @@ ROLE_RULES: tuple[tuple[str, dict[str, str]], ...] = (
 )
 
 
-def with_root_ids(nodes: DataFrame, max_depth: int = 12) -> DataFrame:
+def _keys(community_col: str | None, *cols: str) -> list[str]:
+    return ([community_col] if community_col else []) + list(cols)
+
+
+def with_root_ids(
+    nodes: DataFrame, max_depth: int = 12, community_col: str | None = None
+) -> DataFrame:
     """Attach root_id (discussion-tree id) to each node by following
     parent pointers to the root — bounded-depth pointer jumping.
 
@@ -61,21 +72,36 @@ def with_root_ids(nodes: DataFrame, max_depth: int = 12) -> DataFrame:
     forests up to that depth; each step is a hash join on the id —
     distributed, no driver recursion.
     """
-    parents = nodes.select(
-        F.col("tweet_id").alias("_anc_id"), F.col("parent_id").alias("_anc_parent")
+    join_keys = _keys(community_col)
+    cur = nodes.select(
+        *join_keys, "tweet_id", F.coalesce("parent_id", "tweet_id").alias("_anc")
     )
-    cur = nodes.select("tweet_id", F.coalesce("parent_id", "tweet_id").alias("_anc"))
-    for _ in range(max_depth):
-        cur = (
-            cur.join(parents, cur._anc == parents._anc_id, "left")
-            .withColumn("_anc", F.coalesce("_anc_parent", "_anc"))
-            .drop("_anc_id", "_anc_parent")
+    for i in range(max_depth):
+        # fresh aliases each iteration: aliasing mints new attribute
+        # ids, avoiding Spark's ambiguous-self-join trap
+        p = nodes.select(
+            *[F.col(k).alias(f"_pk{i}_{j}") for j, k in enumerate(join_keys)],
+            F.col("tweet_id").alias(f"_pid{i}"),
+            F.col("parent_id").alias(f"_pp{i}"),
         )
-    return nodes.join(cur.withColumnRenamed("_anc", "root_id"), "tweet_id")
+        cond = [cur["_anc"] == p[f"_pid{i}"]] + [
+            cur[k].eqNullSafe(p[f"_pk{i}_{j}"]) for j, k in enumerate(join_keys)
+        ]
+        cur = cur.join(p, cond, "left").select(
+            *[cur[k] for k in join_keys],
+            cur["tweet_id"],
+            F.coalesce(p[f"_pp{i}"], cur["_anc"]).alias("_anc"),
+        )
+    return nodes.join(
+        cur.withColumnRenamed("_anc", "root_id"), _keys(community_col, "tweet_id")
+    )
 
 
-def role_features(nodes: DataFrame, min_limit: int = 1) -> DataFrame:
-    """Per-user behaviour features over one community window.
+def role_features(
+    nodes: DataFrame, min_limit: int = 1, community_col: str | None = None
+) -> DataFrame:
+    """Per-user behaviour features over one community window (or over
+    every window at once when ``community_col`` is given).
 
     ``nodes``: (tweet_id, parent_id, author_id[, root_id]); if
     root_id is absent it is derived via :func:`with_root_ids`.
@@ -86,62 +112,69 @@ def role_features(nodes: DataFrame, min_limit: int = 1) -> DataFrame:
     column because the tercile/rule machinery consumes it.
     """
     if "root_id" not in nodes.columns:
-        nodes = with_root_ids(nodes)
+        nodes = with_root_ids(nodes, community_col=community_col)
     nodes = nodes.filter(F.col("author_id").isNotNull())
+    ck = _keys(community_col)
 
     # parent author per node
     par = nodes.select(
-        F.col("tweet_id").alias("_p_id"), F.col("author_id").alias("parent_author")
+        *ck, F.col("tweet_id").alias("_p_id"), F.col("author_id").alias("parent_author")
     )
-    # (contribution c of user u) x (direct child): the unit the
-    # reference iterates per contribution-with-children.
     child = nodes.select(
-        F.col("parent_id").alias("_c_id"), F.col("author_id").alias("child_author")
+        *ck, F.col("parent_id").alias("_c_id"), F.col("author_id").alias("child_author")
     )
     contrib = nodes.select(
+        *ck,
         F.col("tweet_id").alias("_c_id"),
         F.col("author_id").alias("user_id"),
         F.col("parent_id").alias("_c_parent"),
     )
     pairs = (
-        contrib.join(child, "_c_id")
-        .join(par, contrib._c_parent == par._p_id, "left")
-        .select("_c_id", "user_id", "child_author", "parent_author")
+        contrib.join(child, _keys(community_col, "_c_id"))
+        .join(
+            par,
+            [contrib._c_parent == par._p_id] + [contrib[k] == par[k] for k in ck],
+            "left",
+        )
+        .select(*[contrib[k] for k in ck], "_c_id", "user_id", "child_author", "parent_author")
     )
 
-    replied = pairs.groupBy("user_id").agg(
+    uk = _keys(community_col, "user_id")
+    replied = pairs.groupBy(*uk).agg(
         F.countDistinct("_c_id").alias("replied_posts"),
         F.countDistinct("child_author").alias("n_replying_users"),
     )
     neighbours = (
-        pairs.select("user_id", F.col("child_author").alias("nb"))
+        pairs.select(*uk, F.col("child_author").alias("nb"))
         .unionByName(
             pairs.filter(F.col("parent_author").isNotNull()).select(
-                "user_id", F.col("parent_author").alias("nb")
+                *uk, F.col("parent_author").alias("nb")
             )
         )
-        .groupBy("user_id")
+        .groupBy(*uk)
         .agg(F.countDistinct("nb").alias("n_neighbours"))
     )
     bidir = (
         pairs.filter(F.col("child_author") == F.col("parent_author"))
-        .groupBy("user_id")
+        .groupBy(*uk)
         .agg(
             F.countDistinct("child_author").alias("n_bidir_neighbours"),
             F.countDistinct("_c_id").alias("bidir_threads"),
         )
     )
 
-    posts = nodes.groupBy(F.col("author_id").alias("user_id")).agg(
+    posts = nodes.groupBy(*ck, F.col("author_id").alias("user_id")).agg(
         F.count(F.lit(1)).alias("post_count")
     )
 
-    tree_sizes = nodes.groupBy("root_id").agg(F.count(F.lit(1)).alias("tree_size"))
+    tree_sizes = nodes.groupBy(*_keys(community_col, "root_id")).agg(
+        F.count(F.lit(1)).alias("tree_size")
+    )
     user_trees = (
-        nodes.select(F.col("author_id").alias("user_id"), "root_id")
+        nodes.select(*ck, F.col("author_id").alias("user_id"), "root_id")
         .distinct()
-        .join(tree_sizes, "root_id")
-        .groupBy("user_id")
+        .join(tree_sizes, _keys(community_col, "root_id"))
+        .groupBy(*uk)
         .agg(
             F.count(F.lit(1)).alias("n_trees"),
             F.sum("tree_size").alias("sum_tree_sizes"),
@@ -149,14 +182,20 @@ def role_features(nodes: DataFrame, min_limit: int = 1) -> DataFrame:
         )
     )
 
-    n_community_users = nodes.select(F.countDistinct("author_id").alias("n_community_users"))
+    if community_col:
+        n_users = nodes.groupBy(community_col).agg(
+            F.countDistinct("author_id").alias("n_community_users")
+        )
+        feats = posts.join(F.broadcast(n_users), community_col)
+    else:
+        n_users = nodes.select(F.countDistinct("author_id").alias("n_community_users"))
+        feats = posts.crossJoin(F.broadcast(n_users))
 
     feats = (
-        posts.join(replied, "user_id", "left")
-        .join(neighbours, "user_id", "left")
-        .join(bidir, "user_id", "left")
-        .join(user_trees, "user_id", "left")
-        .crossJoin(F.broadcast(n_community_users))
+        feats.join(replied, uk, "left")
+        .join(neighbours, uk, "left")
+        .join(bidir, uk, "left")
+        .join(user_trees, uk, "left")
         .fillna(
             0,
             subset=[
@@ -180,7 +219,7 @@ def role_features(nodes: DataFrame, min_limit: int = 1) -> DataFrame:
     ssum = F.col("sum_tree_sizes")
     ssq = F.col("sum_tree_sizes_sq")
     return feats.select(
-        "user_id",
+        *uk,
         "post_count",
         "replied_posts",
         "n_replying_users",
@@ -202,10 +241,15 @@ def role_features(nodes: DataFrame, min_limit: int = 1) -> DataFrame:
     )
 
 
-def tercile_levels(features: DataFrame, feature_cols: tuple[str, ...] = LEVEL_FEATURES) -> DataFrame:
+def tercile_levels(
+    features: DataFrame,
+    feature_cols: tuple[str, ...] = LEVEL_FEATURES,
+    community_col: str | None = None,
+) -> DataFrame:
     """Attach `<feature>_level` (low/med/high) columns using exact
-    tercile boundaries trained on the current population (A4,
-    Boundaries#train/#getLevel: `<=` -> low/med, else high).
+    tercile boundaries trained on the current population — per
+    community when ``community_col`` is given (A4, Boundaries#train/
+    #getLevel: `<=` -> low/med, else high).
     """
     aggs = []
     for c in feature_cols:
@@ -213,14 +257,25 @@ def tercile_levels(features: DataFrame, feature_cols: tuple[str, ...] = LEVEL_FE
         n = F.size(vals)
         lo = F.floor(n / 3).cast("int")
         hi = F.floor(n * 2 / 3).cast("int")
+        # try_element_at: populations smaller than ~4 overflow the
+        # boundary index (the reference's Java would throw); NULL
+        # boundary degrades to level 'high' rather than failing.
         aggs.append(
-            ((F.element_at(vals, lo + 1) + F.element_at(vals, lo + 2)) / 2.0).alias(f"_{c}_lm")
+            ((F.try_element_at(vals, lo + 1) + F.try_element_at(vals, lo + 2)) / 2.0).alias(
+                f"_{c}_lm"
+            )
         )
         aggs.append(
-            ((F.element_at(vals, hi + 1) + F.element_at(vals, hi + 2)) / 2.0).alias(f"_{c}_mh")
+            ((F.try_element_at(vals, hi + 1) + F.try_element_at(vals, hi + 2)) / 2.0).alias(
+                f"_{c}_mh"
+            )
         )
-    bounds = features.agg(*aggs)
-    out = features.crossJoin(F.broadcast(bounds))
+    if community_col:
+        bounds = features.groupBy(community_col).agg(*aggs)
+        out = features.join(F.broadcast(bounds), community_col)
+    else:
+        bounds = features.agg(*aggs)
+        out = features.crossJoin(F.broadcast(bounds))
     for c in feature_cols:
         out = out.withColumn(
             f"{c}_level",
@@ -242,7 +297,6 @@ def assign_roles(leveled: DataFrame, bug_compatible: bool = False) -> DataFrame:
     """
     if bug_compatible:
         return leveled.withColumn("role", F.lit("<None>"))
-    expr = F.lit("<None>")
     # Build when-cascade in reverse: evaluating the LAST rule first
     # implements last-match-wins.
     role_expr = None
@@ -251,5 +305,7 @@ def assign_roles(leveled: DataFrame, bug_compatible: bool = False) -> DataFrame:
         for feat, lvl in conds.items():
             c = F.col(f"{feat}_level") == lvl
             cond = c if cond is None else (cond & c)
-        role_expr = F.when(cond, F.lit(role)) if role_expr is None else role_expr.when(cond, F.lit(role))
-    return leveled.withColumn("role", role_expr.otherwise(expr))
+        role_expr = (
+            F.when(cond, F.lit(role)) if role_expr is None else role_expr.when(cond, F.lit(role))
+        )
+    return leveled.withColumn("role", role_expr.otherwise(F.lit("<None>")))

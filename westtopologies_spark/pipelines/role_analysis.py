@@ -1,0 +1,95 @@
+"""Pipeline 1 — roleAnalysis (SURVEY.md §3.3.1).
+
+Reference wiring: AMQP spout -> DiscussionTreeBolt -> RoleAnalysisBolt
+(roleAnalysisTopology/.../TopologyRunner.java:191-198); output is
+`id \\t username \\t role` per user per window
+(RoleAnalysisBolt.java:111-120).
+
+Engine shape: parse -> delete-filter -> edge build (with synthetic
+unobserved ancestors) -> window assignment -> community-keyed role
+kernel. ALL windows are processed in one distributed plan (the
+community column threads through every aggregation) — no per-window
+driver loop, unlike the reference's one-window-at-a-time executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..ops.relational import derive_retweet_flag, dummy_parents, filter_deletes, parse_twitter_ts
+from ..ops.roles import assign_roles, role_features, tercile_levels
+
+
+def tweets_to_edges(tweets: DataFrame) -> DataFrame:
+    """F1 tweet rows -> flat discussion edges, including the
+    reference's dummy unobserved ancestors (J1,
+    DiscussionTreeBolt.java:130-148)."""
+    base = filter_deletes(tweets)
+    base = derive_retweet_flag(base)
+    edges = base.select(
+        F.col("id_str").cast("long").alias("tweet_id"),
+        F.col("parent_id_str").cast("long").alias("parent_id"),
+        F.col("user.id_str").cast("long").alias("author_id"),
+        F.regexp_replace(F.col("user.screen_name"), r"\s", "").alias("author_screen_name"),
+        parse_twitter_ts("created_at").alias("ts"),
+        F.col("text"),
+        F.lit(True).alias("observed"),
+        F.col("retweet"),
+    )
+    dummies = dummy_parents(edges).select(
+        F.col("tweet_id"),
+        F.lit(None).cast("long").alias("parent_id"),
+        # the reference fills dummy author info from the replying
+        # tweet's in_reply_to fields when available; unobserved
+        # ancestors without it carry nulls
+        F.lit(None).cast("long").alias("author_id"),
+        F.lit(None).cast("string").alias("author_screen_name"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(False).alias("observed"),
+        F.lit(False).alias("retweet"),
+    )
+    return edges.unionByName(dummies)
+
+
+def role_analysis_batch(
+    tweets: DataFrame, window: str = "10 minutes", bug_compatible: bool = False
+) -> DataFrame:
+    """Windowed role assignment (epoch-aligned window mode; the exact
+    data-driven window lives in streaming/stateful.py).
+
+    Dummy ancestors carry no timestamp; the reference keeps them in
+    the window whose reply created them — we attach each dummy to the
+    window of its earliest observed descendant-reply (min child ts).
+    """
+    edges = tweets_to_edges(tweets)
+    observed = edges.filter(F.col("observed"))
+    win = F.window("ts", window).getField("start")
+    observed = observed.withColumn("window_start", win)
+    # window for dummies: earliest window among replies pointing at them
+    dummy_windows = (
+        observed.filter(F.col("parent_id").isNotNull())
+        .groupBy(F.col("parent_id").alias("tweet_id"))
+        .agg(F.min("window_start").alias("window_start"))
+    )
+    dummies = (
+        edges.filter(~F.col("observed"))
+        .drop("window_start")
+        .join(dummy_windows, "tweet_id", "inner")
+    )
+    all_nodes = observed.unionByName(dummies)
+    feats = role_features(all_nodes, community_col="window_start")
+    leveled = tercile_levels(feats, community_col="window_start")
+    roles = assign_roles(leveled, bug_compatible=bug_compatible)
+    return roles.select("window_start", "user_id", "post_count", "role")
+
+
+def role_output_lines(roles: DataFrame) -> DataFrame:
+    """S6 parity: `id \\t username \\t role` lines
+    (RoleAnalysisBolt.java:113-114; username joined upstream)."""
+    return roles.select(
+        F.concat_ws(
+            "\t", F.col("user_id").cast("string"), F.coalesce("author_screen_name", F.lit("")), "role"
+        ).alias("value")
+    )

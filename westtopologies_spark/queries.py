@@ -549,6 +549,51 @@ def p9_p10_geo_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W1 exact: data-driven window close (the reference's real semantics)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "w1_exact_windows",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT row_number() OVER (ORDER BY event_id) AS pos, ts, value FROM events
+    ),
+    maxp AS (SELECT max(pos) AS m FROM ev),
+    win AS (
+      SELECT 1 AS start_pos,
+             (SELECT min(e2.pos) FROM ev e2 WHERE e2.pos > 1
+               AND e2.ts >= (SELECT ts FROM ev WHERE pos = 1) + INTERVAL 10 MINUTE)
+               AS close_pos
+      UNION ALL
+      SELECT w.close_pos + 1 AS start_pos,
+             (SELECT min(e2.pos) FROM ev e2 WHERE e2.pos > w.close_pos + 1
+               AND e2.ts >= (SELECT ts FROM ev WHERE pos = w.close_pos + 1)
+                            + INTERVAL 10 MINUTE) AS close_pos
+      FROM win w, maxp
+      WHERE w.close_pos IS NOT NULL AND w.close_pos + 1 <= maxp.m
+    )
+    SELECT (SELECT ts FROM ev WHERE pos = w.start_pos) AS window_start,
+           (SELECT ts FROM ev WHERE pos = w.close_pos) AS window_end,
+           w.close_pos - w.start_pos + 1 AS n_events,
+           round((SELECT sum(value) FROM ev e
+                  WHERE e.pos BETWEEN w.start_pos AND w.close_pos), 2) AS sum_value
+    FROM win w
+    WHERE w.close_pos IS NOT NULL
+    """,
+    doc="W1 EXACT semantics: window anchored at first buffered event, "
+    "flush when an arriving event's ts >= start+10min (trigger included, "
+    "final partial buffer never emitted). "
+    "Reference: DiscussionTreeBolt.java:45-51,107-110,130-168.",
+)
+def w1_exact_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import data_driven_windows
+
+    ev = _t(spark, sf_dir, "events")
+    return data_driven_windows(ev)
+
+
+# ---------------------------------------------------------------------------
 # §2.8 text pipeline: X1 langid, X2 tokenize, X3 stopwords, X4 stem, X5 encode
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,210 @@
+"""W1 / W2 — the reference's custom streaming semantics.
+
+W1 (data-driven window): the reference's window opens at the first
+event's timestamp; `deadline = start + 10 min`; each arriving event
+is inserted into the buffer FIRST and then, if its ts >= deadline,
+the whole buffer (including the trigger) is emitted and state reset
+(insert at DiscussionTreeBolt.java:130-148 precedes the deadline
+check at :150; reset at :166-168). No watermark: late events simply
+land in the next buffer, and a final partial buffer is never emitted.
+This is NOT Spark's epoch-aligned ``window()`` — it needs ordered
+stateful iteration, provided here in two modes:
+
+- batch:  ``data_driven_windows`` via ``applyInPandas`` (deterministic,
+  oracle-checkable against a recursive-CTE SQL formulation);
+- stream: ``data_driven_window_rollup_stream`` via
+  ``applyInPandasWithState`` (state persists across micro-batches).
+
+The reference runs this at parallelism 1 with JVM-global state
+(SURVEY.md §4.1) — correctness *requires* a single ordered group. We
+mirror that with one state key by default; at scale, pass
+``key_cols`` (e.g. conversation root) to shard state the way the
+reference never could.
+
+W2 (count-based micro-batch): buffer exactly N messages, then emit
+the batch (TopicModelBolt.java:87-99). Batch mode is the
+deterministic ``floor(seq/N)`` grouping; stream mode keeps a count in
+state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+W1_OUT_SCHEMA = "window_start timestamp, window_end timestamp, n_events long, sum_value double"
+
+
+def _scan_windows(pdf: pd.DataFrame, ts_col: str, value_col: str, seq_col: str, interval_sec: int):
+    """Ordered scan implementing the exact reference flush rule."""
+    pdf = pdf.sort_values(seq_col)
+    out = []
+    start = None
+    n = 0
+    total = 0.0
+    deadline = None
+    for ts, val in zip(pdf[ts_col], pdf[value_col]):
+        if start is None:
+            start = ts
+            deadline = start + pd.Timedelta(seconds=interval_sec)
+            n = 0
+            total = 0.0
+        n += 1
+        total += float(val)
+        if ts >= deadline:  # trigger included in the flushed buffer
+            out.append((start, ts, n, round(total, 2)))
+            start = None
+    # final partial buffer intentionally NOT emitted (reference never
+    # flushes without a trigger)
+    return out
+
+
+def data_driven_windows(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    interval_sec: int = 600,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """W1 exact semantics, batch mode.
+
+    Single logical state group by default (the reference's
+    parallelism-1 behaviour); ``key_cols`` shards the scan for scale.
+    """
+    cols = [ts_col, value_col, seq_col] + (key_cols or [])
+    src = df.select(*cols)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = _scan_windows(pdf, ts_col, value_col, seq_col, interval_sec)
+        return pd.DataFrame(rows, columns=["window_start", "window_end", "n_events", "sum_value"])
+
+    if key_cols:
+        grouped = src.groupBy(*key_cols)
+    else:
+        grouped = src.groupBy(F.lit(0).alias("_g"))
+    out = grouped.applyInPandas(scan, W1_OUT_SCHEMA)
+    return out
+
+
+def data_driven_window_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    interval_sec: int = 600,
+) -> DataFrame:
+    """W1 exact semantics, streaming mode (applyInPandasWithState).
+
+    State carries (buffer_start, deadline, n, sum) across
+    micro-batches; within a batch rows are processed in ``seq_col``
+    order (the arrival-order analog, FIXTURES.md `_seq`).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = "start_us long, n long, sum_value double"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            start_us, n, total = state.get
+        else:
+            start_us, n, total = None, 0, 0.0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(seq_col)
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                ts_us = int(ts.value // 1000)  # pandas ns -> us
+                if start_us is None:
+                    start_us = ts_us
+                    n = 0
+                    total = 0.0
+                n += 1
+                total += float(val)
+                if ts_us >= start_us + interval_sec * 1_000_000:
+                    out.append(
+                        (
+                            pd.Timestamp(start_us * 1000),
+                            pd.Timestamp(ts_us * 1000),
+                            n,
+                            round(total, 2),
+                        )
+                    )
+                    start_us = None
+        if start_us is None:
+            state.remove()
+        else:
+            state.update((start_us, n, total))
+        yield pd.DataFrame(
+            out, columns=["window_start", "window_end", "n_events", "sum_value"]
+        )
+
+    return (
+        events.select(ts_col, value_col, seq_col)
+        .withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            fn, W1_OUT_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def count_batches_stream(
+    df: DataFrame,
+    seq_col: str = "event_id",
+    batch_size: int = 5,
+) -> DataFrame:
+    """W2 streaming mode: assign a monotonically increasing batch id
+    after every ``batch_size`` buffered messages; the count survives
+    micro-batch boundaries in state.
+
+    Reference: TopicModelBolt.java:87-99 (buffer 5, then predict).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{seq_col} long, batch_id long"
+    state_schema = "seen long"
+
+    def fn(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        out_seq, out_batch = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(seq_col)
+            for s in pdf[seq_col]:
+                out_seq.append(int(s))
+                out_batch.append(seen // batch_size)
+                seen += 1
+        state.update((seen,))
+        yield pd.DataFrame({seq_col: out_seq, "batch_id": out_batch})
+
+    return (
+        df.select(seq_col)
+        .withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def aligned_window_rollup_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    interval: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """W1 aligned mode for streams: epoch-aligned tumbling window with
+    a watermark — the scalable default the engine prefers over the
+    reference's data-driven close (SURVEY.md §2.10 W1)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, interval).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
