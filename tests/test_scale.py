@@ -1,0 +1,173 @@
+"""Semantics tests for the scale-extension operators (dedup,
+similarity, text stats, multimodal) on tiny constructed frames —
+the oracle harness covers the full-table parity separately."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from westtopologies_spark.scale import constants as C
+from westtopologies_spark.scale import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different words about spark engines here"),
+        (3, "The  Quick Brown fox jumps over the lazy dog"),  # case/ws variant
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (5, "tiny"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_duplicate_groups(docs).collect()}
+    # doc 0, 3 (normalized) and 4 collapse into one group kept as id 0
+    assert out[0] == 3
+    assert out[1] == 1 and out[2] == 1 and out[5] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.3).collect()
+    }
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0  # exact dup: full overlap
+    assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0  # near-dup caught
+    assert all(2 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    # 9-token docs -> 7 shingles; docs 0/1 differ in last token -> 6 shared
+    assert pairs[(0, 4)] == 1.0
+    assert pairs[(0, 1)] == round(6 / 8, 4)
+
+
+def test_simhash_identical_docs_zero_hamming(docs):
+    toks = dedup.tokens_with_ids(docs)
+    near = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(
+            dedup.simhash_values(toks), max_hamming=C.SIMHASH_BITS
+        ).collect()
+    }
+    assert near[(0, 4)] == 0  # identical text -> identical simhash
+
+
+def test_vocab_modes_agree_on_jaccard(docs):
+    """xxhash64 and rank-vocab encodings must produce the same
+    Jaccard relationships (ids differ, set overlap does not)."""
+    a = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, deterministic_vocab=False
+        ).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, deterministic_vocab=True
+        ).collect()
+    }
+    assert a == b
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # unit-ish vectors: 0 and 1 nearly parallel, 2 orthogonal, 3 = -0
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_cosine_topk(vectors):
+    out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    got = [(r["rank"], r["neighbor_id"]) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2)]  # nearest first, antipode last excluded at k=2
+
+
+def test_embedding_neardup_pairs(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(vectors, threshold=0.9).collect()
+    }
+    assert list(pairs) == [(0, 1)] and pairs[(0, 1)] > 0.99
+
+
+def test_ann_lsh_same_bucket_for_parallel_vectors(vectors):
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_buckets(vectors, dim=4).collect()
+    }
+    assert buckets[0] == buckets[1]  # nearly-parallel vectors share all signs
+    assert buckets[0] == (~buckets[3] & 0xFF)  # antipode flips every bit
+
+
+def test_quality_score_monotone(spark):
+    rows = [
+        (0, "the cat is on the mat and it is a good cat"),
+        (1, "zzzz 123 !!! ### 456 zz 789 xx 000 yy 111"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textstats.quality_scores(df).collect()}
+    assert out[0]["stopword_ratio"] > out[1]["stopword_ratio"]
+    assert out[0]["quality_score"] > out[1]["quality_score"]
+    assert 0.0 <= out[1]["quality_score"] <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(0, "alpha beta12 gamma-delta x")], ["doc_id", "text"])
+    r = textstats.token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 4
+    assert r["word_tokens"] == 5  # alpha beta gamma delta x
+    # ceil: alpha 2 + beta 1 + gamma 2 + delta 2 + x 1
+    assert r["subword_est"] == 8
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "c b a"), (2, "a b c")], ["doc_id", "text"]
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(df).collect()}
+    assert fp[0] == fp[2] != fp[1]
+
+
+def test_byte_histogram_counts(spark):
+    df = spark.createDataFrame([(7, "AAAB")], ["doc_id", "text"])
+    b = multimodal.as_binary_docs(df.withColumn("source", F.lit("s")))
+    rows = {r["bin"]: r["n"] for r in multimodal.byte_histogram(b).collect()}
+    assert rows == {ord("A") // 16: 4}  # A=65, B=66 share bin 4
+
+
+def test_binary_meta(spark):
+    df = spark.createDataFrame([(3, "hello", "srcX")], ["doc_id", "text", "source"])
+    r = multimodal.as_binary_docs(df).collect()[0]
+    assert bytes(r["content"]) == b"hello"
+    assert r["meta"]["n_bytes"] == 5
+    assert r["meta"]["mime"] == "text/plain;src=srcX"
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_stub(spark):
+    df = spark.createDataFrame([(1, "x" * 25000, "s")], ["doc_id", "text", "source"])
+    out = multimodal.frame_sample_stub(multimodal.as_binary_docs(df), every_n=10).collect()
+    assert [r["offset"] for r in out] == [0, 10240, 20480]
+    assert out[-1]["n_bytes"] == 25000 - 20480

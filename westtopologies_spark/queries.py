@@ -1197,6 +1197,11 @@ _CATALOG[-1] = QuerySpec(
 )
 
 
+# scale-extension entries (dedup / similarity / text stats /
+# multimodal) register themselves into _CATALOG on import
+from . import queries_scale  # noqa: E402, F401
+
+
 def catalog() -> list[QuerySpec]:
     return list(_CATALOG)
 

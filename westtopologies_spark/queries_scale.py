@@ -1,0 +1,458 @@
+"""Catalog entries for the scale-extension operators (dedup,
+similarity search, text analysis, multimodal).
+
+The oracle SQL is GENERATED from the same constants the Spark plans
+use (:mod:`.scale.constants`), so both engines execute the identical
+integer-hash arithmetic; floating-point reductions use explicit
+left folds (Spark ``aggregate`` == DuckDB ``list_reduce`` with a
+prepended seed) so sums are bit-identical, then round before any
+compare/filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _register, _t
+from .scale import constants as C
+from .scale import dedup, multimodal, similarity, textstats
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (documents tokenization / vocabulary / shingles)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token, row_number() OVER (ORDER BY token) AS tid
+      FROM (SELECT DISTINCT token FROM toks)
+    ),
+    tok_ids AS (
+      SELECT t.doc_id, t.pos, v.tid FROM toks t JOIN vocab v USING (token)
+    ),
+    ids AS (
+      SELECT doc_id, list(tid ORDER BY pos) AS tids FROM tok_ids GROUP BY doc_id
+    )
+"""
+
+_SHINGLES_CTE = f"""
+    shingles AS (
+      SELECT DISTINCT doc_id, s AS shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(tids) - {C.SHINGLE_N - 1}, 0) + 1),
+                 i -> ((tids[i] * {C.FP_MULT} + tids[i + 1]) * {C.FP_MULT}
+                        + tids[i + 2]) % {C.SHINGLE_P})) AS s
+        FROM ids)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id)
+"""
+
+
+def _minhash_sql() -> str:
+    mins = ",\n             ".join(
+        f"min((shingle * {a} + {b}) % {C.SHINGLE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(C.MINHASH_COEFFS)
+    )
+    rows = C.MINHASH_BAND_ROWS
+    n_bands = len(C.MINHASH_COEFFS) // rows
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS bucket FROM sigs".format(
+            b=b,
+            expr=" + ".join(
+                f"mh{b * rows + r} * {C.SHINGLE_P ** (rows - 1 - r)}"
+                for r in range(rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_TOKS_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 4)
+             AS jaccard
+    FROM cand c
+    JOIN inter i USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 4)
+          >= {C.MINHASH_JACCARD_THRESHOLD}
+    """
+
+
+@_register(
+    "dd_minhash_lsh",
+    _minhash_sql(),
+    doc="MinHash+LSH near-dup: 3-gram shingles -> 8-perm minwise "
+    "signature -> 4x2 banded bucket self-join -> exact-Jaccard "
+    "confirm. Scale extension (training-data dedup).",
+)
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, deterministic_vocab=True)
+
+
+@_register(
+    "dd_exact",
+    """
+    SELECT min(doc_id) AS keep_id,
+           count(*) AS n_copies,
+           length(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_len
+    FROM documents
+    GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')
+    """,
+    doc="Exact dedup: hash-groupBy on normalized text, min-id "
+    "representative. Scale extension.",
+)
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""
+    WITH {_TOKS_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 4)
+          >= {C.NGRAM_JACCARD_THRESHOLD}
+    """
+
+
+@_register(
+    "dd_ngram_jaccard",
+    _ngram_jaccard_sql(),
+    doc="Exact n-gram Jaccard >= 0.8 via inverted shingle index "
+    "(no cross join). Scale extension.",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, deterministic_vocab=True)
+
+
+def _simhash_sql() -> str:
+    h = f"(tid * {C.SIMHASH_A} + {C.SIMHASH_B}) % {C.SIMHASH_M}"
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {2**j} ELSE 0 END)"
+        for j in range(C.SIMHASH_BITS)
+    )
+    n_bands = C.SIMHASH_BITS // C.SIMHASH_BAND_BITS
+    mask = (1 << C.SIMHASH_BAND_BITS) - 1
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * C.SIMHASH_BAND_BITS}) & {mask} AS bucket FROM sim"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_TOKS_CTE.strip()},
+    sim AS (
+      SELECT doc_id, {bits} AS simhash
+      FROM tok_ids GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {C.SIMHASH_MAX_HAMMING}
+    """
+
+
+@_register(
+    "dd_simhash",
+    _simhash_sql(),
+    doc="SimHash near-dup: 32-bit token-vote fingerprint, byte-band "
+    "LSH candidates, hamming <= 6 confirm. Scale extension.",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = dedup.tokens_with_ids(docs, deterministic_vocab=True)
+    return dedup.simhash_near_pairs(dedup.simhash_values(toks))
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {d} + 1), "
+    "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({v}, "
+    "x -> x * x)), (x, y) -> x + y))"
+)
+
+
+def _neardup_sql() -> str:
+    dot = _DOT.format(d=C.EMBEDDING_DIM, a="a.v", b="b.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    normed AS (SELECT id, v, {_NORM.format(v="v")} AS nrm FROM base)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round({dot} / (a.nrm * b.nrm), 4) AS cosine
+    FROM normed a JOIN normed b ON a.id < b.id
+    WHERE round({dot} / (a.nrm * b.nrm), 4) >= {C.NEARDUP_COSINE_THRESHOLD}
+    """
+
+
+@_register(
+    "dd_embedding_neardup",
+    _neardup_sql(),
+    doc="Embedding-cosine near-dup pairs (exact confirm step; "
+    "candidates come from sign-LSH buckets at scale). Scale extension.",
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def _ann_bruteforce_sql() -> str:
+    dot = _DOT.format(d=C.EMBEDDING_DIM, a="q.v", b="c.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    normed AS (SELECT vec_id, v, {_NORM.format(v="v")} AS nrm FROM base),
+    q AS (SELECT * FROM normed WHERE vec_id < {C.ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({dot} / (q.nrm * c.nrm), 6) AS cosine
+      FROM q JOIN normed c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    WHERE rank <= {C.ANN_TOP_K}
+    """
+
+
+@_register(
+    "ann_bruteforce_topk",
+    _ann_bruteforce_sql(),
+    doc="Brute-force cosine top-k ANN baseline: broadcast query set, "
+    "exact double-precision scan, per-query top-k. Scale extension.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < C.ANN_N_QUERIES))
+
+
+def _ann_lsh_sql() -> str:
+    bits = []
+    for p in range(C.LSH_N_PLANES):
+        plane = "[" + ", ".join(repr(x) for x in C.lsh_plane(p)) + "]::DOUBLE[]"
+        dot = _DOT.format(d=C.EMBEDDING_DIM, a="v", b=f"({plane})")
+        bits.append(f"(CASE WHEN round({dot}, 9) >= 0 THEN {2**p} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    qdot = _DOT.format(d=C.EMBEDDING_DIM, a="q.v", b="c.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, v, {_NORM.format(v="v")} AS nrm, {bucket} AS bucket
+      FROM base
+    ),
+    q AS (SELECT * FROM normed WHERE vec_id < {C.ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({qdot} / (q.nrm * c.nrm), 6) AS cosine
+      FROM q JOIN normed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    WHERE rank <= {C.ANN_TOP_K}
+    """
+
+
+@_register(
+    "ann_lsh_bucketed",
+    _ann_lsh_sql(),
+    doc="Sign-LSH bucketed ANN: 8 deterministic hyperplanes -> "
+    "bucket equi-join -> exact rerank (the keyed-join scale path; "
+    "single-probe recall trade-off is oracle-replicated).",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < C.ANN_N_QUERIES))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _quality_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in C.STOPWORDS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_len,
+             CAST(len(list_filter(toks, x -> list_contains([{stop_list}], lower(x))))
+                  AS DOUBLE) / len(toks) AS stop_ratio,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens,
+           round(avg_len, 4) AS avg_token_len,
+           round(stop_ratio, 4) AS stopword_ratio,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.25
+                 + least(stop_ratio * 4, 1.0) * 0.25
+                 + alpha_ratio * 0.25
+                 + least(avg_len / 8, 1.0) * 0.25, 4) AS quality_score
+    FROM feats
+    """
+
+
+@_register(
+    "tx_quality_score",
+    _quality_sql(),
+    doc="Text quality scoring: token/length/stopword/alpha features "
+    "+ composite score, all JVM-side expressions. Scale extension.",
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "tx_token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+', 0)) AS word_tokens,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(regexp_extract_all(text, '[A-Za-z]+', 0),
+               w -> CAST(ceil(length(w) / {float(C.SUBWORD_CHUNK)}) AS BIGINT))),
+             (a, b) -> a + b) AS subword_est
+    FROM documents
+    """,
+    doc="Token counting: whitespace, regex-word, and BPE-ish subword "
+    "upper bound (ceil(len/4) per word). Scale extension.",
+)
+def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _fingerprint_sql() -> str:
+    return f"""
+    WITH {_TOKS_CTE.strip()}
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, tids),
+             (a, b) -> (a * {C.FP_MULT} + b) % {C.FP_P}) AS fingerprint
+    FROM ids
+    """
+
+
+@_register(
+    "tx_fingerprint",
+    _fingerprint_sql(),
+    doc="Document fingerprint: rolling polynomial hash over the "
+    "dictionary-encoded token stream (order-sensitive). Scale ext.",
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"), deterministic_vocab=True)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mm_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+           CAST(64 + (doc_id % 5) * 32 AS INT) AS height,
+           3 AS channels,
+           'text/plain;src=' || source AS mime
+    FROM documents
+    """,
+    doc="Multimodal metadata projection over the binary-payload "
+    "table (binary column + typed meta struct). Scale extension.",
+)
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = multimodal.as_binary_docs(_t(spark, sf_dir, "documents"))
+    return b.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+@_register(
+    "mm_byte_histogram",
+    """
+    WITH chars AS (
+      SELECT doc_id,
+             ascii(unnest(string_split(text, ''))) AS code
+      FROM documents
+    )
+    SELECT doc_id, CAST(code // 16 AS INT) AS bin, count(*) AS n
+    FROM chars GROUP BY 1, 2
+    """,
+    doc="Multimodal feature-extraction kernel: mapInPandas byte "
+    "histogram over binary payloads (Arrow-batched; the decode/"
+    "resize template). Oracle via UTF-8 <-> char-code equivalence.",
+)
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = multimodal.as_binary_docs(_t(spark, sf_dir, "documents"))
+    return multimodal.byte_histogram(b)

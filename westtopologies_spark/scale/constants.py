@@ -1,0 +1,78 @@
+"""Shared arithmetic constants for the scale-extension operators.
+
+Every hash here is pure int64 arithmetic (multiply/add/mod/shift)
+so the Spark plan and the DuckDB oracle SQL — both generated from
+THESE constants — produce bit-identical values. No engine-specific
+hash function (xxhash64, md5, …) appears on the oracle-checked
+path; content hashing is offered separately as the no-global-sort
+scale path (see ``dedup.tokens_with_ids``).
+
+All products are bounded to fit int64: operands are < 2**32 and
+multiplicands < 2**20 wherever two variables multiply.
+"""
+
+from __future__ import annotations
+
+# --- shingling / MinHash -------------------------------------------------
+SHINGLE_N = 3  # token 3-grams
+SHINGLE_P = 1_000_003  # prime modulus for shingle + minhash space
+# (a, b) for h_i(s) = (a*s + b) mod SHINGLE_P ; a != 0 mod P, all < 2**13
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (2971, 101),
+    (1583, 233),
+    (3643, 569),
+    (2129, 907),
+    (4409, 1361),
+    (1987, 1723),
+    (3319, 2063),
+    (2557, 2411),
+)
+MINHASH_BAND_ROWS = 2  # 8 hashes -> 4 bands of 2 (LSH banding)
+MINHASH_JACCARD_THRESHOLD = 0.5
+
+# --- n-gram Jaccard ------------------------------------------------------
+NGRAM_JACCARD_THRESHOLD = 0.8
+
+# --- SimHash -------------------------------------------------------------
+SIMHASH_BITS = 32
+SIMHASH_A = 2654435761  # Knuth multiplicative constant
+SIMHASH_B = 40503
+SIMHASH_M = 2**32
+SIMHASH_BAND_BITS = 8  # 4 bands of 8 bits each for candidate gen
+SIMHASH_MAX_HAMMING = 6
+
+# --- document fingerprint (rolling polynomial hash) ----------------------
+FP_P = 1_048_573
+FP_MULT = 31
+
+# --- embedding similarity ------------------------------------------------
+EMBEDDING_DIM = 64
+NEARDUP_COSINE_THRESHOLD = 0.4  # synthetic vectors are near-orthogonal
+ANN_TOP_K = 5
+ANN_N_QUERIES = 10  # vec_id < 10 serve as the query set
+
+# --- random-hyperplane LSH (sign-LSH for cosine) -------------------------
+LSH_N_PLANES = 8
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
+
+
+def lsh_plane(plane: int, dim: int = EMBEDDING_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in
+    [-0.5, 0.5): an LCG evaluated at plane*dim+j, divided by 2**31.
+    Every value is exactly representable as an IEEE double, so a
+    literal embedded in SQL re-parses to the identical bits."""
+    out = []
+    for j in range(dim):
+        n = plane * dim + j
+        r = (_LCG_A * n + _LCG_C) % _LCG_M
+        out.append(r / _LCG_M - 0.5)
+    return out
+
+
+# --- text analysis -------------------------------------------------------
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
+    "to", "was", "were", "will", "with",
+)
+SUBWORD_CHUNK = 4  # BPE-ish upper-bound estimate: ceil(len/4) per word

@@ -1,0 +1,373 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all expressed as DataFrame plans (no driver loops):
+
+- exact:       hash-group on normalized text  -> group representative
+- MinHash+LSH: shingle -> minhash signature -> band bucket-join
+- SimHash:     token-hash bit voting -> byte-band bucket-join + hamming
+- n-gram Jaccard: inverted-index self-join, exact set overlap
+- embedding cosine: pairwise double-precision cosine over vectors
+
+Scale notes (100 TB):
+- Candidate generation never does an all-pairs cross join: MinHash
+  and SimHash join on LSH bucket keys, n-gram Jaccard joins on the
+  inverted shingle index. Shuffles are keyed by bucket/shingle and
+  benefit from AQE skew splitting (hot shingles can be pruned with
+  ``max_df``).
+- Dictionary encoding has two modes: ``deterministic_vocab=True``
+  ranks the distinct vocabulary (exactly reproducible in the DuckDB
+  oracle; the rank is a global sort over the *vocabulary*, which is
+  orders of magnitude smaller than the corpus), and the default
+  scale path hashes tokens with xxhash64 (no global sort at all).
+- All hash arithmetic lives in :mod:`.constants` and is pure int64
+  multiply/add/mod, identical in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import constants as C
+
+
+# ---------------------------------------------------------------------------
+# tokenization + dictionary encoding
+# ---------------------------------------------------------------------------
+
+
+def tokens_with_ids(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    deterministic_vocab: bool = False,
+) -> DataFrame:
+    """(id, pos, tid): whitespace tokens dictionary-encoded to int64.
+
+    Default (scale path): ``tid = pmod(xxhash64(token), SHINGLE_P)``
+    — a pure map, no shuffle. ``deterministic_vocab=True`` ranks the
+    distinct vocabulary by token instead (oracle-reproducible; the
+    global sort touches only the vocabulary, broadcast back).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    if not deterministic_vocab:
+        return toks.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(C.SHINGLE_P)))
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("token")))
+    )
+    return toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "tid")
+
+
+def doc_token_ids(tokens: DataFrame) -> DataFrame:
+    """(doc_id, tids): position-ordered token-id array per document."""
+    return tokens.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+        ).alias("tids")
+    )
+
+
+def doc_shingles(token_ids: DataFrame, n: int = C.SHINGLE_N) -> DataFrame:
+    """(doc_id, shingle): distinct token n-gram ids per document.
+
+    shingle = ((t1*31 + t2)*31 + t3) mod SHINGLE_P — a left fold so
+    any n works; docs with < n tokens produce no shingles (dropped),
+    matching the oracle.
+    """
+
+    def shingle_at(tids: Column, i: Column) -> Column:
+        acc = F.element_at(tids, i).cast("long")
+        for k in range(1, n):
+            acc = acc * C.FP_MULT + F.element_at(tids, i + k)
+        return acc % C.SHINGLE_P
+
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not
+    # empty like DuckDB's range) — docs shorter than n tokens must
+    # be short-circuited to an empty shingle list explicitly.
+    shingles = F.when(
+        F.size("tids") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tids") - (n - 1)),
+            lambda i: shingle_at(F.col("tids"), i),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        token_ids.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text: lowercase + collapse runs of
+    whitespace. Returns one row per distinct normalized text with the
+    minimum id as group representative — the classic hash-groupBy
+    dedup (one shuffle on the normalized key; at scale group on
+    ``xxhash64(norm)`` to shrink the shuffle payload)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies", F.length("norm_text").alias("norm_len"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7): minwise signature under the fixed
+    permutation family h_i(s) = (a_i*s + b_i) mod P. One map-side
+    combinable aggregation — partial mins merge associatively."""
+    aggs = [
+        F.min((F.col("shingle").cast("long") * a + b) % C.SHINGLE_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(C.MINHASH_COEFFS)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): pairs sharing >= 1 minhash band. Bands of
+    ``MINHASH_BAND_ROWS`` rows are packed into one int64 bucket key;
+    the self-join is keyed on (band, bucket) — no cross join."""
+    rows = C.MINHASH_BAND_ROWS
+    n_bands = len(C.MINHASH_COEFFS) // rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (
+                        F.col(f"mh{b * rows + r}").cast("long")
+                        * (C.SHINGLE_P ** (rows - 1 - r))
+                    )
+                    for r in range(rows)
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_of_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs via the inverted
+    index: |A∩B| from a keyed join on shingle, sizes joined in."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "inner")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = C.MINHASH_JACCARD_THRESHOLD,
+    deterministic_vocab: bool = False,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> signature ->
+    banded candidates -> exact-Jaccard confirm >= threshold."""
+    shingles = doc_shingles(
+        doc_token_ids(tokens_with_ids(docs, deterministic_vocab=deterministic_vocab))
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles))
+    return jaccard_of_pairs(pairs, shingles).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted index)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = C.NGRAM_JACCARD_THRESHOLD,
+    deterministic_vocab: bool = False,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with exact shingle Jaccard >= threshold, generated
+    from the inverted shingle index (no LSH approximation, no cross
+    join). ``max_df`` prunes shingles appearing in more than that
+    many docs — the standard hot-key guard at scale (changes results;
+    off by default and in the oracle)."""
+    shingles = doc_shingles(
+        doc_token_ids(tokens_with_ids(docs, deterministic_vocab=deterministic_vocab))
+    )
+    index = shingles
+    if max_df is not None:
+        df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        index = shingles.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    sa = index.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = index.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_values(tokens: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash. Each token occurrence votes
+    ±1 on every bit of h = (A*tid + B) mod 2^32; bit j of the result
+    is 1 iff the vote sum is positive. One aggregation with 32
+    map-combinable sums — no shuffle beyond the groupBy."""
+    h = (F.col("tid") * C.SIMHASH_A + C.SIMHASH_B) % F.lit(C.SIMHASH_M)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(C.SIMHASH_BITS)
+    ]
+    voted = tokens.groupBy("doc_id").agg(*votes)
+    sim = None
+    for j in range(C.SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return voted.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = C.SIMHASH_MAX_HAMMING
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs sharing >= 1 of the 4 byte
+    bands of the simhash (LSH candidate gen) with hamming distance
+    <= max_hamming. Banding keys the self-join — candidate recall is
+    exactly the banded semantics (documented, oracle-identical)."""
+    n_bands = C.SIMHASH_BITS // C.SIMHASH_BAND_BITS
+    mask = (1 << C.SIMHASH_BAND_BITS) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * C.SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sim.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = C.NEARDUP_COSINE_THRESHOLD,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine): vector pairs with cosine >= threshold.
+
+    Double-precision left-fold dot product (deterministic summation
+    order). This variant is the exact all-pairs confirm step; at
+    scale, candidate pairs come from :mod:`.similarity`'s sign-LSH
+    buckets instead of the cross join used here on the small side.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm"))
+    a = base.withColumnsRenamed({"id": "id_a", "v": "v_a", "nrm": "n_a"})
+    b = base.withColumnsRenamed({"id": "id_b", "v": "v_b", "nrm": "n_b"})
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("n_a") * F.col("n_b")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,93 @@
+"""Text-analysis operators: quality scoring, token counting,
+document fingerprinting.
+
+(Language-ID lives in ``ops.text.language_scores`` — X1.)
+
+Everything here is whole-stage-codegen-friendly: built-in string /
+array expressions only, no Python UDFs, so the operators run
+JVM-side at full scan speed on the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import constants as C
+from .dedup import doc_token_ids, tokens_with_ids
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality features + composite score in [0, 1]:
+
+    - n_tokens, avg token length
+    - stopword ratio (signal of natural language vs. noise)
+    - alpha ratio (alphabetic chars / all chars)
+
+    score = 0.25*min(n_tokens/100,1) + 0.25*min(stop_ratio*4,1)
+          + 0.25*alpha_ratio + 0.25*min(avg_len/8,1), rounded 4dp.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*C.STOPWORDS))
+    )
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    avg_len = (F.length("text") - (n_tokens - 1)) / n_tokens  # chars minus spaces
+    stop_ratio = stop / n_tokens
+    alpha_ratio = alpha_chars / F.length("text")
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + F.least(avg_len / 8, F.lit(1.0)) * 0.25
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Three token-count estimators per document:
+
+    - ws_tokens:   whitespace split count
+    - word_tokens: regex word count ([A-Za-z]+ runs)
+    - subword_est: BPE-ish upper bound Σ ceil(len(word)/4)
+    """
+    toks = F.split(F.col("text"), " ")
+    words = F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")
+    subword = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.ceil(F.length(w) / F.lit(float(C.SUBWORD_CHUNK))).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        F.size(words).alias("word_tokens"),
+        subword.alias("subword_est"),
+    )
+
+
+def fingerprints(docs: DataFrame, deterministic_vocab: bool = False) -> DataFrame:
+    """(doc_id, fingerprint): order-sensitive rolling polynomial hash
+    over the dictionary-encoded token stream:
+
+        fp = fold(tids, 0, (acc, t) -> (acc*31 + t) mod FP_P)
+
+    Detects exact sequence matches (and is the building block for
+    content-defined chunk fingerprints). Left fold == DuckDB
+    list_reduce with a prepended 0 seed."""
+    ids = doc_token_ids(tokens_with_ids(docs, deterministic_vocab=deterministic_vocab))
+    fp = F.aggregate(
+        F.col("tids"),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * C.FP_MULT + t) % C.FP_P,
+    )
+    return ids.select("doc_id", fp.alias("fingerprint"))
