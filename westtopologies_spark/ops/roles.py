@@ -30,6 +30,8 @@ user population is bounded, so exact sort-based boundaries are safe.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,37 +63,54 @@ def _keys(community_col: str | None, *cols: str) -> list[str]:
 
 
 def with_root_ids(
-    nodes: DataFrame, max_depth: int = 12, community_col: str | None = None
+    nodes: DataFrame,
+    max_depth: int = 16,
+    community_col: str | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Attach root_id (discussion-tree id) to each node by following
-    parent pointers to the root — bounded-depth pointer jumping.
+    parent pointers to the root — POINTER DOUBLING, not a linear
+    walk: after k self-joins every node knows its 2^k-th ancestor,
+    so forests of depth ``max_depth`` resolve in ceil(log2(depth))
+    joins instead of ``depth``. At 100 TB that's the difference
+    between 4 shuffles and 16+ on the critical path.
 
     The reference walks the recursive `replies` structure
     (StormCommunityFactory#parseCommunity); flat edges need the walk
-    made explicit. ``max_depth`` iterations of a left join resolve
-    forests up to that depth; each step is a hash join on the id —
-    distributed, no driver recursion.
+    made explicit. Each step is a hash join on the id — distributed,
+    no driver recursion.
+
+    ``persist`` caches each doubling step (the iterative-graph
+    pattern, cf. GraphX/Pregel): the self-join otherwise doubles the
+    PLAN subtree per pass — 2^k copies of the scan — and every
+    downstream consumer would re-expand it. The cached mapping is 3
+    narrow columns, negligible next to the data it indexes.
     """
     join_keys = _keys(community_col)
     cur = nodes.select(
         *join_keys, "tweet_id", F.coalesce("parent_id", "tweet_id").alias("_anc")
     )
-    for i in range(max_depth):
+    steps = max(1, math.ceil(math.log2(max(max_depth, 2))))
+    for i in range(steps):
         # fresh aliases each iteration: aliasing mints new attribute
         # ids, avoiding Spark's ambiguous-self-join trap
-        p = nodes.select(
+        nxt = cur.select(
             *[F.col(k).alias(f"_pk{i}_{j}") for j, k in enumerate(join_keys)],
             F.col("tweet_id").alias(f"_pid{i}"),
-            F.col("parent_id").alias(f"_pp{i}"),
+            F.col("_anc").alias(f"_pa{i}"),
         )
-        cond = [cur["_anc"] == p[f"_pid{i}"]] + [
-            cur[k].eqNullSafe(p[f"_pk{i}_{j}"]) for j, k in enumerate(join_keys)
+        cond = [cur["_anc"] == nxt[f"_pid{i}"]] + [
+            cur[k].eqNullSafe(nxt[f"_pk{i}_{j}"]) for j, k in enumerate(join_keys)
         ]
-        cur = cur.join(p, cond, "left").select(
+        cur = cur.join(nxt, cond, "left").select(
             *[cur[k] for k in join_keys],
             cur["tweet_id"],
-            F.coalesce(p[f"_pp{i}"], cur["_anc"]).alias("_anc"),
+            # anc(anc(x)): doubles the resolved distance every pass;
+            # roots self-map so converged pointers stay fixed
+            F.coalesce(nxt[f"_pa{i}"], cur["_anc"]).alias("_anc"),
         )
+        if persist:
+            cur = cur.persist()
     return nodes.join(
         cur.withColumnRenamed("_anc", "root_id"), _keys(community_col, "tweet_id")
     )
@@ -113,7 +132,9 @@ def role_features(
     """
     if "root_id" not in nodes.columns:
         nodes = with_root_ids(nodes, community_col=community_col)
-    nodes = nodes.filter(F.col("author_id").isNotNull())
+    # ~6 aggregation branches below scan the annotated node table;
+    # persist it once instead of re-expanding the root-walk per branch
+    nodes = nodes.filter(F.col("author_id").isNotNull()).persist()
     ck = _keys(community_col)
 
     # parent author per node
@@ -140,27 +161,23 @@ def role_features(
     )
 
     uk = _keys(community_col, "user_id")
-    replied = pairs.groupBy(*uk).agg(
+    # ONE shuffled aggregation for replied/neighbour/bidir stats
+    # (conditional distinct-aggs; collect_set for the union-set size)
+    # instead of three separate groupBys over the same pair frame —
+    # at scale that is 1 shuffle of `pairs` rather than 3.
+    bidir_cond = F.col("child_author") == F.col("parent_author")
+    pair_stats = pairs.groupBy(*uk).agg(
         F.countDistinct("_c_id").alias("replied_posts"),
         F.countDistinct("child_author").alias("n_replying_users"),
-    )
-    neighbours = (
-        pairs.select(*uk, F.col("child_author").alias("nb"))
-        .unionByName(
-            pairs.filter(F.col("parent_author").isNotNull()).select(
-                *uk, F.col("parent_author").alias("nb")
+        F.size(
+            F.array_union(
+                F.collect_set("child_author"), F.collect_set("parent_author")
             )
-        )
-        .groupBy(*uk)
-        .agg(F.countDistinct("nb").alias("n_neighbours"))
-    )
-    bidir = (
-        pairs.filter(F.col("child_author") == F.col("parent_author"))
-        .groupBy(*uk)
-        .agg(
-            F.countDistinct("child_author").alias("n_bidir_neighbours"),
-            F.countDistinct("_c_id").alias("bidir_threads"),
-        )
+        ).alias("n_neighbours"),
+        F.countDistinct(F.when(bidir_cond, F.col("child_author"))).alias(
+            "n_bidir_neighbours"
+        ),
+        F.countDistinct(F.when(bidir_cond, F.col("_c_id"))).alias("bidir_threads"),
     )
 
     posts = nodes.groupBy(*ck, F.col("author_id").alias("user_id")).agg(
@@ -192,9 +209,7 @@ def role_features(
         feats = posts.crossJoin(F.broadcast(n_users))
 
     feats = (
-        feats.join(replied, uk, "left")
-        .join(neighbours, uk, "left")
-        .join(bidir, uk, "left")
+        feats.join(pair_stats, uk, "left")
         .join(user_trees, uk, "left")
         .fillna(
             0,

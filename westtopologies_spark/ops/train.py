@@ -1,0 +1,187 @@
+"""M2 — offline geographic topic-model training job (SURVEY.md §2.9).
+
+Reference: LocationTopicModelTrainer.java:124-278 prepares a
+training file (``n\\n lat long tokens...``) from a zip of tweet JSON
+(P13 coordinate filter, P14 token cleanup, X1 lang=en) and shells
+out to a JGibbLDA-derived Gibbs sampler (``-L 849 -niters 200``,
+vMF region densities per Kling et al. WSDM 2014).
+
+Spark-first redesign: corpus prep is the same operator chain the
+engine already has (reused here); the estimator replaces the
+sequential 200-iteration Gibbs chain with deterministic distributed
+count estimation — hash-init topic assignments, then M-step count
+aggregation — because a single-chain sampler cannot scale past one
+node, while count aggregation is one shuffle per statistic at any
+scale. Regions come from a lat/lon grid top-L (the scalable analog
+of the reference's fixed Delaunay triangulation). Artifacts are
+written in the reference's whitespace file formats (S12) so the M1
+scorer loads either provenance.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .model import LocationModel
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """P13 + P14: keep docs with usable coordinates (non-null,
+    lat!=0, lon!=0 — LocationTopicModelTrainer.java:173-218), strip
+    single-char tokens, collapse whitespace runs."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.col(text_col), r"\s\s+", " "), " "),
+        lambda t: F.length(t) > 1,
+    )
+    return (
+        docs.filter(
+            F.col(lat_col).isNotNull()
+            & F.col(lon_col).isNotNull()
+            & (F.col(lat_col) != 0)
+            & (F.col(lon_col) != 0)
+        )
+        .withColumn("tokens", toks)
+        .filter(F.size("tokens") > 0)
+    )
+
+
+def grid_regions(corpus: DataFrame, n_regions: int, cell_deg: float = 1.0) -> DataFrame:
+    """(region_id, lat, lon): top-``n_regions`` occupied grid cells
+    by doc count; center = mean coordinate of the cell's docs.
+    Deterministic ordering (count desc, cell id asc)."""
+    cells = (
+        corpus.groupBy(
+            F.floor(F.col("lat") / cell_deg).alias("_cy"),
+            F.floor(F.col("lon") / cell_deg).alias("_cx"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("lat").alias("lat"),
+            F.avg("lon").alias("lon"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("_cy"), F.asc("_cx"))
+        .limit(n_regions)
+    )
+    order = Window.orderBy(F.desc("n_docs"), F.asc("_cy"), F.asc("_cx"))
+    return cells.select(
+        (F.row_number().over(order) - 1).alias("region_id"),
+        "lat",
+        "lon",
+        "n_docs",
+    )
+
+
+def train_location_model(
+    corpus: DataFrame,
+    n_topics: int = 8,
+    n_regions: int = 16,
+    cell_deg: float = 1.0,
+) -> tuple[LocationModel, dict[str, int]]:
+    """Train the model with distributed count estimation.
+
+    1. dictionary: distinct tokens ranked by frequency (X5's
+       build order) -> word ids.
+    2. topic init: ``topic(token) = xxhash64(word) mod K`` — the
+       deterministic analog of Gibbs random init.
+    3. M-step aggregations (each ONE map-combinable shuffle):
+       topic_word[k][w], pi_0[k], region_topic[l][k].
+
+    Returns (model, word2id). The matrices are collected to the
+    driver — they are (K x V + L x K) floats, small by construction
+    (the reference's artifacts are static downloadable files, S8).
+    """
+    regions = grid_regions(corpus, n_regions, cell_deg)
+    # region assignment by grid cell (same bucketing used to build them)
+    cell = corpus.select(
+        "lat", "lon", "tokens",
+        F.floor(F.col("lat") / cell_deg).alias("_cy"),
+        F.floor(F.col("lon") / cell_deg).alias("_cx"),
+    )
+    rcell = regions.select(
+        "region_id",
+        F.floor(F.col("lat") / cell_deg).alias("_cy"),
+        F.floor(F.col("lon") / cell_deg).alias("_cx"),
+    )
+    assigned = cell.join(F.broadcast(rcell), ["_cy", "_cx"], "inner")
+
+    words = assigned.select("region_id", F.explode("tokens").alias("word"))
+    vocab_df = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .collect()
+    )
+    word2id = {r["word"]: i for i, r in enumerate(vocab_df)}
+    V, K, L = len(word2id), n_topics, n_regions
+
+    stats = (
+        words.withColumn("topic", F.pmod(F.xxhash64("word"), F.lit(n_topics)))
+        .groupBy("region_id", "topic", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    topic_word = np.ones((K, V))  # +1 smoothing, matching A5's style
+    region_topic = np.ones((L, K))
+    pi_0 = np.ones(K)
+    for r in stats:
+        w = word2id[r["word"]]
+        k = int(r["topic"])
+        topic_word[k, w] += r["n"]
+        region_topic[r["region_id"], k] += r["n"]
+        pi_0[k] += r["n"]
+    topic_word /= topic_word.sum(axis=1, keepdims=True)
+    region_topic /= region_topic.sum(axis=1, keepdims=True)
+    pi_0 /= pi_0.sum()
+
+    centers = np.zeros((L, 2))
+    for r in regions.collect():
+        centers[r["region_id"]] = (r["lat"], r["lon"])
+
+    return LocationModel(topic_word, pi_0, region_topic, centers), word2id
+
+
+def save_model(model: LocationModel, word2id: dict[str, int], out_dir: str) -> None:
+    """Write artifacts in the reference's whitespace formats (S12):
+    ``wordmap.txt`` = count header then ``word id`` lines
+    (jgibblda.Dictionary#readWordMap), matrices one row per line,
+    space-separated (``topic_word``, ``pi_0Alpha``, ``qm`` analog,
+    region centers as ``lat long`` lines)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "wordmap.txt"), "w") as fh:
+        fh.write(f"{len(word2id)}\n")
+        for w, i in sorted(word2id.items(), key=lambda kv: kv[1]):
+            fh.write(f"{w} {i}\n")
+    np.savetxt(os.path.join(out_dir, "topic_word"), model.topic_word, fmt="%.10g")
+    np.savetxt(os.path.join(out_dir, "pi_0Alpha"), model.pi_0[None, :], fmt="%.10g")
+    np.savetxt(os.path.join(out_dir, "region_topic"), model.region_topic, fmt="%.10g")
+    np.savetxt(os.path.join(out_dir, "regions"), model.regions, fmt="%.6f")
+
+
+def load_model(out_dir: str) -> tuple[LocationModel, dict[str, int]]:
+    """Load artifacts written by :func:`save_model` (or converted
+    reference downloads — same shapes)."""
+    word2id: dict[str, int] = {}
+    with open(os.path.join(out_dir, "wordmap.txt")) as fh:
+        next(fh)
+        for line in fh:
+            w, i = line.rsplit(" ", 1)
+            word2id[w] = int(i)
+    return (
+        LocationModel(
+            np.atleast_2d(np.loadtxt(os.path.join(out_dir, "topic_word"))),
+            np.loadtxt(os.path.join(out_dir, "pi_0Alpha")).ravel(),
+            np.atleast_2d(np.loadtxt(os.path.join(out_dir, "region_topic"))),
+            np.atleast_2d(np.loadtxt(os.path.join(out_dir, "regions"))),
+        ),
+        word2id,
+    )

@@ -344,30 +344,70 @@ def embedding_neardup_pairs(
     threshold: float = C.NEARDUP_COSINE_THRESHOLD,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    block_size: int = 4096,
 ) -> DataFrame:
     """(id_a, id_b, cosine): vector pairs with cosine >= threshold.
 
-    Double-precision left-fold dot product (deterministic summation
-    order). This variant is the exact all-pairs confirm step; at
-    scale, candidate pairs come from :mod:`.similarity`'s sign-LSH
-    buckets instead of the cross join used here on the small side.
+    BLOCK-NESTED-LOOP with a vectorized numpy GEMM kernel: vectors
+    are grouped into blocks of ``block_size``, the (upper-triangular)
+    block-pair grid is enumerated with a join on the tiny block
+    table, and each pair is scored as one dense matmul inside
+    ``applyInPandas`` — BLAS throughput instead of 2.5B per-pair
+    expression evaluations. This is the standard exact all-pairs
+    shape at scale; sub-quadratic candidate generation comes from
+    :mod:`.similarity`'s sign-LSH buckets when recall < 1 is
+    acceptable.
+
+    Dot products accumulate in float64 GEMM; results are rounded to
+    4 decimals before the threshold compare, so summation-order
+    differences vs. the oracle's sequential fold are absorbed.
     """
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    base = emb.select(F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm"))
-    a = base.withColumnsRenamed({"id": "id_a", "v": "v_a", "nrm": "n_a"})
-    b = base.withColumnsRenamed({"id": "id_b", "v": "v_b", "nrm": "n_b"})
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(dot / (F.col("n_a") * F.col("n_b")), 4).alias("cosine"),
+    import pandas as pd
+
+    blocks = (
+        emb.select(
+            (F.col(id_col) / block_size).cast("long").alias("block_id"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .groupBy("block_id")
+        .agg(
+            F.collect_list("id").alias("ids"),
+            F.collect_list("v").alias("vecs"),
+        )
+    )
+    left = blocks.select(
+        F.col("block_id").alias("ba"),
+        F.col("ids").alias("ids_a"),
+        F.col("vecs").alias("vecs_a"),
+    )
+    right = blocks.select(
+        F.col("block_id").alias("bb"),
+        F.col("ids").alias("ids_b"),
+        F.col("vecs").alias("vecs_b"),
+    )
+    grid = left.join(right, F.col("ba") <= F.col("bb"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out_a, out_b, out_c = [], [], []
+        for _, row in pdf.iterrows():
+            ia = np.asarray(row["ids_a"])
+            ib = np.asarray(row["ids_b"])
+            A = np.asarray([np.asarray(v) for v in row["vecs_a"]])
+            B = np.asarray([np.asarray(v) for v in row["vecs_b"]])
+            A = A / np.linalg.norm(A, axis=1, keepdims=True)
+            B = B / np.linalg.norm(B, axis=1, keepdims=True)
+            S = np.round(A @ B.T, 4)
+            ii, jj = np.nonzero((S >= threshold) & (ia[:, None] < ib[None, :]))
+            out_a.extend(ia[ii].tolist())
+            out_b.extend(ib[jj].tolist())
+            out_c.extend(S[ii, jj].tolist())
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+
+    return grid.groupBy("ba", "bb").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
     )

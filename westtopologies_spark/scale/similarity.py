@@ -46,19 +46,27 @@ def _normed(emb: DataFrame, vec_col: str, id_col: str, prefix: str) -> DataFrame
 
 def cosine_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | Column,
     k: int = C.ANN_TOP_K,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact top-k by cosine per query vector (self-matches excluded).
 
+    ``queries`` is either a DataFrame or a boolean Column predicate
+    selecting query rows out of the corpus (preferred: norms are
+    computed once, the query side is a filter of the same scan).
+
     The query side is broadcast — at any corpus scale this is one
     parallel scan plus a per-query top-k; ties broken by neighbor id
     on the similarity rounded to 6 decimals (stable across engines).
     """
-    q = _normed(queries, vec_col, id_col, "q_")
     c = _normed(corpus, vec_col, id_col, "c_")
+    if isinstance(queries, Column):
+        q = corpus.filter(queries)
+    else:
+        q = queries
+    q = _normed(q, vec_col, id_col, "q_")
     sim = F.round(_dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6)
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
@@ -98,7 +106,7 @@ def hyperplane_buckets(
 
 def ann_lsh_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | Column,
     k: int = C.ANN_TOP_K,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -108,19 +116,29 @@ def ann_lsh_topk(
     bucket; exact cosine rerank within the bucket. Queries landing in
     sparse buckets return < k rows — the documented recall trade-off
     of single-probe LSH (the oracle replicates the same bucketing).
+
+    As with :func:`cosine_topk`, pass ``queries`` as a Column
+    predicate when the query set is a slice of the corpus — the
+    bucket signature (8 x 64-term dot products) is then planned once
+    and the query side is a cheap filter of it.
     """
-    q = _normed(queries, vec_col, id_col, "q_").join(
-        hyperplane_buckets(queries, vec_col, id_col, dim).withColumnsRenamed(
-            {"vec_id": "q_id"}
-        ),
-        "q_id",
-    )
-    c = _normed(corpus, vec_col, id_col, "c_").join(
+    c_all = _normed(corpus, vec_col, id_col, "c_").join(
         hyperplane_buckets(corpus, vec_col, id_col, dim).withColumnsRenamed(
             {"vec_id": "c_id"}
         ),
         "c_id",
     )
+    if isinstance(queries, Column):
+        q_src = corpus.filter(queries)
+    else:
+        q_src = queries
+    q = _normed(q_src, vec_col, id_col, "q_").join(
+        hyperplane_buckets(q_src, vec_col, id_col, dim).withColumnsRenamed(
+            {"vec_id": "q_id"}
+        ),
+        "q_id",
+    )
+    c = c_all
     sim = F.round(_dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6)
     scored = (
         c.join(F.broadcast(q), "bucket")
