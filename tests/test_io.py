@@ -1,0 +1,161 @@
+"""Sources/sinks (SURVEY.md §2.1) and the E3 recursive flatten —
+file-based tests over tmp fixtures (Kafka itself is absent from the
+container; the Kafka source/sink wrappers share the JSON/envelope
+code paths exercised here)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from westtopologies_spark.io import sinks, sources
+
+TWEET_SCHEMA = T.StructType(
+    [
+        T.StructField("id_str", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("user", T.StructType([T.StructField("id_str", T.StringType())])),
+    ]
+)
+
+
+def test_read_ntriples(spark, tmp_path):
+    nt = tmp_path / "links.nt"
+    nt.write_text(
+        "<http://lgd.org/node/1> <http://www.w3.org/2002/07/owl#sameAs> <http://dbpedia.org/resource/Bonn> .\n"
+        "malformed line without triples\n"
+        "<http://lgd.org/node/2> <http://www.w3.org/2002/07/owl#sameAs> <http://dbpedia.org/resource/Koeln> .\n"
+    )
+    rows = sources.read_ntriples(spark, str(nt)).orderBy("s").collect()
+    assert [r["o"] for r in rows] == [
+        "http://dbpedia.org/resource/Bonn",
+        "http://dbpedia.org/resource/Koeln",
+    ]
+    assert all(r["p"].endswith("sameAs") for r in rows)
+
+
+def test_read_nb_counts(spark, tmp_path):
+    csv = tmp_path / "nb_count.csv"
+    csv.write_text("property\trel\tirrel\nhttp://dbpedia.org/ontology/country\t10\t3\ntotal\t50\t20\n")
+    rows = {r["property"]: (r["rel"], r["irrel"]) for r in sources.read_nb_counts(spark, str(csv)).collect()}
+    assert rows["total"] == (50, 20)
+    assert rows["http://dbpedia.org/ontology/country"] == (10, 3)
+
+
+def test_read_wordmap(spark, tmp_path):
+    wm = tmp_path / "wordmap.txt"
+    wm.write_text("3\nhello 0\nworld 1\nspark 2\n")
+    rows = {r["word"]: r["id"] for r in sources.read_wordmap(spark, str(wm)).collect()}
+    # count header line has one field -> skipped
+    assert rows == {"hello": 0, "world": 1, "spark": 2}
+
+
+def test_read_zip_json_skip_keywords(spark, tmp_path):
+    (tmp_path / "corpus").mkdir()
+    good = tmp_path / "corpus" / "tweets_raw.json"
+    skip = tmp_path / "corpus" / "tweets_aggregated.json"
+    good.write_text('{"id_str":"1","text":"keep me"}\n')
+    skip.write_text('{"id_str":"2","text":"skip me"}\n')
+    out = sources.read_zip_json(
+        spark, str(tmp_path / "corpus"), TWEET_SCHEMA, skip_keywords=["aggregated"]
+    ).collect()
+    assert [r["id_str"] for r in out] == ["1"]
+
+
+def test_parse_json_column_malformed_is_null(spark):
+    df = spark.createDataFrame([("{\"id_str\":\"7\"}",), ("not json",)], ["raw"])
+    out = sources.parse_json_column(df, "raw", TWEET_SCHEMA).collect()
+    by = {r["raw"]: r["message"] for r in out}
+    assert by['{"id_str":"7"}']["id_str"] == "7"
+    assert by["not json"] is None or by["not json"]["id_str"] is None
+
+
+def test_json_file_stream_and_file_sink(spark, tmp_path):
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    (src_dir / "a.json").write_text(
+        "\n".join(json.dumps({"id_str": str(i), "text": f"t{i}"}) for i in range(5))
+    )
+    stream = sources.json_file_stream(spark, str(src_dir), TWEET_SCHEMA)
+    assert stream.isStreaming
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = sinks.to_json_files(stream.select("id_str", "text"), out_dir, ckpt)
+    try:
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            if not q.status["isDataAvailable"] and q.recentProgress:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    back = spark.read.json(out_dir)
+    assert back.count() == 5
+
+
+def test_batch_to_json_strings_roundtrip(spark):
+    df = spark.createDataFrame([(1, "x")], ["item_id", "topic"])
+    val = sinks.batch_to_json_strings(df).collect()[0]["value"]
+    assert json.loads(val) == {"item_id": 1, "topic": "x"}
+
+
+def test_flatten_tree(spark):
+    from westtopologies_spark.ops.relational import flatten_tree
+
+    child_t = T.StructType(
+        [
+            T.StructField("tweet_id", T.StringType()),
+            T.StructField("author_id", T.StringType()),
+            T.StructField("replies", T.ArrayType(T.StructType([
+                T.StructField("tweet_id", T.StringType()),
+                T.StructField("author_id", T.StringType()),
+            ]))),
+        ]
+    )
+    schema = T.StructType(
+        [
+            T.StructField("tweet_id", T.StringType()),
+            T.StructField("author_id", T.StringType()),
+            T.StructField("replies", T.ArrayType(child_t)),
+        ]
+    )
+    data = [
+        ("r1", "u1", [("c1", "u2", [("g1", "u3")]), ("c2", "u1", None)]),
+    ]
+    flat = flatten_tree(spark.createDataFrame(data, schema)).collect()
+    by_id = {r["tweet_id"]: r["parent_id"] for r in flat}
+    assert by_id == {"r1": None, "c1": "r1", "c2": "r1", "g1": "c1"}
+
+
+def test_explode_loc_uris(spark):
+    from westtopologies_spark.ops.relational import explode_loc_uris
+
+    schema = T.StructType(
+        [
+            T.StructField("item_id", T.StringType()),
+            T.StructField(
+                "itinno:loc_set",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("name", T.StringType()),
+                            T.StructField("linked_data", T.ArrayType(T.StringType())),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    data = [
+        ("m1", [("Bonn", ["http://lgd/1", "http://lgd/2"]), ("NoLinks", None)]),
+        ("m2", None),  # missing loc_set -> dropped (explode, not _outer)
+    ]
+    out = explode_loc_uris(spark.createDataFrame(data, schema)).collect()
+    assert sorted((r["item_id"], r["lgd_uri"]) for r in out) == [
+        ("m1", "http://lgd/1"),
+        ("m1", "http://lgd/2"),
+    ]

@@ -139,6 +139,8 @@ def flatten_tree(nested: DataFrame, max_depth: int = 16) -> DataFrame:
     level = nested.withColumn("parent_id", F.lit(None).cast("string"))
     acc = level.drop("replies")
     for _ in range(max_depth):
+        if "replies" not in level.columns:
+            break  # leaf struct level: no deeper nesting in the schema
         children = (
             level.select(F.col("tweet_id").alias("parent_id"), F.explode("replies").alias("child"))
             .select("child.*", "parent_id")
