@@ -171,3 +171,25 @@ def test_frame_sample_stub(spark):
     out = multimodal.frame_sample_stub(multimodal.as_binary_docs(df), every_n=10).collect()
     assert [r["offset"] for r in out] == [0, 10240, 20480]
     assert out[-1]["n_bytes"] == 25000 - 20480
+
+
+def test_distributed_rank_matches_global_window(spark):
+    """Two-phase range rank == row_number over a global window."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    words = list({f"w{rng.randrange(10**6):06d}" for _ in range(5000)})
+    df = spark.createDataFrame([(w,) for w in words], ["token"])
+    got = {
+        r["token"]: r["rank"]
+        for r in dedup.distributed_rank(df, "token", partitions=16).collect()
+    }
+    want = {
+        r["token"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("token"))
+        ).collect()
+    }
+    assert got == want

@@ -147,14 +147,18 @@ def build_dictionary(df: DataFrame, token_col: str = "token") -> DataFrame:
     """X5 support — corpus dictionary (word -> dense id), ranked by
     (frequency desc, word) for determinism. The reference loads a
     pre-built wordmap (S12); building one is the batch analog.
+
+    Ranking goes through :func:`..scale.dedup.distributed_rank` —
+    range-partitioned two-phase rank, no single-partition window —
+    so an open-vocabulary 100 TB corpus ranks without a funnel.
     """
-    from pyspark.sql import Window
+    from ..scale.dedup import distributed_rank
 
     counts = df.groupBy(token_col).agg(F.count(F.lit(1)).alias("_freq"))
-    w = Window.orderBy(F.col("_freq").desc(), F.col(token_col))
-    # single-partition window is fine for dictionary-sized data (it is
-    # broadcast afterwards); at 100 TB use zipWithIndex-style ranking.
-    return counts.withColumn("id", F.row_number().over(w) - 1).drop("_freq")
+    ranked = distributed_rank(
+        counts, F.col("_freq").desc(), F.col(token_col), rank_col="id"
+    )
+    return ranked.withColumn("id", F.col("id") - 1).drop("_freq")
 
 
 def encode_terms(

@@ -36,6 +36,42 @@ from . import constants as C
 # ---------------------------------------------------------------------------
 
 
+def distributed_rank(
+    df: DataFrame, *order_cols, rank_col: str = "rank", partitions: int | None = None
+) -> DataFrame:
+    """Dense global 1-based rank WITHOUT a single-partition window:
+    range-partition on the order columns (partitions are then
+    themselves ordered), rank locally inside each partition, and add
+    per-partition row-count offsets (a tiny driver-side prefix sum —
+    one value per partition, not per row). Identical output to
+    ``row_number().over(Window.orderBy(...))`` for tie-free keys, but
+    every stage is distributed. The classic zipWithIndex shape,
+    DataFrame-native.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = Window.partitionBy("_pid").orderBy(*cols)
+    # persist BEFORE the offset job: repartitionByRange samples its
+    # boundaries per action — without pinning, the count job and the
+    # final job would see different partitionings (wrong offsets)
+    ranked = ranged.withColumn("_local", F.row_number().over(local)).persist()
+    counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return ranked.withColumn(rank_col, F.col("_local") + off[F.col("_pid")]).drop(
+        "_pid", "_local"
+    )
+
+
 def tokens_with_ids(
     docs: DataFrame,
     text_col: str = "text",
@@ -46,8 +82,9 @@ def tokens_with_ids(
 
     Default (scale path): ``tid = pmod(xxhash64(token), SHINGLE_P)``
     — a pure map, no shuffle. ``deterministic_vocab=True`` ranks the
-    distinct vocabulary by token instead (oracle-reproducible; the
-    global sort touches only the vocabulary, broadcast back).
+    distinct vocabulary by token instead (oracle-reproducible), via
+    :func:`distributed_rank` — no single-partition window even when
+    the vocabulary itself is large.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -55,11 +92,7 @@ def tokens_with_ids(
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
     if not deterministic_vocab:
         return toks.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(C.SHINGLE_P)))
-    vocab = (
-        toks.select("token")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("token")))
-    )
+    vocab = distributed_rank(toks.select("token").distinct(), "token", rank_col="tid")
     return toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "tid")
 
 
