@@ -117,7 +117,10 @@ def with_root_ids(
 
 
 def role_features(
-    nodes: DataFrame, min_limit: int = 1, community_col: str | None = None
+    nodes: DataFrame,
+    min_limit: int = 1,
+    community_col: str | None = None,
+    max_depth: int = 16,
 ) -> DataFrame:
     """Per-user behaviour features over one community window (or over
     every window at once when ``community_col`` is given).
@@ -131,7 +134,7 @@ def role_features(
     column because the tercile/rule machinery consumes it.
     """
     if "root_id" not in nodes.columns:
-        nodes = with_root_ids(nodes, community_col=community_col)
+        nodes = with_root_ids(nodes, max_depth=max_depth, community_col=community_col)
     # ~6 aggregation branches below scan the annotated node table;
     # persist it once instead of re-expanding the root-walk per branch
     nodes = nodes.filter(F.col("author_id").isNotNull()).persist()

@@ -1151,7 +1151,10 @@ def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a3_role_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.roles import role_features
 
-    feats = role_features(_event_edges(spark, sf_dir))
+    # events-derived forest has depth <= 3 by construction
+    # (_event_edges: parent is eid-1 or the eid-(eid%5) root);
+    # max_depth=4 -> 2 pointer-doubling passes instead of 4
+    feats = role_features(_event_edges(spark, sf_dir), max_depth=4)
     return feats.select(
         "user_id",
         "post_count",
@@ -1186,7 +1189,10 @@ def _roles_assign_oracle() -> str:
 def a3_role_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.roles import assign_roles, role_features, tercile_levels
 
-    feats = role_features(_event_edges(spark, sf_dir))
+    # events-derived forest has depth <= 3 by construction
+    # (_event_edges: parent is eid-1 or the eid-(eid%5) root);
+    # max_depth=4 -> 2 pointer-doubling passes instead of 4
+    feats = role_features(_event_edges(spark, sf_dir), max_depth=4)
     roles = assign_roles(tercile_levels(feats))
     return roles.select("user_id", "post_count", "role")
 
