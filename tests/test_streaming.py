@@ -94,3 +94,71 @@ def test_aligned_window_stream(spark, staged_events):
     # everything emitted must match the batch result exactly
     assert g <= e
     assert len(g) >= len(e) - 2
+
+
+def test_role_analysis_stream_matches_batch(spark, tmp_path_factory):
+    """Full pipeline-1 parity: tweet JSON replayed as a file stream ->
+    closed-window edge sets -> foreachBatch role kernel == the batch
+    role_analysis pipeline on the same data."""
+    import json
+
+    from westtopologies_spark.pipelines.role_analysis import (
+        role_analysis_batch,
+        roles_for_closed_windows,
+        windowed_edge_sets_stream,
+    )
+    from westtopologies_spark.schemas import TWEET_SCHEMA
+
+    def tw(tid, uid, created, reply_to=None):
+        return {
+            "_seq": tid,
+            "created_at": created,
+            "id_str": str(tid),
+            "text": "t",
+            "user": {"id_str": str(uid), "screen_name": f"u{uid}"},
+            "in_reply_to_status_id_str": str(reply_to) if reply_to else None,
+            "in_reply_to_user_id_str": None,
+            "in_reply_to_screen_name": None,
+            "retweeted_status": None,
+            "entities": {"user_mentions": []},
+            "coordinates": None,
+        }
+
+    rows = [
+        tw(1, 10, "Mon Jan 01 00:00:01 +0000 2024"),
+        tw(2, 11, "Mon Jan 01 00:01:00 +0000 2024", reply_to=1),
+        tw(3, 10, "Mon Jan 01 00:02:00 +0000 2024", reply_to=2),
+        tw(4, 12, "Mon Jan 01 00:03:00 +0000 2024", reply_to=99),
+        tw(6, 11, "Mon Jan 01 00:11:00 +0000 2024"),
+        tw(7, 12, "Mon Jan 01 00:12:00 +0000 2024", reply_to=6),
+        # closes both earlier windows past the watermark
+        tw(9, 13, "Mon Jan 01 00:40:00 +0000 2024"),
+    ]
+    src_dir = tmp_path_factory.mktemp("tweets_stream")
+    (src_dir / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    results = []
+    stream = spark.readStream.schema(TWEET_SCHEMA).json(str(src_dir))
+    q = (
+        windowed_edge_sets_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _id: results.extend(roles_for_closed_windows(df).collect())
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(rows, TWEET_SCHEMA)
+    expect = {
+        (str(r["window_start"]), r["user_id"]): (r["post_count"], r["role"])
+        for r in role_analysis_batch(batch_df).collect()
+        if str(r["window_start"]) < "2024-01-01 00:20"  # closed windows only
+    }
+    got = {
+        (str(r["window_start"]), r["user_id"]): (r["post_count"], r["role"])
+        for r in results
+    }
+    assert len(got) == 5  # 3 users in window 1 + 2 users in window 2
+    assert got == expect

@@ -93,3 +93,69 @@ def role_output_lines(roles: DataFrame) -> DataFrame:
             "\t", F.col("user_id").cast("string"), F.coalesce("author_screen_name", F.lit("")), "role"
         ).alias("value")
     )
+
+
+def windowed_edge_sets_stream(
+    tweets: DataFrame, window: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming half of the role pipeline: parse -> edge projection
+    -> watermarked tumbling window -> per-window edge set, emitted in
+    APPEND mode — i.e., one output row per CLOSED window, the Spark
+    analog of the reference's window flush (DiscussionTreeBolt
+    emitting a finished tree map to RoleAnalysisBolt).
+
+    Multi-step aggregation chains (the role kernel) are not
+    incrementally computable by Structured Streaming; the kernel runs
+    per closed window in ``foreachBatch`` via
+    :func:`roles_for_closed_windows`. A window's edge set rides in
+    one array — bounded by the 10-minute window; shard ``groupBy``
+    further (e.g. by conversation root) if a window outgrows a task.
+    """
+    base = filter_deletes(tweets)
+    base = derive_retweet_flag(base)
+    edges = base.select(
+        parse_twitter_ts("created_at").alias("ts"),
+        F.col("id_str").cast("long").alias("tweet_id"),
+        F.col("parent_id_str").cast("long").alias("parent_id"),
+        F.col("user.id_str").cast("long").alias("author_id"),
+    )
+    return (
+        edges.withWatermark("ts", watermark)
+        # group on the window() expression itself: append-mode closed-
+        # window tracking attaches to it (getField would detach it)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.collect_list(F.struct("tweet_id", "parent_id", "author_id")).alias(
+                "edges"
+            )
+        )
+        .select(F.col("w.start").alias("window_start"), "edges")
+    )
+
+
+def roles_for_closed_windows(
+    closed: DataFrame, bug_compatible: bool = False
+) -> DataFrame:
+    """foreachBatch body: closed windows (window_start, edges array)
+    -> per-user roles. Re-uses the batch kernel with
+    ``community_col`` so a micro-batch containing several closed
+    windows is still ONE distributed plan."""
+    nodes = closed.select(
+        "window_start", F.explode("edges").alias("e")
+    ).select("window_start", "e.tweet_id", "e.parent_id", "e.author_id")
+    dummies = (
+        nodes.filter(F.col("parent_id").isNotNull())
+        .join(
+            nodes.select("window_start", F.col("tweet_id").alias("parent_id")),
+            ["window_start", "parent_id"],
+            "left_anti",
+        )
+        .groupBy("window_start", F.col("parent_id").alias("tweet_id"))
+        .agg(F.lit(None).cast("long").alias("parent_id"), F.lit(None).cast("long").alias("author_id"))
+        .select("window_start", "tweet_id", "parent_id", "author_id")
+    )
+    all_nodes = nodes.unionByName(dummies)
+    feats = role_features(all_nodes, community_col="window_start")
+    leveled = tercile_levels(feats, community_col="window_start")
+    roles = assign_roles(leveled, bug_compatible=bug_compatible)
+    return roles.select("window_start", "user_id", "post_count", "role")
