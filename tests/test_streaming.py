@@ -162,3 +162,123 @@ def test_role_analysis_stream_matches_batch(spark, tmp_path_factory):
     }
     assert len(got) == 5  # 3 users in window 1 + 2 users in window 2
     assert got == expect
+
+
+def test_lod_explorer_stream_matches_batch(spark, tmp_path_factory):
+    """Pipeline-2 parity: geoparse JSON file stream -> PipelineRunner
+    foreachBatch(lod_explorer_batch) == batch run (all side tables
+    static broadcast snapshots; per-message semantics)."""
+    import json
+
+    from westtopologies_spark.ops.geo import GEO_LAT, GEO_LONG, OWL_SAMEAS, RDFS_LABEL
+    from westtopologies_spark.pipelines.lod_explorer import lod_explorer_batch
+    from westtopologies_spark.pipelines.runner import run_foreach_batch
+
+    sameas = spark.createDataFrame(
+        [("http://db/Koblenz", OWL_SAMEAS, "http://lgd/t1")],
+        "s string, p string, o string",
+    )
+    loc_triples = spark.createDataFrame(
+        [
+            ("http://db/Koblenz", "http://db/onto/type", "http://db/City", None),
+            ("http://db/City", GEO_LAT, "50.36", None),
+            ("http://db/City", GEO_LONG, "7.60", None),
+            ("http://db/City", RDFS_LABEL, "Koblenz", "en"),
+        ],
+        "s string, p string, o string, lang string",
+    )
+    nb = spark.createDataFrame(
+        [("http://db/onto/type", 50, 5), ("total", 60, 60)],
+        "property string, rel int, irrel int",
+    )
+    rows = [
+        {"_seq": 0, "itinno:item_id": "m1",
+         "itinno:loc_set": [{"key": "linked_data", "linked_data": ["http://lgd/t1"]}]},
+        {"_seq": 1, "itinno:item_id": "m2", "itinno:loc_set": []},
+    ]
+    src_dir = tmp_path_factory.mktemp("geoparse_stream")
+    (src_dir / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = (
+        "_seq long, `itinno:item_id` string, "
+        "`itinno:loc_set` array<struct<key string, linked_data array<string>>>"
+    )
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+
+    results = []
+    q = run_foreach_batch(
+        stream,
+        lambda df: lod_explorer_batch(df, sameas, loc_triples, nb),
+        lambda out, _id: results.extend(out.collect()),
+    )
+    q.awaitTermination(120)
+
+    batch = lod_explorer_batch(
+        spark.read.schema(schema).json(str(src_dir)), sameas, loc_triples, nb
+    ).collect()
+    assert len(results) == len(batch) == 1
+    assert results[0]["ukob:explored_entities"] == batch[0]["ukob:explored_entities"]
+
+
+def test_location_topic_model_stream_matches_batch(spark, tmp_path_factory):
+    """Pipeline-3 parity: tweets file stream -> foreachBatch
+    location_topic_model_batch (static S12 dictionary, deterministic
+    model) == batch run. W2's cross-batch 5-buffer semantics are
+    covered separately by test_w2_count_batches_stream."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from westtopologies_spark.ops.model import LocationModel
+    from westtopologies_spark.ops.text import build_dictionary, stem_rule_based, tokenize
+    from westtopologies_spark.pipelines.location_topic_model import (
+        location_topic_model_batch,
+    )
+    from westtopologies_spark.pipelines.runner import run_foreach_batch
+    from westtopologies_spark.schemas import TWEET_SCHEMA
+
+    def tw(tid, text):
+        return {
+            "_seq": tid, "created_at": "Mon Jan 01 00:00:01 +0000 2024",
+            "id_str": str(tid), "text": text,
+            "user": {"id_str": "1", "screen_name": "u"},
+            "in_reply_to_status_id_str": None, "in_reply_to_user_id_str": None,
+            "in_reply_to_screen_name": None, "retweeted_status": None,
+            "entities": {"user_mentions": []}, "coordinates": None,
+        }
+
+    rows = [
+        tw(1, "the quick brown fox jumps over the lazy dog"),
+        tw(2, "spark streaming window aggregation with the broadcast join"),
+        tw(3, "the brown dog sleeps under the window"),
+    ]
+    src_dir = tmp_path_factory.mktemp("ltm_stream")
+    (src_dir / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    batch_df = spark.createDataFrame(rows, TWEET_SCHEMA)
+    # static dictionary (S12 wordmap role): built once from the corpus
+    toked = tokenize(batch_df).select(
+        F.explode("tokens").alias("raw_token")
+    ).withColumn("token", stem_rule_based(F.col("raw_token")))
+    dictionary = build_dictionary(toked).persist()
+    model = LocationModel.deterministic(n_regions=8)
+
+    expect = {
+        r["itinno:item_id"]: [(t["location"], round(t["probability"], 6))
+                              for t in r["ukob:topic_set"]]
+        for r in location_topic_model_batch(batch_df, model, dictionary=dictionary).collect()
+    }
+
+    results = []
+    stream = spark.readStream.schema(TWEET_SCHEMA).json(str(src_dir))
+    q = run_foreach_batch(
+        stream,
+        lambda df: location_topic_model_batch(df, model, dictionary=dictionary),
+        lambda out, _id: results.extend(out.collect()),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["itinno:item_id"]: [(t["location"], round(t["probability"], 6))
+                              for t in r["ukob:topic_set"]]
+        for r in results
+    }
+    assert got == expect and len(got) == 3
