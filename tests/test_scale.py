@@ -193,3 +193,35 @@ def test_distributed_rank_matches_global_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_salted_distinct_count_exact(spark):
+    from westtopologies_spark.scale.skew import salted_distinct_count
+
+    rows = [("hot", f"v{i % 137}") for i in range(2000)] + [
+        ("cold", f"v{i}") for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in salted_distinct_count(df, ["k"], "v", n_salts=8).collect()
+    }
+    assert got == {"hot": 137, "cold": 7}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from westtopologies_spark.scale.skew import salted_join, top_hot_keys
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}") for i in range(500)], ["row_id", "k"]
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3)], ["k", "payload"]
+    )
+    got = sorted(
+        map(tuple, salted_join(fact, dim, "k", n_salts=4).select("row_id", "payload").collect())
+    )
+    want = sorted(map(tuple, fact.join(dim, "k").select("row_id", "payload").collect()))
+    assert got == want and len(got) > 400
+    hot = top_hot_keys(fact, "k", k=1).collect()[0]
+    assert hot["k"] == "hot"
