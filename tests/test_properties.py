@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): the hardest kernels checked
+against independent pure-Python references on randomized inputs.
+Example counts are kept small — each example round-trips through
+Spark (~1s); the point is shape coverage, not volume."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+@st.composite
+def event_streams(draw):
+    n = draw(st.integers(1, 60))
+    offsets = draw(
+        st.lists(st.integers(0, 5000), min_size=n, max_size=n)
+    )
+    # arrival order = list order; event time may jitter non-monotonically
+    return [
+        (i, EPOCH + dt.timedelta(seconds=off), float(i % 7))
+        for i, off in enumerate(sorted(offsets))
+    ]
+
+
+def _py_w1_exact(rows, interval_sec=600):
+    """Independent reimplementation of the reference flush rule
+    (DiscussionTreeBolt.java:107-110,130-168)."""
+    out, start, n, total = [], None, 0, 0.0
+    for _seq, ts, val in rows:
+        if start is None:
+            start, n, total = ts, 0, 0.0
+        n += 1
+        total += val
+        if ts >= start + dt.timedelta(seconds=interval_sec):
+            out.append((start, ts, n, round(total, 2)))
+            start = None
+    return out
+
+
+@SET
+@given(event_streams())
+def test_w1_exact_matches_python_reference(spark, rows):
+    from westtopologies_spark.streaming.stateful import data_driven_windows
+
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    got = [
+        (r["window_start"], r["window_end"], r["n_events"], r["sum_value"])
+        for r in data_driven_windows(df).collect()
+    ]
+    assert sorted(got) == sorted(_py_w1_exact(rows))
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_set_math(spark, token_lists):
+    from westtopologies_spark.scale.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    # independent reference: python set Jaccard over token 3-grams
+    shingles = [
+        {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        for toks in token_lists
+    ]
+    for a in range(len(shingles)):
+        for b in range(a + 1, len(shingles)):
+            inter = len(shingles[a] & shingles[b])
+            if inter:
+                want = round(inter / len(shingles[a] | shingles[b]), 4)
+                assert got[(a, b)] == want
+            else:
+                assert (a, b) not in got  # no shared shingle -> no pair
+
+
+@SET
+@given(st.lists(st.integers(-1000, 1000), min_size=4, max_size=40))
+def test_tercile_levels_match_reference_rule(spark, values):
+    """Boundaries#train: low/mid = (v[n/3]+v[n/3+1])/2 (0-indexed
+    sorted), mid/high analog; #getLevel: <= -> low/med, else high."""
+    from westtopologies_spark.ops.roles import tercile_levels
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], ["user_id", "x"]
+    )
+    got = {r["user_id"]: r["x_level"] for r in tercile_levels(df, ("x",)).collect()}
+
+    s = sorted(float(v) for v in values)
+    n = len(s)
+    lm = (s[n // 3] + s[n // 3 + 1]) / 2
+    mh = (s[2 * n // 3] + s[2 * n // 3 + 1]) / 2
+    for i, v in enumerate(values):
+        want = "low" if v <= lm else ("med" if v <= mh else "high")
+        assert got[i] == want, (v, lm, mh)
