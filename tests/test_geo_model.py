@@ -96,3 +96,31 @@ def test_predict_locations_deterministic_topk(spark):
         # location key is "lon,lat" float-formatted (P10)
         lon, lat = doc_rows[0]["location"].split(",")
         assert -180 <= float(lon) <= 180 and -90 <= float(lat) <= 90
+
+
+def test_predict_vectorized_matches_grouped(spark):
+    """M1 vectorized (mapInPandas) == grouped (applyInPandas) scorer."""
+    from westtopologies_spark.ops.model import predict_locations_vectorized
+
+    model = LocationModel.deterministic(n_regions=12)
+    docs = spark.createDataFrame(
+        [(0, "1 2 3"), (1, "4 4 4 9"), (2, ""), (3, "7")],
+        ["doc_id", "token_ids"],
+    )
+    a = {
+        (r["doc_id"], r["rank_i"]): (r["location"], round(r["probability"], 9))
+        for r in predict_locations(docs, model, top_k=3)
+        .withColumn("rank_i", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("doc_id").orderBy(F.desc("probability"), "location")))
+        .collect()
+    }
+    b = {
+        (r["doc_id"], r["rank_i"]): (r["location"], round(r["probability"], 9))
+        for r in predict_locations_vectorized(docs, model, top_k=3)
+        .withColumn("rank_i", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("doc_id").orderBy(F.desc("probability"), "location")))
+        .collect()
+    }
+    assert a == b

@@ -107,6 +107,77 @@ def predict_locations(
     )
 
 
+def predict_locations_vectorized(
+    docs: DataFrame,
+    model: LocationModel,
+    doc_col: str = "doc_id",
+    token_ids_col: str = "token_ids",
+    top_k: int = 5,
+) -> DataFrame:
+    """M1, Arrow-throughput variant: identical per-doc output to
+    :func:`predict_locations` (same collapsed estimate, same top-k,
+    same 'lon,lat' keys) computed via ``mapInPandas`` — ONE Python
+    call per Arrow batch with fully vectorized numpy (segment-summed
+    log-likelihoods, one GEMM for region scores) instead of one
+    pandas group per 5-doc buffer. Use this when scoring a large
+    corpus; the grouped variant remains the W2-shaped streaming
+    analog. ~10**2 fewer Python crossings on a 50k-doc table.
+    """
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (model.topic_word, model.pi_0, model.region_topic, model.regions)
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        tw, pi, rt, regions = bc.value
+        vocab = tw.shape[1]
+        log_tw = np.log(tw + 1e-12)  # K x V
+        log_pi = np.log(pi)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_per_doc = [
+                np.array(
+                    [int(t) % vocab for t in str(s).split() if t.strip()], dtype=np.int64
+                )
+                for s in pdf[token_ids_col]
+            ]
+            lens = np.array([len(a) for a in ids_per_doc])
+            D = len(ids_per_doc)
+            flat = np.concatenate([a for a in ids_per_doc if len(a)]) if lens.sum() else np.array([], dtype=np.int64)
+            ptr = np.zeros(D + 1, dtype=np.int64)
+            np.cumsum(lens, out=ptr[1:])
+            # log theta (pre-normalization): K x D
+            lt = np.tile(log_pi[:, None], (1, D))
+            if len(flat):
+                seg = np.add.reduceat(log_tw[:, flat], ptr[:-1][lens > 0], axis=1)
+                lt[:, lens > 0] += seg / lens[lens > 0]
+            theta = np.exp(lt - lt.max(axis=0, keepdims=True))
+            theta /= theta.sum(axis=0, keepdims=True)
+            region_scores = rt @ theta  # L x D
+            region_probs = region_scores / region_scores.sum(axis=0, keepdims=True)
+            top = np.argsort(-region_probs, axis=0)[:top_k]  # k x D
+            doc_ids = pdf[doc_col].to_numpy()
+            out_doc = np.repeat(doc_ids, top_k)
+            flat_top = top.T.ravel()
+            probs = region_probs[flat_top, np.repeat(np.arange(D), top_k)]
+            lat = regions[flat_top, 0].astype(np.float32)
+            lon = regions[flat_top, 1].astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    doc_col: out_doc,
+                    "location": [f"{x},{y}" for x, y in zip(lon, lat)],
+                    "probability": probs.astype(np.float64),
+                }
+            )
+
+    return docs.select(doc_col, token_ids_col).mapInPandas(
+        score, schema=f"{doc_col} long, location string, probability double"
+    )
+
+
 def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """M3 — probability-threshold filter (`Math.random() > p`),
     reference HTMLMapFilterer.java:33-71 — as a seeded Bernoulli

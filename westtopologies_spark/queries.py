@@ -959,13 +959,14 @@ def m3_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "m1_predict_locations",
     None,  # Gibbs-family model kernel: not SQL-expressible; rows-only gate
-    doc="M1 batch location prediction: X5-encoded docs -> applyInPandas "
-    "over count-batches (W2), broadcast model matrices, top-5 regions "
-    "per doc (T1) with 'lon,lat' float keys (P10). Deterministic "
-    "collapsed scoring; reference: TopicModelBolt.java:87-99,168.",
+    doc="M1 batch location prediction: X5-encoded docs -> Arrow-vectorized "
+    "mapInPandas scorer (broadcast model matrices), top-5 regions per doc "
+    "(T1) with 'lon,lat' float keys (P10). Deterministic collapsed "
+    "scoring; the 5-doc-buffer (W2) applyInPandas variant is "
+    "ops.model.predict_locations. Reference: TopicModelBolt.java:87-99,168.",
 )
 def m1_predict_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .ops.model import LocationModel, predict_locations
+    from .ops.model import LocationModel, predict_locations_vectorized
     from .ops.text import build_dictionary, encode_terms
 
     docs = _t(spark, sf_dir, "documents")
@@ -975,7 +976,7 @@ def m1_predict_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     encoded = encode_terms(toks, build_dictionary(toks))
     model = LocationModel.deterministic()
-    return predict_locations(encoded, model)
+    return predict_locations_vectorized(encoded, model)
 
 
 # ---------------------------------------------------------------------------
