@@ -92,6 +92,9 @@ def tokens_with_ids(
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
     if not deterministic_vocab:
         return toks.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(C.SHINGLE_P)))
+    # the token stream feeds both the vocabulary build and the encode
+    # join — pin it so the corpus scan + explode runs once, not twice
+    toks = toks.persist()
     vocab = distributed_rank(toks.select("token").distinct(), "token", rank_col="tid")
     return toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "tid")
 
@@ -245,10 +248,16 @@ def minhash_lsh_dedup(
     deterministic_vocab: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature ->
-    banded candidates -> exact-Jaccard confirm >= threshold."""
+    banded candidates -> exact-Jaccard confirm >= threshold.
+
+    The shingle inverted index is persisted: it feeds the signature
+    aggregation, both sides of the confirm join, and the size lookup
+    — at any scale a reused index is materialized once
+    (MEMORY_AND_DISK default spills rather than recomputing the
+    corpus scan 4x)."""
     shingles = doc_shingles(
         doc_token_ids(tokens_with_ids(docs, deterministic_vocab=deterministic_vocab))
-    )
+    ).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(shingles))
     return jaccard_of_pairs(pairs, shingles).filter(F.col("jaccard") >= threshold)
 
@@ -268,10 +277,12 @@ def ngram_jaccard_pairs(
     from the inverted shingle index (no LSH approximation, no cross
     join). ``max_df`` prunes shingles appearing in more than that
     many docs — the standard hot-key guard at scale (changes results;
-    off by default and in the oracle)."""
+    off by default and in the oracle). The shingle index is persisted
+    (used by both join sides, the df-count prune, and the size
+    lookup)."""
     shingles = doc_shingles(
         doc_token_ids(tokens_with_ids(docs, deterministic_vocab=deterministic_vocab))
-    )
+    ).persist()
     index = shingles
     if max_df is not None:
         df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
