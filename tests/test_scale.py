@@ -117,6 +117,41 @@ def test_ann_lsh_same_bucket_for_parallel_vectors(vectors):
     assert buckets[0] == (~buckets[3] & 0xFF)  # antipode flips every bit
 
 
+def test_ann_ivf_clusters_and_reranks(spark):
+    # two tight clusters around e1 and e3; queries come from both
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.98, 0.05, 0.0, 0.0]),
+        (2, [0.97, 0.0, 0.05, 0.0]),
+        (7, [0.0, 0.0, 1.0, 0.0]),
+        (8, [0.0, 0.05, 0.98, 0.0]),
+        (9, [0.05, 0.0, 0.97, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = similarity.ann_ivf_topk(
+        vecs, F.col("vec_id").isin(0, 7), k=2, n_probe=1, dim=4
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()
+    }
+    # with 1 probed cell each query stays in its own cluster and the
+    # exact rerank orders by true cosine
+    assert got[(0, 1)] in (1, 2) and got[(0, 2)] in (1, 2)
+    assert got[(7, 1)] in (8, 9) and got[(7, 2)] in (8, 9)
+
+
+def test_ivf_centroids_deterministic(spark):
+    rows = [(i, [float(i % 3), 1.0, 0.5, 0.0]) for i in range(30)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    a = sorted(map(tuple, similarity.ivf_centroids(vecs, dim=4).collect()))
+    b = sorted(map(tuple, similarity.ivf_centroids(vecs, dim=4).collect()))
+    assert a == b and len(a) >= 1
+
+
 def test_quality_score_monotone(spark):
     rows = [
         (0, "the cat is on the mat and it is a good cat"),

@@ -42,9 +42,11 @@ VOCAB_RANK_OK = {
     "j4_semi_join",
 }
 # intentional nested-loop/cartesian shapes: block-grid GEMM (dozens of
-# block rows) and tiny broadcast query sets joined on an inequality.
+# block rows), tiny broadcast query sets joined on an inequality, and
+# the IVF coarse-quantizer assignment (corpus x broadcast of <=16
+# centroid rows — every IVF implementation scores all cells per row).
 BLOCK_JOIN_OK = {"dd_embedding_neardup", "ann_bruteforce_topk", "ann_lsh_bucketed",
-                 "dd_exact"}
+                 "dd_exact", "ann_ivf_topk"}
 # single-group stateful scan (reference semantics require one ordered
 # group; the keyed variant shards it -- see streaming.stateful docs)
 SINGLE_GROUP_OK = {"w1_exact_windows", "a4_tercile_boundaries", "a3_role_features",

@@ -324,6 +324,87 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < C.ANN_N_QUERIES))
 
 
+def _ann_ivf_sql() -> str:
+    d = C.EMBEDDING_DIM
+    mean_list = ", ".join(f"round(avg(n.v[{i + 1}]), 9)" for i in range(d))
+    sdot = _DOT.format(d=d, a="n.v", b="s.cv")
+    cdot = _DOT.format(d=d, a="n.v", b="c.cv")
+    pdot = _DOT.format(d=d, a="q.v", b="c.cv")
+    qdot = _DOT.format(d=d, a="p.qv", b="c.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    normed AS (SELECT vec_id, v, {_NORM.format(v="v")} AS nrm FROM base),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM normed
+      WHERE vec_id % {C.IVF_SEED_STRIDE} = 0 ORDER BY vec_id LIMIT {C.IVF_N_LISTS}
+    ),
+    s_scored AS (
+      SELECT n.vec_id, s.cid, round({sdot} / (n.nrm * s.cn), 6) AS sim
+      FROM normed n CROSS JOIN seeds s
+    ),
+    s_best AS (SELECT vec_id, max(sim) AS best FROM s_scored GROUP BY vec_id),
+    s_assign AS (
+      SELECT sc.vec_id, min(sc.cid) AS cid
+      FROM s_scored sc JOIN s_best b ON sc.vec_id = b.vec_id AND sc.sim = b.best
+      GROUP BY sc.vec_id
+    ),
+    cents AS (
+      SELECT a.cid, [{mean_list}]::DOUBLE[] AS cv
+      FROM s_assign a JOIN normed n USING (vec_id) GROUP BY a.cid
+    ),
+    cents_n AS (SELECT cid, cv, {_NORM.format(v="cv")} AS cn FROM cents),
+    c_scored AS (
+      SELECT n.vec_id, c.cid, round({cdot} / (n.nrm * c.cn), 6) AS sim
+      FROM normed n CROSS JOIN cents_n c
+    ),
+    c_best AS (SELECT vec_id, max(sim) AS best FROM c_scored GROUP BY vec_id),
+    c_assign AS (
+      SELECT sc.vec_id, min(sc.cid) AS cid
+      FROM c_scored sc JOIN c_best b ON sc.vec_id = b.vec_id AND sc.sim = b.best
+      GROUP BY sc.vec_id
+    ),
+    corpus AS (
+      SELECT n.vec_id, n.v, n.nrm, a.cid FROM normed n JOIN c_assign a USING (vec_id)
+    ),
+    q AS (SELECT * FROM normed WHERE vec_id < {C.ANN_N_QUERIES}),
+    q_probe AS (
+      SELECT q_id, qv, qn, cid FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({pdot} / (q.nrm * c.cn), 6) DESC, c.cid ASC) AS pr
+        FROM q CROSS JOIN cents_n c)
+      WHERE pr <= {C.IVF_N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id AS query_id, c.vec_id AS neighbor_id,
+             round({qdot} / (p.qn * c.nrm), 6) AS cosine
+      FROM corpus c JOIN q_probe p ON c.cid = p.cid AND p.q_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    WHERE rank <= {C.ANN_TOP_K}
+    """
+
+
+@_register(
+    "ann_ivf_topk",
+    _ann_ivf_sql(),
+    doc="IVF ANN: deterministic stride-sampled seeds + one Lloyd step "
+    "-> coarse-quantizer cells; queries probe the 3 nearest cells with "
+    "exact cosine rerank (broadcast centroids; recall trade-off "
+    "oracle-replicated). Scale extension.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(emb, F.col("vec_id") < C.ANN_N_QUERIES)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

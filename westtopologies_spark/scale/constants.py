@@ -55,6 +55,11 @@ ANN_N_QUERIES = 10  # vec_id < 10 serve as the query set
 LSH_N_PLANES = 8
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
 
+# --- IVF (inverted-file) ANN --------------------------------------------
+IVF_N_LISTS = 16  # coarse-quantizer cells
+IVF_SEED_STRIDE = 7  # seeds = first N_LISTS vec_ids with id % stride == 0
+IVF_N_PROBE = 3  # cells searched per query (recall/cost knob)
+
 
 def lsh_plane(plane: int, dim: int = EMBEDDING_DIM) -> list[float]:
     """Deterministic pseudo-random hyperplane components in
