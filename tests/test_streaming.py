@@ -61,6 +61,40 @@ def test_w1_exact_stream_matches_batch(spark, staged_events):
     assert g == e
 
 
+def test_w1_exact_stream_tws_matches_batch(spark, staged_events):
+    # transformWithStateInPandas speaks protobuf to the JVM state
+    # server; without the package the stream crashes at pre-init
+    pytest.importorskip("google.protobuf.descriptor")
+    from westtopologies_spark.streaming.stateful import (
+        data_driven_window_rollup_stream_tws,
+    )
+
+    path, batch_df = staged_events
+    schema = "event_id long, ts timestamp, value double"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+        )
+        got = _run_stream(
+            spark, data_driven_window_rollup_stream_tws(src), "w1_tws_out"
+        )
+        expect = data_driven_windows(batch_df)
+        g = sorted(map(tuple, got.collect()))
+        e = sorted(map(tuple, expect.collect()))
+        assert len(g) > 3
+        assert g == e
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_w2_count_batches_stream(spark, staged_events):
     path, _ = staged_events
     schema = "event_id long, ts timestamp, value double"

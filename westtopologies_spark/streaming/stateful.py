@@ -149,6 +149,84 @@ def data_driven_window_rollup_stream(
     )
 
 
+def data_driven_window_rollup_stream_tws(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    interval_sec: int = 600,
+) -> DataFrame:
+    """W1 exact semantics on ``transformWithStateInPandas`` — the
+    current-generation arbitrary-stateful API (SURVEY.md §2.11).
+    Output is identical to :func:`data_driven_window_rollup_stream`;
+    this variant is the forward path: typed value state, and (unused
+    here, available when needed) timers and state TTL for eviction at
+    scale. Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` package (TWS's Python state-server protocol) — the
+    parity test skips where protobuf is absent;
+    :func:`data_driven_window_rollup_stream` is the
+    dependency-free equivalent.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class W1Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getValueState(
+                "buf", "start_us long, n long, sum_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._buf.exists():
+                start_us, n, total = self._buf.get()
+            else:
+                start_us, n, total = None, 0, 0.0
+            # concatenate the batch's chunks, then one global sort by
+            # arrival seq — chunk boundaries are arbitrary
+            pdf = pd.concat(list(rows)).sort_values(seq_col)
+            out = []
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                ts_us = int(ts.value // 1000)
+                if start_us is None:
+                    start_us = ts_us
+                    n = 0
+                    total = 0.0
+                n += 1
+                total += float(val)
+                if ts_us >= start_us + interval_sec * 1_000_000:
+                    out.append(
+                        (
+                            pd.Timestamp(start_us * 1000),
+                            pd.Timestamp(ts_us * 1000),
+                            n,
+                            round(total, 2),
+                        )
+                    )
+                    start_us = None
+            if start_us is None:
+                self._buf.clear()
+            else:
+                self._buf.update((start_us, n, total))
+            yield pd.DataFrame(
+                out, columns=["window_start", "window_end", "n_events", "sum_value"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(ts_col, value_col, seq_col)
+        .withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .transformWithStateInPandas(
+            W1Processor(), W1_OUT_SCHEMA, "append", "None"
+        )
+    )
+
+
 def count_batches_stream(
     df: DataFrame,
     seq_col: str = "event_id",
