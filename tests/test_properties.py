@@ -94,6 +94,55 @@ def test_ngram_jaccard_matches_set_math(spark, token_lists):
                 assert (a, b) not in got  # no shared shingle -> no pair
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-1.0, 1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: sum(x * x for x in v) > 1e-6),
+        min_size=3,
+        max_size=14,
+    )
+)
+def test_ann_ivf_dominated_by_bruteforce(spark, vecs):
+    """IVF invariants on random vectors: (a) reranked cosines are the
+    exact numpy cosine rounded at 6; (b) ranks are consecutive with
+    non-increasing cosine; (c) at every rank the IVF cosine is <= the
+    exact brute-force cosine at that rank (IVF searches a subset of
+    the corpus, so it can only miss, never invent, neighbors)."""
+    import numpy as np
+
+    from westtopologies_spark.scale.similarity import ann_ivf_topk, cosine_topk
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    k = 3
+    ivf = ann_ivf_topk(df, F.col("vec_id") == 0, k=k, n_probe=1, dim=4).collect()
+    bf = {
+        r["rank"]: r["cosine"]
+        for r in cosine_topk(df, df.filter(F.col("vec_id") == 0), k=k).collect()
+    }
+
+    A = np.array([np.array(v, dtype=np.float32).astype(np.float64) for v in vecs])
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    rows = sorted(ivf, key=lambda r: r["rank"])
+    for i, r in enumerate(rows):
+        assert r["rank"] == i + 1  # consecutive ranks
+        want = round(float(A[0] @ A[r["neighbor_id"]]), 6)
+        assert abs(r["cosine"] - want) < 2e-6  # exact rerank
+        if i > 0:
+            assert r["cosine"] <= rows[i - 1]["cosine"]
+        assert r["cosine"] <= bf[r["rank"]] + 1e-9  # dominance
+
+
 @SET
 @given(st.lists(st.integers(-1000, 1000), min_size=4, max_size=40))
 def test_tercile_levels_match_reference_rule(spark, values):
