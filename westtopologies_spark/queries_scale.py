@@ -41,6 +41,29 @@ _TOKS_CTE = """
     )
 """
 
+# char-hash encoding (dedup.char_hash_tid / vocab_mode="char"): the
+# token id is a pure expression of the token's code points — no
+# vocabulary CTE at all, mirroring the Spark side's shuffle-free map
+_TOKS_CHAR_CTE = f"""
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS token,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    tok_ids AS (
+      SELECT doc_id, pos,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(1, length(token) + 1),
+                              i -> ord(token[i]))),
+               (a, c) -> (a * {C.FP_MULT} + c) % {C.SHINGLE_P}) AS tid
+      FROM toks
+    ),
+    ids AS (
+      SELECT doc_id, list(tid ORDER BY pos) AS tids FROM tok_ids GROUP BY doc_id
+    )
+"""
+
 _SHINGLES_CTE = f"""
     shingles AS (
       SELECT DISTINCT doc_id, s AS shingle FROM (
@@ -73,7 +96,7 @@ def _minhash_sql() -> str:
         for b in range(n_bands)
     )
     return f"""
-    WITH {_TOKS_CTE.strip()},
+    WITH {_TOKS_CHAR_CTE.strip()},
     {_SHINGLES_CTE.strip()},
     sigs AS (
       SELECT doc_id,
@@ -115,7 +138,7 @@ def _minhash_sql() -> str:
 )
 def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup(docs, deterministic_vocab=True)
+    return dedup.minhash_lsh_dedup(docs, vocab_mode="char")
 
 
 @_register(
@@ -136,7 +159,7 @@ def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ngram_jaccard_sql() -> str:
     return f"""
-    WITH {_TOKS_CTE.strip()},
+    WITH {_TOKS_CHAR_CTE.strip()},
     {_SHINGLES_CTE.strip()},
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -162,7 +185,7 @@ def _ngram_jaccard_sql() -> str:
 )
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, deterministic_vocab=True)
+    return dedup.ngram_jaccard_pairs(docs, vocab_mode="char")
 
 
 def _simhash_sql() -> str:
@@ -179,6 +202,10 @@ def _simhash_sql() -> str:
         f"(simhash >> {b * C.SIMHASH_BAND_BITS}) & {mask} AS bucket FROM sim"
         for b in range(n_bands)
     )
+    # NB: simhash keeps the dense RANK encoding: its per-bit votes are
+    # sums over tid bit patterns, and on the synthetic corpus's tiny
+    # vocabulary the char-hash tid distribution collapses most
+    # documents onto near-identical signatures (candidate blowup).
     return f"""
     WITH {_TOKS_CTE.strip()},
     sim AS (
@@ -204,7 +231,7 @@ def _simhash_sql() -> str:
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = dedup.tokens_with_ids(docs, deterministic_vocab=True)
+    toks = dedup.tokens_with_ids(docs, vocab_mode="rank")
     return dedup.simhash_near_pairs(dedup.simhash_values(toks))
 
 
@@ -470,7 +497,7 @@ def tx_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fingerprint_sql() -> str:
     return f"""
-    WITH {_TOKS_CTE.strip()}
+    WITH {_TOKS_CHAR_CTE.strip()}
     SELECT doc_id,
            list_reduce(list_prepend(0::BIGINT, tids),
              (a, b) -> (a * {C.FP_MULT} + b) % {C.FP_P}) AS fingerprint
@@ -485,7 +512,7 @@ def _fingerprint_sql() -> str:
     "dictionary-encoded token stream (order-sensitive). Scale ext.",
 )
 def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprints(_t(spark, sf_dir, "documents"), deterministic_vocab=True)
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"), vocab_mode="char")
 
 
 # ---------------------------------------------------------------------------

@@ -72,28 +72,63 @@ def distributed_rank(
     )
 
 
+def char_hash_tid(token: Column) -> Column:
+    """Deterministic token id as a rolling polynomial hash over the
+    token's code points: ``fold(chars, 0, (a, c) -> (a*31 + ord(c))
+    mod SHINGLE_P)``. A pure per-row expression — no vocabulary
+    build, no shuffle, no broadcast — yet engine-independent (DuckDB:
+    ``list_reduce`` over ``ord(token[i])``), so it is BOTH the scale
+    path and oracle-checkable. Empty tokens hash to 0."""
+    chars = F.when(
+        F.length(token) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(token)),
+            lambda i: F.ascii(F.substring(token, i, F.lit(1))),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * C.FP_MULT + c) % C.SHINGLE_P,
+    )
+
+
 def tokens_with_ids(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     deterministic_vocab: bool = False,
+    vocab_mode: str | None = None,
 ) -> DataFrame:
     """(id, pos, tid): whitespace tokens dictionary-encoded to int64.
 
-    Default (scale path): ``tid = pmod(xxhash64(token), SHINGLE_P)``
-    — a pure map, no shuffle. ``deterministic_vocab=True`` ranks the
-    distinct vocabulary by token instead (oracle-reproducible), via
-    :func:`distributed_rank` — no single-partition window even when
-    the vocabulary itself is large.
+    ``vocab_mode`` (overrides the legacy ``deterministic_vocab``
+    flag):
+
+    - ``"hash"`` (default): ``tid = pmod(xxhash64(token),
+      SHINGLE_P)`` — a pure map, fastest, engine-specific hash (not
+      oracle-reproducible).
+    - ``"char"``: :func:`char_hash_tid` — also a pure map (identical
+      scale profile to ``hash``), engine-independent arithmetic, so
+      the DuckDB oracle reproduces it exactly. The dedup/fingerprint
+      catalog queries use this.
+    - ``"rank"``: ranks the distinct vocabulary by token via
+      :func:`distributed_rank` — ids are dense 1..|V| (what a real
+      dictionary-encoded store would persist); costs a vocabulary
+      shuffle + broadcast join.
     """
+    mode = vocab_mode or ("rank" if deterministic_vocab else "hash")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "token"),
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    if not deterministic_vocab:
+    if mode == "hash":
         return toks.withColumn("tid", F.pmod(F.xxhash64("token"), F.lit(C.SHINGLE_P)))
-    # the token stream feeds both the vocabulary build and the encode
-    # join — pin it so the corpus scan + explode runs once, not twice
+    if mode == "char":
+        return toks.withColumn("tid", char_hash_tid(F.col("token")))
+    # mode == "rank": the token stream feeds both the vocabulary
+    # build and the encode join — pin it so the corpus scan + explode
+    # runs once, not twice
     toks = toks.persist()
     vocab = distributed_rank(toks.select("token").distinct(), "token", rank_col="tid")
     return toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "tid")
@@ -246,6 +281,7 @@ def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = C.MINHASH_JACCARD_THRESHOLD,
     deterministic_vocab: bool = False,
+    vocab_mode: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> signature ->
     banded candidates -> exact-Jaccard confirm >= threshold.
@@ -256,7 +292,11 @@ def minhash_lsh_dedup(
     (MEMORY_AND_DISK default spills rather than recomputing the
     corpus scan 4x)."""
     shingles = doc_shingles(
-        doc_token_ids(tokens_with_ids(docs, deterministic_vocab=deterministic_vocab))
+        doc_token_ids(
+            tokens_with_ids(
+                docs, deterministic_vocab=deterministic_vocab, vocab_mode=vocab_mode
+            )
+        )
     ).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(shingles))
     return jaccard_of_pairs(pairs, shingles).filter(F.col("jaccard") >= threshold)
@@ -272,6 +312,7 @@ def ngram_jaccard_pairs(
     threshold: float = C.NGRAM_JACCARD_THRESHOLD,
     deterministic_vocab: bool = False,
     max_df: int | None = None,
+    vocab_mode: str | None = None,
 ) -> DataFrame:
     """All pairs with exact shingle Jaccard >= threshold, generated
     from the inverted shingle index (no LSH approximation, no cross
@@ -281,7 +322,11 @@ def ngram_jaccard_pairs(
     (used by both join sides, the df-count prune, and the size
     lookup)."""
     shingles = doc_shingles(
-        doc_token_ids(tokens_with_ids(docs, deterministic_vocab=deterministic_vocab))
+        doc_token_ids(
+            tokens_with_ids(
+                docs, deterministic_vocab=deterministic_vocab, vocab_mode=vocab_mode
+            )
+        )
     ).persist()
     index = shingles
     if max_df is not None:

@@ -75,7 +75,11 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def fingerprints(docs: DataFrame, deterministic_vocab: bool = False) -> DataFrame:
+def fingerprints(
+    docs: DataFrame,
+    deterministic_vocab: bool = False,
+    vocab_mode: str | None = None,
+) -> DataFrame:
     """(doc_id, fingerprint): order-sensitive rolling polynomial hash
     over the dictionary-encoded token stream:
 
@@ -84,7 +88,11 @@ def fingerprints(docs: DataFrame, deterministic_vocab: bool = False) -> DataFram
     Detects exact sequence matches (and is the building block for
     content-defined chunk fingerprints). Left fold == DuckDB
     list_reduce with a prepended 0 seed."""
-    ids = doc_token_ids(tokens_with_ids(docs, deterministic_vocab=deterministic_vocab))
+    ids = doc_token_ids(
+        tokens_with_ids(
+            docs, deterministic_vocab=deterministic_vocab, vocab_mode=vocab_mode
+        )
+    )
     fp = F.aggregate(
         F.col("tids"),
         F.lit(0).cast("long"),
