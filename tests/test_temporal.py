@@ -1,0 +1,176 @@
+"""Semantics tests for the temporal and training-data-prep operators
+on tiny constructed frames (the oracle harness covers full-table
+parity separately), plus plan-shape guards for the join strategies."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from westtopologies_spark.scale import temporal as T
+from westtopologies_spark.scale import trainprep as TP
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, T0 + timedelta(seconds=s), t, float(v)) for i, u, s, t, v in rows],
+        ["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # user 1: three events, gap of 2h between #2 and #3 -> two sessions
+    # user 2: single event
+    return _ev(
+        spark,
+        [
+            (1, 1, 0, "click", 1.0),
+            (2, 1, 600, "purchase", 2.0),
+            (3, 1, 600 + 7200, "click", 3.0),
+            (4, 2, 50, "error", 4.0),
+        ],
+    )
+
+
+def test_sessionize_gap_split(events):
+    out = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+        for r in T.sessionize(events, gap_s=1800).collect()
+    }
+    assert out[(1, 1)] == (2, 3.0)  # events 1+2 in one session
+    assert out[(1, 2)] == (1, 3.0)  # event 3 opens a new session
+    assert out[(2, 1)] == (1, 4.0)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = _ev(spark, [(10, 1, 100, "click", 0.0), (11, 1, 5, "click", 0.0)]).select(
+        "event_id", "user_id", "ts"
+    )
+    right = _ev(
+        spark,
+        [
+            (20, 1, 10, "purchase", 1.0),
+            (21, 1, 100, "purchase", 2.0),  # simultaneous with click 10
+            (22, 2, 0, "purchase", 9.0),
+        ],
+    ).select("event_id", "user_id", "ts", "value")
+    out = {r["event_id"]: r for r in T.asof_join(left, right).collect()}
+    # <= semantics: the simultaneous purchase wins for click 10
+    assert out[10]["asof_event_id"] == 21 and out[10]["asof_value"] == 2.0
+    # click 11 predates every purchase -> nulls survive the left join
+    assert out[11]["asof_event_id"] is None and out[11]["asof_value"] is None
+
+
+def test_interval_join_matches_naive(spark, sf_dir):
+    from westtopologies_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "error")
+    fast = T.interval_join(left, right)
+    l = left.select(
+        "user_id",
+        F.col("event_id").alias("l_event_id"),
+        F.unix_timestamp("ts").alias("l_sec"),
+    )
+    r = right.select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.unix_timestamp("ts").alias("r_sec"),
+    )
+    naive = l.join(
+        r,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_sec") > F.col("l_sec"))
+        & (F.col("r_sec") <= F.col("l_sec") + T.RANGE_BUCKET_S),
+    )
+    assert sorted(
+        (r["l_event_id"], r["r_event_id"]) for r in fast.collect()
+    ) == sorted((r["l_event_id"], r["r_event_id"]) for r in naive.collect())
+
+
+def test_interval_join_plan_is_equi_join(spark, sf_dir):
+    from westtopologies_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = T.interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_moving_stats_frame(events):
+    out = {r["event_id"]: r for r in T.moving_stats(events, n=2).collect()}
+    assert out[1]["moving_avg"] == 1.0 and out[1]["delta_prev"] is None
+    assert out[2]["moving_avg"] == 1.5 and out[2]["delta_prev"] == 1.0
+    assert out[2]["gap_s"] == 600
+    assert out[4]["moving_avg"] == 4.0
+
+
+def test_chunks_reconstruct_text(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = TP.chunk_documents(docs)
+    # dropping the overlap prefix of every non-first chunk and
+    # concatenating in chunk order must rebuild the document
+    overlap = TP.CHUNK_SIZE - TP.CHUNK_STRIDE
+    rebuilt = (
+        chunks.withColumn(
+            "part",
+            F.when(F.col("chunk_id") == 0, F.col("chunk_text")).otherwise(
+                F.substring(F.col("chunk_text"), overlap + 1, TP.CHUNK_SIZE)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "", F.array_sort(F.collect_list(F.struct("chunk_id", "part"))).part
+            ).alias("rebuilt")
+        )
+    )
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .filter(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_packing_conserves_tokens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = TP.pack_sequences(docs)
+    total_packed = packed.agg(F.sum("sum_tokens")).collect()[0][0]
+    total_docs = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert total_packed == total_docs
+    # bins are dense per group: ids 0..max with no holes
+    per_grp = (
+        packed.groupBy("grp")
+        .agg(F.countDistinct("bin_id").alias("n"), F.max("bin_id").alias("mx"))
+        .collect()
+    )
+    for r in per_grp:
+        assert r["n"] == r["mx"] + 1
+
+
+def test_stratified_sample_deterministic_and_rebalanced(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(r["doc_id"] for r in TP.stratified_sample(docs).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in TP.stratified_sample(docs.repartition(7)).collect()
+    )
+    assert a == b  # stable under repartitioning (hash, not rand())
+    kept = TP.stratified_sample(docs).groupBy("lang").count().collect()
+    orig = dict(docs.groupBy("lang").count().collect())
+    for r in kept:
+        rate = TP.SAMPLE_RATE_PER_MILLE.get(r["lang"], TP.SAMPLE_DEFAULT_PER_MILLE)
+        # realized fraction within +-0.25 absolute of the target rate
+        assert abs(r["count"] / orig[r["lang"]] - rate / 1000) < 0.25

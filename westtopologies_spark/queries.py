@@ -1208,6 +1208,9 @@ _CATALOG[-1] = QuerySpec(
 # multimodal) register themselves into _CATALOG on import
 from . import queries_scale  # noqa: E402, F401
 
+# temporal + training-data-prep + rollup entries
+from . import queries_ext  # noqa: E402, F401
+
 
 def catalog() -> list[QuerySpec]:
     return list(_CATALOG)

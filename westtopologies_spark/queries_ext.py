@@ -1,0 +1,378 @@
+"""Catalog entries for the temporal and training-data-prep operators
+(:mod:`.scale.temporal`, :mod:`.scale.trainprep`) plus multi-level
+rollup aggregation.
+
+Same oracle discipline as :mod:`.queries_scale`: the SQL is generated
+from the identical constants the Spark plans use; timestamps are
+reduced to truncated epoch seconds (Spark ``unix_timestamp`` ==
+DuckDB ``floor(epoch(ts))``) before any arithmetic or compare, and
+float aggregates are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _register, _t
+from .scale import temporal as T
+from .scale import trainprep as TP
+
+# truncated epoch seconds — matches Spark's unix_timestamp()
+_SEC = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def _sessionize_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value, {_SEC} AS sec FROM events
+    ),
+    lagd AS (
+      SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_sec
+      FROM e
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_sec IS NULL
+                       OR sec - prev_sec > {T.SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY 1, 2
+    """
+
+
+@_register(
+    "ts_sessionize",
+    _sessionize_sql(),
+    doc="Gap-based sessionization (30-min inactivity gap) per user: "
+    "gaps-and-islands windows, all partitioned by key. Generalizes "
+    "the reference's data-driven buffer (DiscussionTreeBolt.java:45-51) "
+    "to per-key sessions. Scale extension.",
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.sessionize(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def _asof_sql() -> str:
+    return """
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.event_id AS asof_event_id, p.ts AS asof_ts,
+             p.value AS asof_value,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY p.ts DESC NULLS LAST, p.event_id DESC NULLS LAST
+             ) AS rn
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id AND p.ts <= c.ts
+    )
+    SELECT event_id, user_id, ts, asof_event_id, asof_ts, asof_value
+    FROM j WHERE rn = 1
+    """
+
+
+@_register(
+    "ts_asof_join",
+    _asof_sql(),
+    doc="Backward as-of join: each click joins the latest same-user "
+    "purchase at-or-before it. Spark plan is the scalable union-and-"
+    "carry-forward (one shuffle + per-key sort), NOT an inequality "
+    "join; the oracle replays it as a lateral-style ranked join. "
+    "Scale extension.",
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return T.asof_join(clicks, purchases)
+
+
+# ---------------------------------------------------------------------------
+# range / interval join
+# ---------------------------------------------------------------------------
+
+
+def _interval_sql() -> str:
+    w = T.RANGE_BUCKET_S
+    return f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts, {_SEC} AS sec FROM events
+      WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, event_id, ts, {_SEC} AS sec FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT p.user_id,
+           p.event_id AS l_event_id, p.ts AS l_ts,
+           e.event_id AS r_event_id, e.ts AS r_ts,
+           e.sec - p.sec AS delta_s
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND e.sec > p.sec AND e.sec <= p.sec + {w}
+    """
+
+
+@_register(
+    "ts_interval_join",
+    _interval_sql(),
+    doc="Range join: errors within 5 minutes after each same-user "
+    "purchase. Spark plan buckets both sides on coarse time bins and "
+    "equi-joins (key, bucket) — hash join + bounded fan-out instead "
+    "of a per-key nested loop; exact range applied as post-filter. "
+    "Scale extension.",
+)
+def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return T.interval_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered moving statistics
+# ---------------------------------------------------------------------------
+
+
+def _moving_sql() -> str:
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value, {_SEC} AS sec FROM events
+    )
+    SELECT user_id, event_id, ts,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta_prev,
+           sec - lag(sec) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+    FROM e
+    """
+
+
+@_register(
+    "ts_moving_stats",
+    _moving_sql(),
+    doc="Per-user ordered moving stats: 5-row trailing mean, delta vs "
+    "previous event, inter-event gap. Row-framed windows partitioned "
+    "by key. Scale extension.",
+)
+def ts_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.moving_stats(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# training-data prep: chunking / packing / stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def _chunk_sql() -> str:
+    sz, st = TP.CHUNK_SIZE, TP.CHUNK_STRIDE
+    return f"""
+    WITH starts AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text), 1) + 1, {st})) AS start
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {st} AS INT) AS chunk_id,
+           substr(text, CAST(start AS INT), {sz}) AS chunk_text,
+           length(substr(text, CAST(start AS INT), {sz})) AS chunk_len
+    FROM starts
+    """
+
+
+@_register(
+    "tp_chunk_overlap",
+    _chunk_sql(),
+    doc="Document chunking: 200-char chunks, 150-char stride (50 "
+    "overlap), tail kept. Pure generate+project — zero shuffle, "
+    "perfectly partition-parallel. Training-data prep extension.",
+)
+def tp_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def _pack_sql() -> str:
+    b = TP.PACK_BUDGET
+    return f"""
+    WITH t AS (
+      SELECT source AS grp, doc_id,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (
+        PARTITION BY grp ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT grp, CAST((cum - n_tokens) // {b} AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS sum_tokens,
+           round(sum(n_tokens) / {float(b)}, 4) AS fill
+    FROM c GROUP BY 1, 2
+    """
+
+
+@_register(
+    "tp_pack_sequences",
+    _pack_sql(),
+    doc="Sequence packing (concat-and-split): docs laid end-to-end "
+    "per source in doc_id order, cut into 256-token bins; per-bin "
+    "occupancy. Window partitions by source shard — packing "
+    "parallelism scales with shard count. Training-data prep ext.",
+)
+def tp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+def _sample_sql() -> str:
+    from .scale import constants as C
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}"
+        for k, v in sorted(TP.SAMPLE_RATE_PER_MILLE.items())
+    )
+    h = f"((doc_id * {C.SIMHASH_A} + {TP.SAMPLE_SALT}) % {C.FP_P}) % 1000"
+    return f"""
+    SELECT doc_id, lang,
+           CAST({h} AS BIGINT) AS sample_bucket,
+           CAST(CASE lang {cases} ELSE {TP.SAMPLE_DEFAULT_PER_MILLE} END
+                AS BIGINT) AS keep_rate
+    FROM documents
+    WHERE {h} < CASE lang {cases} ELSE {TP.SAMPLE_DEFAULT_PER_MILLE} END
+    """
+
+
+@_register(
+    "tp_stratified_sample",
+    _sample_sql(),
+    doc="Deterministic stratified sampling: keep iff poly-hash(doc_id) "
+    "mod 1000 < per-language per-mille rate (downsample head language, "
+    "keep tail). Per-row expression, no shuffle, stable under "
+    "repartitioning (unlike rand()). Training-data prep extension.",
+)
+def tp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.stratified_sample(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "sample_bucket", "keep_rate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-level rollup aggregation
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "gs_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS lvl,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Multi-level ROLLUP over (returnflag, linestatus) with an "
+    "explicit grouping-level column: Catalyst expands grouping sets "
+    "into one pass with partial aggregation (map-side combine) — no "
+    "per-level rescan. Aggregation extension (absent in reference).",
+)
+def gs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "lvl", "n_rows", "sum_qty", "sum_price"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _components_sql() -> str:
+    from .queries_scale import _minhash_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    nodes AS (
+      SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT node AS doc_id, min(reach) AS component_id
+    FROM walk GROUP BY node
+    """
+
+
+@_register(
+    "dd_cluster_components",
+    _components_sql(),
+    doc="Duplicate-cluster assignment: connected components over the "
+    "MinHash near-dup pair graph via iterative min-label propagation "
+    "(one shuffle per round, localCheckpoint-truncated lineage, "
+    "converges in <= cluster-diameter rounds). The oracle replays it "
+    "as a recursive-CTE reachability fixpoint. Scale extension.",
+)
+def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, vocab_mode="char")
+    return dedup.connected_components(pairs)

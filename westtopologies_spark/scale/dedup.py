@@ -500,3 +500,63 @@ def embedding_neardup_pairs(
     return grid.groupBy("ba", "bb").applyInPandas(
         score, "id_a long, id_b long, cosine double"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (doc_id, component_id) where component_id is the smallest doc_id
+    reachable — the canonical "keep one representative per duplicate
+    cluster" step that follows any pairwise dedup.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbours; converged when no
+    label changes (<= graph diameter rounds, so near-dup clusters —
+    small diameter by construction — finish in a few).  Each round is
+    one shuffle (edge join) + one aggregation; intermediate labels
+    are localCheckpoint()ed so the plan does not grow with the
+    iteration count (the classic Spark iterative-algorithm pitfall).
+    Driver only sees a per-round convergence count, never the data.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nmin", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+        ).localCheckpoint()
+        n_changed = updated.filter("_changed").count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )

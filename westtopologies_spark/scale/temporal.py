@@ -1,0 +1,220 @@
+"""Temporal / time-series operators: sessionization, as-of joins,
+range (interval) joins, ordered moving statistics.
+
+The reference engine has no analytic temporal operators beyond the
+data-driven buffer (SURVEY.md §2.6/§2.10 — its only "windows" are the
+10-minute stream buffers of ``DiscussionTreeBolt.java:45-51`` and the
+count-buffer of ``TopicModelBolt.java:87-99``); these are the
+first-class extensions a training-data / event-analytics pipeline
+needs at 100 TB, designed Spark-first:
+
+- every window partitions by a key (``user_id``) — no global windows,
+  so state and sort both scale out with the key cardinality;
+- the as-of join is the union-and-carry-forward formulation (one
+  shuffle + one per-key sort) rather than an inequality join, whose
+  intermediate explodes as |left|x|right| per key;
+- the interval join pre-keys both sides on coarse time buckets so the
+  planner gets an equi-join (hash, AQE-skew-splittable) and the exact
+  range predicate only filters within candidate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# gap that closes a session (seconds) — mirrors the reference's
+# 10-minute data-driven buffer deadline (DiscussionTreeBolt.java:49),
+# generalized to per-key gap sessions
+SESSION_GAP_S = 30 * 60
+
+# interval-join bucket width; also the default window length
+RANGE_BUCKET_S = 5 * 60
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int = SESSION_GAP_S,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): a new session
+    starts whenever the time since the key's previous event exceeds
+    ``gap_s``.  Returns one row per (key, session) with start/end,
+    event count and value sum.
+
+    Scale: both windows partition by ``key`` — the sort is local to a
+    hash partition and never funnels through a single task.  This is
+    the batch analog of ``F.session_window`` (which is kept for the
+    streaming path); the explicit formulation also yields the
+    session *index* per key, which session_window does not expose.
+    """
+    w = Window.partitionBy(key).orderBy(ts, "event_id")
+    prev = F.lag(ts).over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts)) - F.unix_timestamp(prev) > gap_s)
+    ).cast("long")
+    sess = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy(key, "session_id").agg(
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_cols: tuple[str, ...] = ("event_id", "ts", "value"),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for every ``left`` row, attach the most
+    recent ``right`` row with the same ``key`` and ``right.ts <=
+    left.ts`` (ties on ts broken by the largest right event_id —
+    deterministic).  Left rows with no prior right row keep nulls.
+
+    Implementation is the scalable union-and-carry-forward plan:
+    union both sides on (key, ts), sort per key, and carry the last
+    non-null right-side payload forward with
+    ``last(..., ignorenulls=True)``.  Cost is one shuffle on ``key``
+    plus a per-partition sort — O(n log n) per key — versus the
+    naive inequality join whose candidate set is |L|x|R| per key.
+    Right rows sort BEFORE left rows at an equal timestamp (side=0
+    < side=1) so an exactly-simultaneous right row is visible, which
+    matches the <= predicate.
+    """
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(key),
+        F.col(ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_payload"),
+        F.col("event_id").alias("_order_id"),
+    )
+    # align columns explicitly: left keeps all its columns, right side
+    # carries nulls for them
+    left_cols = list(left.columns)
+    r_full = r.select(
+        key,
+        "_t",
+        "_side",
+        "_payload",
+        "_order_id",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols if c != key],
+    )
+    l_full = left.select(
+        key,
+        F.col(ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        F.col("event_id").alias("_order_id"),
+        *[F.col(c) for c in left_cols if c != key],
+    )
+    u = r_full.unionByName(l_full)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side", "_order_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        *left_cols,
+        *[F.col(f"_asof.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    window_s: int = RANGE_BUCKET_S,
+    bucket_s: int = RANGE_BUCKET_S,
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Range (interval) join: pairs (l, r) with the same ``key`` and
+    ``l.ts < r.ts <= l.ts + window_s``.
+
+    Scale strategy: an inequality join alone forces a per-key
+    nested-loop over |L|x|R|.  Instead each left row *expands* to the
+    ceil(window_s/bucket_s)+1 coarse time buckets its window can
+    touch (a bounded explode), the right side is bucketed exactly
+    once, and the join is a hash equi-join on (key, bucket) with the
+    precise range predicate applied as a post-filter.  Candidate
+    fan-out is bounded by the bucket width, independent of data
+    volume, and AQE can split skewed (key, bucket) pairs.
+    """
+    n_buckets = window_s // bucket_s + 1
+    l = left.select(
+        F.col(key),
+        F.col("event_id").alias(f"{left_prefix}event_id"),
+        F.col(ts).alias(f"{left_prefix}ts"),
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(ts) / bucket_s).cast("long"),
+                (F.unix_timestamp(ts) / bucket_s).cast("long") + n_buckets - 1,
+            )
+        ).alias("_bucket"),
+    )
+    r = right.select(
+        F.col(key),
+        F.col("event_id").alias(f"{right_prefix}event_id"),
+        F.col(ts).alias(f"{right_prefix}ts"),
+        (F.unix_timestamp(ts) / bucket_s).cast("long").alias("_bucket"),
+    )
+    lt, rt = F.col(f"{left_prefix}ts"), F.col(f"{right_prefix}ts")
+    return (
+        l.join(r, [key, "_bucket"])
+        .filter(
+            (F.unix_timestamp(rt) > F.unix_timestamp(lt))
+            & (F.unix_timestamp(rt) <= F.unix_timestamp(lt) + window_s)
+        )
+        .select(
+            key,
+            f"{left_prefix}event_id",
+            f"{left_prefix}ts",
+            f"{right_prefix}event_id",
+            f"{right_prefix}ts",
+            (F.unix_timestamp(rt) - F.unix_timestamp(lt)).alias("delta_s"),
+        )
+    )
+
+
+def moving_stats(
+    events: DataFrame,
+    n: int = 5,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key ordered moving statistics: ``n``-row trailing mean of
+    ``value`` (current row + n-1 preceding) and the delta vs the
+    previous event.  One shuffle on ``key``; the frame is row-based
+    so no range scan is needed."""
+    w = Window.partitionBy(key).orderBy(ts, "event_id")
+    frame = w.rowsBetween(-(n - 1), Window.currentRow)
+    return events.select(
+        key,
+        "event_id",
+        F.col(ts),
+        F.round(F.avg(value).over(frame), 4).alias("moving_avg"),
+        F.round(
+            F.col(value) - F.lag(value).over(w), 4
+        ).alias("delta_prev"),
+        (
+            F.unix_timestamp(F.col(ts))
+            - F.unix_timestamp(F.lag(ts).over(w))
+        ).alias("gap_s"),
+    )

@@ -1,0 +1,136 @@
+"""Training-data preparation operators: document chunking with
+overlap, sequence packing, and deterministic stratified sampling.
+
+These extend the reference's text pipeline (SURVEY.md §2.8 — its
+prep stops at tokenize/stem/dictionary-encode, ``TweetIndexBolt.
+java:143-186``) with the corpus-shaping steps an LLM pretraining
+pipeline runs at 100 TB.  All three are pure built-in expressions
+(whole-stage codegen; no Python in the hot path) and every random
+choice is a deterministic integer hash so the oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import constants as C
+
+# --- chunking ------------------------------------------------------------
+CHUNK_SIZE = 200  # chars per chunk
+CHUNK_STRIDE = 150  # start-to-start distance => 50-char overlap
+
+# --- packing -------------------------------------------------------------
+PACK_BUDGET = 256  # whitespace tokens per packed sequence
+
+# --- sampling ------------------------------------------------------------
+SAMPLE_SALT = 12345
+# per-mille keep rates by language: downsample the dominant language,
+# keep the tail (the classic pretraining rebalance)
+SAMPLE_RATE_PER_MILLE = {"en": 250, "de": 800, "es": 800, "fr": 800, "zh": 800}
+SAMPLE_DEFAULT_PER_MILLE = 500
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    ``size - stride`` overlap (context-window shaping).  Chunk k
+    covers 1-indexed positions [1 + k*stride, 1 + k*stride + size).
+    Every document yields at least one chunk; a final shorter tail
+    chunk is kept.
+
+    The explode is bounded (n_chars/stride per row) and per-row
+    independent — no shuffle at all: the plan is scan -> generate ->
+    project, perfectly partition-parallel at any scale.
+    """
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride))
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(starts).alias("chunk_id", "start"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(F.col("text"), F.col("start"), size).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    group: str = "source",
+) -> DataFrame:
+    """Streaming concat-and-split sequence packing (GPT-style): within
+    each ``group``, documents are laid end-to-end in doc_id order and
+    cut into fixed ``budget``-token bins; a document is assigned to
+    the bin where its first token lands.  Returns per-bin occupancy
+    (n_docs, sum_tokens, fill).
+
+    The running sum partitions by ``group`` — packing parallelism is
+    the group count (sources/shards at real scale), and each window
+    sort is partition-local.  This is the deterministic, shuffle-
+    minimal alternative to first-fit-decreasing bin packing, and is
+    what large pretraining pipelines actually do (pack then split).
+    """
+    toks = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_bin = docs.select(
+        F.col(group).alias("grp"),
+        "doc_id",
+        toks.alias("n_tokens"),
+    ).withColumn(
+        "bin_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("long"),
+    )
+    return with_bin.groupBy("grp", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)), 4).alias("fill"),
+    )
+
+
+def sample_hash_col(id_col: str = "doc_id") -> F.Column:
+    """Deterministic per-row sampling hash in [0, 1000): pure int64
+    arithmetic (same expression is emitted into the oracle SQL), so
+    the sample is reproducible across engines and runs — unlike
+    ``rand()``, whose stream depends on partitioning."""
+    h = (F.col(id_col) * C.SIMHASH_A + SAMPLE_SALT) % C.FP_P
+    return (h % 1000).cast("long")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = SAMPLE_DEFAULT_PER_MILLE,
+    strata: str = "lang",
+) -> DataFrame:
+    """Deterministic stratified (per-language) downsampling: keep a
+    row iff hash(doc_id) mod 1000 < rate_per_mille(lang).  The rate
+    table rebalances the corpus (downsample the head language, keep
+    the tail) — the standard pretraining language-mix step.
+
+    No shuffle: the keep decision is a per-row expression; the strata
+    rates are a literal CASE (broadcast-free).  Exactness of the
+    realized fraction follows the hash uniformity, not a per-
+    partition RNG, so results are stable under repartitioning.
+    """
+    rates = SAMPLE_RATE_PER_MILLE if rates is None else rates
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata) == k, F.lit(v)).otherwise(rate)
+    return (
+        docs.withColumn("sample_bucket", sample_hash_col())
+        .withColumn("keep_rate", rate.cast("long"))
+        .filter(F.col("sample_bucket") < F.col("keep_rate"))
+    )
