@@ -1,0 +1,124 @@
+"""Semantics tests for the aggregate-statistics, versioning, and
+tf-idf operators on tiny constructed frames (full-table parity is the
+oracle harness's job)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from westtopologies_spark.scale import aggstats as A
+from westtopologies_spark.scale import textstats as TX
+from westtopologies_spark.scale import versioning as V
+
+
+def test_group_percentiles_matches_numpy(spark):
+    import numpy as np
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.0, 3.5]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    out = {
+        r["p"]: r["pct_value"]
+        for r in A.group_percentiles(df, "v", ["k"], ps=(0.5, 0.9)).collect()
+    }
+    assert out[0.5] == pytest.approx(
+        float(np.percentile(vals, 50)), abs=1e-4
+    )
+    assert out[0.9] == pytest.approx(
+        float(np.percentile(vals, 90)), abs=1e-4
+    )
+
+
+def test_group_percentiles_single_row_group(spark):
+    df = spark.createDataFrame([("a", 7.0), ("b", 1.0), ("b", 2.0)], ["k", "v"])
+    out = {
+        (r["k"], r["p"]): r["pct_value"]
+        for r in A.group_percentiles(df, "v", ["k"], ps=(0.5,)).collect()
+    }
+    assert out[("a", 0.5)] == 7.0
+    assert out[("b", 0.5)] == 1.5
+
+
+def test_histogram_bins_and_extremes(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [0.0, 10.0, 24.9, 25.0, 70.0]], ["v"]
+    )
+    rows = {r["bin"]: r for r in A.histogram(df, "v", width=25.0).collect()}
+    assert rows[0]["n_rows"] == 3 and rows[0]["bin_max"] == 24.9
+    assert rows[1]["n_rows"] == 1 and rows[1]["bin_min"] == 25.0
+    assert rows[2]["n_rows"] == 1
+
+
+def test_heavy_hitters_order_and_ties(spark):
+    df = spark.createDataFrame(
+        [("b b a a c a",), ("c b x",)], ["text"]
+    )
+    rows = A.heavy_hitters(df, k=3).collect()
+    assert [(r["token"], r["n_occurrences"]) for r in rows] == [
+        ("a", 3),
+        ("b", 3),  # tie with a -> token asc
+        ("c", 2),
+    ]
+
+
+def test_hll_distinct_error_bound(spark, sf_dir):
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    approx = {
+        r["lang"]: r["approx_distinct"]
+        for r in A.hll_distinct(docs, ["lang"], "doc_id").collect()
+    }
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for lang, n in exact.items():
+        assert abs(approx[lang] - n) <= max(3, 0.15 * n)
+
+
+def test_snapshot_diff_ops(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in V.snapshot_diff(old, new).collect()}
+    assert set(out) == {1, 3, 4}  # 2 unchanged -> dropped
+    assert out[1]["op"] == "delete" and out[1]["new_len"] is None
+    assert out[3]["op"] == "update" and out[3]["new_len"] == 2
+    assert out[4]["op"] == "insert" and out[4]["old_len"] is None
+
+
+def test_synthetic_snapshots_slots(spark, sf_dir):
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old, new = V.synthetic_snapshots(docs)
+    diff = V.snapshot_diff(old, new)
+    by_op = {r["op"]: r["n"] for r in diff.groupBy("op").count().withColumnRenamed("count", "n").collect()}
+    n = docs.count()
+    # each residue class holds ~n/20 ids
+    for op in ("insert", "delete", "update"):
+        assert by_op[op] == pytest.approx(n / V.SNAP_MOD, rel=0.5)
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    # 'rare' appears once in doc 1; 'common' appears in all docs ->
+    # idf(common) = ln(4/4) = 0, so 'rare' must outrank it
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common x"), (3, "common y")],
+        ["doc_id", "text"],
+    )
+    rows = TX.tfidf_top_terms(df, top=1).collect()
+    top = {r["doc_id"]: r for r in rows}
+    assert top[1]["term"] == "rare"
+    expected = round(1 * math.log((3 + 1) / (1 + 1)), 6)
+    assert top[1]["score"] == pytest.approx(expected, abs=1e-6)

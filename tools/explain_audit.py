@@ -57,7 +57,9 @@ SINGLE_GROUP_OK = {"w1_exact_windows", "a4_tercile_boundaries", "a3_role_feature
 # physical plan; the keyed (community_col) role variant replaces it
 # with an equi join.
 SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
-                       "a3_role_assignment"}
+                       "a3_role_assignment",
+                       # corpus-size N (1 row) joined onto tf-idf scores
+                       "tx_tfidf"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -361,6 +361,249 @@ def _components_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# aggregate statistics: percentiles / histogram / heavy hitters / HLL
+# ---------------------------------------------------------------------------
+
+
+def _percentiles_sql() -> str:
+    from .scale import aggstats as A
+
+    ps = ", ".join(f"CAST({p} AS DOUBLE)" for p in A.PERCENTILES)
+    idx = "(1 + (n - 1) * p)"
+    return f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+             row_number() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    x AS (
+      SELECT r.*, ps.p FROM ranked r
+      CROSS JOIN (SELECT unnest([{ps}]) AS p) ps
+    ),
+    b AS (
+      SELECT o_orderpriority, p,
+             CASE WHEN floor({idx}) = ceil({idx}) THEN v
+                  WHEN rn = floor({idx})
+                    THEN v * (1 - ({idx} - floor({idx})))
+                  ELSE v * ({idx} - floor({idx})) END AS part
+      FROM x WHERE rn = floor({idx}) OR rn = ceil({idx})
+    )
+    SELECT o_orderpriority, p, round(sum(part), 4) AS pct_value
+    FROM b GROUP BY 1, 2
+    """
+
+
+@_register(
+    "ag_percentiles",
+    _percentiles_sql(),
+    doc="Exact p50/p90/p99 of order value per priority class, via the "
+    "rank-based interpolation plan (row-number windows + boundary-row "
+    "filter) — O(1) memory per row, unlike built-in percentile's "
+    "per-group value buffer, so groups can be arbitrarily large. "
+    "Aggregate-statistics extension.",
+)
+def ag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.group_percentiles(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+@_register(
+    "ag_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+           count(*) AS n_rows,
+           round(min(o_totalprice), 2) AS bin_min,
+           round(max(o_totalprice), 2) AS bin_max
+    FROM orders GROUP BY 1
+    """,
+    doc="Equi-width value histogram (25k-wide bins of order value): "
+    "map-side binning + partial aggregation, shuffle carries one row "
+    "per (task, bin). Aggregate-statistics extension.",
+)
+def ag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.histogram(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def _hh_sql() -> str:
+    from .scale import aggstats as A
+
+    return f"""
+    SELECT token, count(*) AS n_occurrences
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+          FROM documents) t
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT {A.HEAVY_HITTER_K}
+    """
+
+
+@_register(
+    "ag_heavy_hitters",
+    _hh_sql(),
+    doc="Exact corpus-wide top-20 tokens: map-side-combined count + "
+    "per-partition TakeOrdered top-k merge (no global sort, no "
+    "single-partition window), deterministic tie-break. "
+    "Aggregate-statistics extension.",
+)
+def ag_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ag_hll_distinct",
+    None,  # sketch estimates are engine-specific: rows-only check;
+    # tests/test_aggstats.py bounds the relative error vs exact
+    doc="HyperLogLog++ distinct doc count per language "
+    "(approx_count_distinct, rsd 5%): mergeable constant-memory "
+    "sketch — the only viable NDV at 100 TB. Rows-only oracle by "
+    "design; error-bound-tested against the exact count. "
+    "Aggregate-statistics extension.",
+)
+def ag_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.hll_distinct(_t(spark, sf_dir, "documents"), ["lang"], "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dataset versioning: snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def _diff_sql() -> str:
+    from .scale import versioning as V
+
+    m, i, d, u = V.SNAP_MOD, V.INSERT_SLOT, V.DELETE_SLOT, V.UPDATE_SLOT
+    return f"""
+    WITH old AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {m} <> {i}
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {m} = {u} THEN text || ' [rev]'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % {m} <> {d}
+    ),
+    j AS (
+      SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+             old.text AS o, new.text AS n
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN o IS NULL THEN 'insert'
+                WHEN n IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           length(o) AS old_len, length(n) AS new_len
+    FROM j
+    WHERE o IS NULL OR n IS NULL OR o IS DISTINCT FROM n
+    """
+
+
+@_register(
+    "dv_snapshot_diff",
+    _diff_sql(),
+    doc="CDC-style snapshot diff: insert/delete/update change set "
+    "between two deterministic corpus versions via one null-safe "
+    "full-outer join on the key — the primitive a lakehouse MERGE / "
+    "incremental-dedup feed is built from; bucket both snapshots by "
+    "key to make the join shuffle-free. Versioning extension.",
+)
+def dv_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import versioning as V
+
+    old, new = V.synthetic_snapshots(_t(spark, sf_dir, "documents"))
+    return V.snapshot_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# tf-idf
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_sql() -> str:
+    from .scale import textstats as TX
+
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln((n_docs + 1) / (df + 1)), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, rank
+    FROM ranked WHERE rank <= {TX.TFIDF_TOP_TERMS}
+    """
+
+
+@_register(
+    "tx_tfidf",
+    _tfidf_sql(),
+    doc="Top-3 tf-idf terms per document (score = tf*ln((N+1)/(df+1)), "
+    "ranked on the rounded score for cross-engine determinism): "
+    "map-side-combined term counts, hash-joined document frequencies "
+    "(AQE-splittable on stopword-hot terms), per-doc top-k window. "
+    "Extends the reference's tf-only term index "
+    "(TweetIndexBolt.java:143-186). Text-analysis extension.",
+)
+def tx_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import textstats as TX
+
+    return TX.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# anti join
+# ---------------------------------------------------------------------------
+
+
+ANTI_JOIN_PRICE = 300_000.0
+
+
+@_register(
+    "j7_anti_join",
+    f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_totalprice > {ANTI_JOIN_PRICE})
+    """,
+    doc="Anti join (customers with no high-value order): left_anti "
+    "hash join with the build-side filter pushed to the orders scan — "
+    "completes the join-shape matrix next to j4's left_semi "
+    "(PropertyFilterBolt.java:62-78 is the reference's only "
+    "existence check). Join extension.",
+)
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > ANTI_JOIN_PRICE
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
 @_register(
     "dd_cluster_components",
     _components_sql(),

@@ -1,0 +1,130 @@
+"""Distributed aggregate statistics: exact rank-based percentiles,
+equi-width histograms, exact heavy hitters, and HyperLogLog distinct
+sketches.
+
+The reference engine's aggregation surface stops at count/sum
+buffers (SURVEY.md §2.7 — ``TopicModelBolt.java:87-99`` count maps);
+these are the statistics a 100 TB profiling / quality pass actually
+runs.  Design notes:
+
+- ``group_percentiles`` is the *rank-based* exact formulation (one
+  sort shuffle + row-number windows, O(1) memory per row) rather
+  than Spark's built-in ``percentile``, whose ObjectHashAggregate
+  buffers every value of a group in executor memory — the built-in
+  dies on a billion-row group, the window plan does not.
+- ``heavy_hitters`` relies on partial aggregation (map-side combine)
+  so the shuffle carries one row per distinct key per task, then a
+  TakeOrdered top-k — never a single-partition global window.
+- ``hll_distinct`` is the sketch path (``approx_count_distinct``,
+  HyperLogLog++): mergeable, constant memory, the only viable
+  distinct count at 100 TB.  It is deliberately rows-only in the
+  oracle catalog (sketch estimates are engine-specific); the test
+  suite bounds its relative error against the exact count instead.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PERCENTILES: tuple[float, ...] = (0.5, 0.9, 0.99)
+HISTOGRAM_WIDTH = 25_000.0  # o_totalprice bin width
+HEAVY_HITTER_K = 20
+HLL_RSD = 0.05  # target relative standard deviation for the sketch
+
+
+def group_percentiles(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    ps: Sequence[float] = PERCENTILES,
+) -> DataFrame:
+    """Exact linear-interpolated percentiles (``quantile_cont``
+    semantics: index ``1 + (n-1)*p``, 1-based) per key group,
+    returned long-form as (keys..., p, pct_value).
+
+    Plan: one shuffle on ``keys`` feeding two windows (row_number +
+    count), a bounded explode of the percentile list, a filter down
+    to the two boundary rows per (group, p), and a tiny final
+    aggregation.  Peak memory is O(1) per row — no per-group value
+    buffering — so a group can hold a billion rows.  Parallelism is
+    the key cardinality; for very-low-cardinality keys prefer a
+    two-phase histogram refinement (same idea as ``histogram``).
+    """
+    w = Window.partitionBy(*keys).orderBy(value)
+    ranked = df.select(
+        *keys,
+        F.col(value).cast("double").alias("_v"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    # bounded explode: |ps| rows per input row, filtered immediately
+    exploded = ranked.withColumn(
+        "p", F.explode(F.array(*[F.lit(float(p)) for p in ps]))
+    )
+    idx = F.lit(1.0) + (F.col("_n") - 1) * F.col("p")
+    lo, hi = F.floor(idx), F.ceil(idx)
+    frac = idx - lo
+    boundary = exploded.filter(
+        (F.col("_rn") == lo) | (F.col("_rn") == hi)
+    ).select(
+        *keys,
+        "p",
+        F.when(lo == hi, F.col("_v"))  # exact index: single full row
+        .when(F.col("_rn") == lo, F.col("_v") * (F.lit(1.0) - frac))
+        .otherwise(F.col("_v") * frac)
+        .alias("_part"),
+    )
+    return boundary.groupBy(*keys, "p").agg(
+        F.round(F.sum("_part"), 4).alias("pct_value")
+    )
+
+
+def histogram(
+    df: DataFrame, value: str, width: float = HISTOGRAM_WIDTH
+) -> DataFrame:
+    """Equi-width histogram of ``value``: (bin, n_rows, bin_min,
+    bin_max) with bin = floor(value / width).  Pure map + one partial
+    aggregation — the shuffle carries one row per (task, bin)."""
+    bin_ = F.floor(F.col(value) / F.lit(float(width))).alias("bin")
+    return df.groupBy(bin_).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min(value), 2).alias("bin_min"),
+        F.round(F.max(value), 2).alias("bin_max"),
+    )
+
+
+def heavy_hitters(
+    docs: DataFrame, k: int = HEAVY_HITTER_K
+) -> DataFrame:
+    """Exact corpus-wide top-``k`` most frequent word tokens:
+    (token, n_occurrences), deterministically tie-broken (count
+    desc, token asc).
+
+    explode -> groupBy(token) benefits from map-side combine (the
+    shuffle is the distinct-token count, not the occurrence count);
+    the global top-k is orderBy+limit, which Spark executes as
+    per-partition TakeOrdered + a k-row driver merge — no global
+    sort and no single-partition window."""
+    toks = F.explode(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    ).alias("token")
+    return (
+        docs.select(toks)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def hll_distinct(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per key group:
+    (keys..., approx_distinct).  Constant memory, mergeable across
+    partitions — the 100 TB path for NDV; see module docstring for
+    why this is rows-only in the oracle catalog."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(col, rsd=HLL_RSD).alias("approx_distinct")
+    )

@@ -10,7 +10,7 @@ JVM-side at full scan speed on the 100 TB path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import constants as C
@@ -99,3 +99,50 @@ def fingerprints(
         lambda acc, t: (acc * C.FP_MULT + t) % C.FP_P,
     )
     return ids.select("doc_id", fp.alias("fingerprint"))
+
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_top_terms(docs: DataFrame, top: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """Top-``top`` terms per document by tf-idf:
+    (doc_id, term, tf, df, score), score = tf * ln((N+1)/(df+1))
+    rounded 6dp; rank ties broken by term asc on the ROUNDED score so
+    the selection is deterministic across engines.
+
+    Three aggregations, all key-partitioned: term counts per doc
+    (shuffle on (doc, term), map-side combined), document frequency
+    per term (shuffle on term), and a per-doc top-k window (shuffle
+    on doc).  The corpus size N is a 1-row broadcast; the df table
+    joins back on term — at 100 TB that join is the big one and is a
+    plain hash equi-join, AQE-splittable on hot terms (stopwords).
+    """
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("_n") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

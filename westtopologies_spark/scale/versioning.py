@@ -1,0 +1,73 @@
+"""Dataset-versioning operators: snapshot diff (CDC-style
+insert/update/delete detection between two versions of a table).
+
+A training-data pipeline re-crawls and re-filters continuously; the
+diff between consecutive corpus snapshots is what feeds incremental
+dedup/re-train jobs downstream.  The reference has no versioning
+story (its state lives in transient bolt buffers, SURVEY.md §2.10);
+this is the batch primitive a lakehouse MERGE is built from.
+
+Scale: the diff is a single full-outer sort-merge join on the
+primary key.  On a real deployment both snapshots would be written
+bucketed by ``doc_id`` (see ``scale.layout.write_bucketed``), which
+turns the join shuffle-free; content comparison uses a fingerprint
+column rather than the payload when rows are wide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic synthetic snapshots, derived from doc_id so the
+# DuckDB oracle can replay them exactly:
+#   h = doc_id % 20
+#   old snapshot: rows with h != 0          (h == 0 missing -> INSERTed later)
+#   new snapshot: rows with h != 1          (h == 1 dropped  -> DELETEd)
+#                 text of h == 2 rows gets a ' [rev]' suffix  -> UPDATEd
+SNAP_MOD = 20
+INSERT_SLOT = 0
+DELETE_SLOT = 1
+UPDATE_SLOT = 2
+
+
+def synthetic_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Derive the deterministic (old, new) snapshot pair described in
+    the module constants from one ``documents`` table."""
+    h = F.col("doc_id") % SNAP_MOD
+    old = docs.filter(h != INSERT_SLOT).select("doc_id", "text")
+    new = docs.filter(h != DELETE_SLOT).select(
+        "doc_id",
+        F.when(h == UPDATE_SLOT, F.concat(F.col("text"), F.lit(" [rev]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return old, new
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Change set between two snapshots keyed by ``key``: one row per
+    changed key with op in {insert, delete, update} and the old/new
+    payload lengths.  Unchanged rows are dropped.
+
+    One full-outer join on the key; comparison is null-safe so a
+    null payload never masquerades as a change.
+    """
+    o = old.select(F.col(key), F.col("text").alias("_old"))
+    n = new.select(F.col(key), F.col("text").alias("_new"))
+    j = o.join(n, key, "full_outer")
+    op = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            key,
+            "op",
+            F.length("_old").alias("old_len"),
+            F.length("_new").alias("new_len"),
+        )
+    )
