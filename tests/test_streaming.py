@@ -316,3 +316,53 @@ def test_location_topic_model_stream_matches_batch(spark, tmp_path_factory):
         for r in results
     }
     assert got == expect and len(got) == 3
+
+
+def test_gap_session_stream_matches_batch_sessionize(spark, sf_dir, tmp_path_factory):
+    """Streaming session_window == batch scale.temporal.sessionize on
+    the same events (stream end = batch max-ts + gap). A far-future
+    sentinel event in the last file advances the watermark so every
+    real session is closed and emitted."""
+    import pandas as pd
+
+    from westtopologies_spark.scale.temporal import sessionize
+    from westtopologies_spark.streaming.stateful import gap_session_stream
+
+    out = str(tmp_path_factory.mktemp("sess_stream"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    cols = ["event_id", "ts", "user_id", "value"]
+    pdf = ev.select(*cols).toPandas().sort_values("event_id")
+    for i, lo in enumerate(range(0, 300, 150)):
+        chunk = pdf[(pdf.event_id >= lo) & (pdf.event_id < lo + 150)]
+        p = os.path.join(out, f"part-{i}.parquet")
+        chunk.to_parquet(p, index=False, coerce_timestamps="us",
+                         allow_truncated_timestamps=True)
+        os.utime(p, (time.time() - 100 + i * 10,) * 2)
+    sentinel = pd.DataFrame(
+        {"event_id": [10_000], "ts": [pdf.ts.max() + pd.Timedelta(days=2)],
+         "user_id": [-1], "value": [0.0]}
+    )
+    p = os.path.join(out, "part-z.parquet")
+    sentinel.to_parquet(p, index=False, coerce_timestamps="us",
+                        allow_truncated_timestamps=True)
+    os.utime(p, (time.time(),) * 2)
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(out)
+    got = _run_stream(spark, gap_session_stream(src), "sess_out")
+    g = {
+        tuple(r)
+        for r in got.filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+    }
+    batch = sessionize(ev).select(
+        "user_id",
+        "session_start",
+        (F.col("session_end") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    e = {tuple(r) for r in batch.collect()}
+    assert g == e
+    assert len(g) > 0

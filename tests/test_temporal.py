@@ -174,3 +174,47 @@ def test_stratified_sample_deterministic_and_rebalanced(spark, sf_dir):
         rate = TP.SAMPLE_RATE_PER_MILLE.get(r["lang"], TP.SAMPLE_DEFAULT_PER_MILLE)
         # realized fraction within +-0.25 absolute of the target rate
         assert abs(r["count"] / orig[r["lang"]] - rate / 1000) < 0.25
+
+
+def test_funnel_requires_step_order(spark):
+    # user 1: view -> click -> purchase (full funnel)
+    # user 2: click before its view, purchase after -> click must NOT
+    #         count (no prior view), so funnel stalls at step 1... but
+    #         a later click after the view resumes it
+    # user 3: purchase only -> excluded (no view)
+    ev = _ev(
+        spark,
+        [
+            (1, 1, 0, "view", 1.0),
+            (2, 1, 10, "click", 1.0),
+            (3, 1, 20, "purchase", 5.0),
+            (4, 2, 0, "click", 1.0),
+            (5, 2, 10, "view", 1.0),
+            (6, 2, 20, "purchase", 9.0),
+            (7, 3, 0, "purchase", 2.0),
+        ],
+    )
+    out = {r["user_id"]: r for r in T.funnel(ev).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["total_delay_s"] == 20
+    # user 2's only click precedes its view -> no qualified click, so
+    # the purchase cannot qualify either
+    assert out[2]["steps_completed"] == 1
+    assert out[2]["t_click"] is None and out[2]["t_purchase"] is None
+
+
+def test_funnel_click_resumes_after_view(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, 0, "click", 1.0),
+            (2, 1, 10, "view", 1.0),
+            (3, 1, 20, "click", 1.0),
+            (4, 1, 30, "purchase", 1.0),
+        ],
+    )
+    r = T.funnel(ev).collect()[0]
+    assert r["steps_completed"] == 3
+    # the qualified click is the one AFTER the view
+    assert r["t_click"] == T0 + timedelta(seconds=20)

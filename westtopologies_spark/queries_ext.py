@@ -362,6 +362,127 @@ def _components_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# funnel analysis
+# ---------------------------------------------------------------------------
+
+
+def _funnel_sql() -> str:
+    run = (
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),
+    s0 AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts END) {run} AS run0
+      FROM e
+    ),
+    s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'click'
+                          AND run0 IS NOT NULL THEN ts END) {run} AS run1
+      FROM s0
+    ),
+    agg AS (
+      SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        min(CASE WHEN event_type = 'click'
+                  AND run0 IS NOT NULL THEN ts END) AS t_click,
+        min(CASE WHEN event_type = 'purchase'
+                  AND run1 IS NOT NULL THEN ts END) AS t_purchase
+      FROM s1 GROUP BY user_id
+    )
+    SELECT user_id, t_view, t_click, t_purchase,
+           CAST(t_view IS NOT NULL AS BIGINT)
+             + CAST(t_click IS NOT NULL AS BIGINT)
+             + CAST(t_purchase IS NOT NULL AS BIGINT) AS steps_completed,
+           CAST(floor(epoch(t_purchase)) AS BIGINT)
+             - CAST(floor(epoch(t_view)) AS BIGINT) AS total_delay_s
+    FROM agg WHERE t_view IS NOT NULL
+    """
+
+
+@_register(
+    "ts_funnel",
+    _funnel_sql(),
+    doc="Ordered conversion funnel (view -> click -> purchase) per "
+    "user: step i qualifies only after a step i-1 chain completed — "
+    "computed with running-min windows over ONE partition/sort of the "
+    "event table (no joins, no self-unions; one shuffle total, and "
+    "the final per-key reduction reuses the same hash partitioning). "
+    "Event-analytics extension.",
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.funnel(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# window ranking family
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "wn_ntile_cume",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution-ranking window family (ntile / percent_rank / "
+    "cume_dist) per priority class, totally ordered for cross-engine "
+    "determinism. One key-partitioned sort serves all three. "
+    "Window extension.",
+)
+def wn_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom aggregate (Pandas UDAF)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ud_geomean",
+    """
+    SELECT o_orderpriority,
+           round(exp(avg(ln(CASE WHEN o_totalprice > 0
+                                 THEN o_totalprice END))), 4) AS geomean
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Geometric mean of order value per priority via a custom "
+    "grouped-agg Pandas UDAF (Arrow-batched, slots into groupBy like "
+    "a built-in). Documents the trade-off: the UDAF path skips "
+    "map-side partial aggregation, so prefer the algebraic "
+    "exp(avg(ln x)) form — which the oracle uses — when the "
+    "aggregate decomposes. Custom-function extension.",
+)
+def ud_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.udafs import geometric_mean
+
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.round(geometric_mean("o_totalprice"), 4).alias("geomean"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # aggregate statistics: percentiles / histogram / heavy hitters / HLL
 # ---------------------------------------------------------------------------
 

@@ -192,6 +192,74 @@ def interval_join(
     )
 
 
+FUNNEL_STEPS: tuple[str, ...] = ("view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each key, the earliest time it
+    completed step i *after* (or at) its step-i-1 completion time —
+    the classic view -> click -> purchase conversion measurement.
+    Returns (key, t_<step>..., steps_completed, total_delay_s) for
+    keys that completed step 1; a step's timestamp is null when the
+    funnel stalled before it.
+
+    Single-shuffle plan: one window partition/sort on ``key`` serves
+    every step — step i's qualifier is a *running* min of step-i-1
+    completion times (rows-between window), so a step-i event
+    qualifies iff some step-i-1 chain completed at or before it.
+    The per-step completion time is then a full-partition min over
+    qualifying rows, and the final per-key reduction reuses the same
+    hash partitioning (no second exchange).  No joins, no
+    self-unions — at 100 TB the funnel costs exactly one sort
+    shuffle of the event table.
+    """
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(ts, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key)
+    df = events
+    prev_run: Column | None = None
+    step_cols = []
+    for i, step in enumerate(s.lower() for s in steps):
+        qual = F.col("event_type") == step
+        if prev_run is not None:
+            qual = qual & prev_run.isNotNull()
+        # running min of qualifying completion times, visible to
+        # later rows in the same pass
+        run_col = f"_run_{i}"
+        df = df.withColumn(
+            run_col, F.min(F.when(qual, F.col(ts))).over(w_run)
+        )
+        step_col = f"t_{step}"
+        df = df.withColumn(
+            step_col, F.min(F.when(qual, F.col(ts))).over(w_all)
+        )
+        prev_run = F.col(run_col)
+        step_cols.append(step_col)
+    completed = sum(
+        (F.max(c).isNotNull().cast("long") for c in step_cols), F.lit(0)
+    )
+    first, last = step_cols[0], step_cols[-1]
+    return (
+        df.groupBy(key)
+        .agg(
+            *[F.max(c).alias(c) for c in step_cols],
+            completed.alias("steps_completed"),
+            (
+                F.unix_timestamp(F.max(last)) - F.unix_timestamp(F.max(first))
+            ).alias("total_delay_s"),
+        )
+        .filter(F.col(first).isNotNull())
+    )
+
+
 def moving_stats(
     events: DataFrame,
     n: int = 5,

@@ -286,3 +286,34 @@ def aligned_window_rollup_stream(
             "sum_value",
         )
     )
+
+
+def gap_session_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming gap-based sessionization: Spark's native
+    ``session_window`` (dynamic-gap merge inside the streaming state
+    store) — the streaming counterpart of the batch
+    ``scale.temporal.sessionize``; a parity test pins the two to the
+    same (key, start, end, count, sum) results.  State is keyed by
+    (key, session), so it shards across executors; the watermark
+    bounds state by evicting sessions whose close is final."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
