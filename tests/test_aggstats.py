@@ -122,3 +122,87 @@ def test_tfidf_prefers_rare_terms(spark):
     assert top[1]["term"] == "rare"
     expected = round(1 * math.log((3 + 1) / (1 + 1)), 6)
     assert top[1]["score"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_redact_masks_pii(spark):
+    from westtopologies_spark.scale.trainprep import redact
+
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@example.co.uk now",),
+            ("call +1 (555) 123-4567 today",),
+            ("order 1234 of 5",),
+            ("clean text",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(redact("text")).collect()]
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> today"
+    assert got[2] == "order # of #"
+    assert got[3] == "clean text"
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from westtopologies_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        (r["o_orderpriority"], r["p"]): r["pct_value"]
+        for r in A.group_percentiles(
+            orders, "o_totalprice", ["o_orderpriority"]
+        ).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["approx_pcts"]
+        for r in A.approx_group_percentiles(
+            orders, "o_totalprice", ["o_orderpriority"]
+        ).collect()
+    }
+    for (k, p), v in exact.items():
+        i = list(A.APPROX_PERCENTILES).index(p)
+        assert approx[k][i] == pytest.approx(v, rel=0.05)
+
+
+def test_incremental_minhash_consistent_with_full(spark, sf_dir):
+    """Incremental (delta vs corpus) pairs == the cross-slot subset of
+    the full self-dedup pairs on the same documents."""
+    from pyspark.sql import functions as F
+
+    from westtopologies_spark.scale import dedup as DD
+    from westtopologies_spark.scale import versioning as V
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.col("doc_id") % V.SNAP_MOD
+    inc = {
+        (r["doc_base"], r["doc_new"], r["jaccard"])
+        for r in DD.incremental_minhash_pairs(
+            docs.filter(h != V.INSERT_SLOT), docs.filter(h == V.INSERT_SLOT)
+        ).collect()
+    }
+    full = DD.minhash_lsh_dedup(docs, vocab_mode="char")
+    cross = set()
+    for r in full.collect():
+        ha, hb = r["doc_a"] % V.SNAP_MOD, r["doc_b"] % V.SNAP_MOD
+        if (ha == V.INSERT_SLOT) != (hb == V.INSERT_SLOT):
+            new, base = (
+                (r["doc_a"], r["doc_b"])
+                if ha == V.INSERT_SLOT
+                else (r["doc_b"], r["doc_a"])
+            )
+            cross.add((base, new, r["jaccard"]))
+    assert inc == cross
+
+
+def test_profile_shape(spark, sf_dir):
+    from westtopologies_spark.session import load_table
+
+    out = A.profile(load_table(spark, sf_dir, "orders")).collect()
+    rows = {r["col_name"]: r for r in out}
+    assert set(rows) == set(A.PROFILE_NUM_COLS) | set(A.PROFILE_STR_COLS)
+    n = load_table(spark, sf_dir, "orders").count()
+    assert rows["o_orderkey"]["n_nonnull"] == n
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+    assert rows["o_orderstatus"]["min_num"] is None
+    assert rows["o_orderstatus"]["min_str"] is not None

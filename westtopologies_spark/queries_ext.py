@@ -335,6 +335,200 @@ def gs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _redact_sql() -> str:
+    from .scale import trainprep as TPP
+
+    expr = "props"
+    for pat, rep in TPP.REDACT_RULES:
+        # DuckDB needs the 'g' flag for global replace (Spark's
+        # regexp_replace is always global); patterns are shared
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+    SELECT event_id, {expr} AS masked,
+           length({expr}) AS masked_len
+    FROM events
+    """
+
+
+@_register(
+    "tx_redact",
+    _redact_sql(),
+    doc="PII scrubbing (email -> phone -> digit masking, ordered "
+    "chained global regexp_replace) as a pure projection: zero "
+    "shuffle, whole-stage codegen, patterns restricted to the "
+    "Java/RE2-identical regex subset. Training-data prep extension.",
+)
+def tx_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.trainprep import redact
+
+    masked = redact("props")
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        masked.alias("masked"),
+        F.length(masked).alias("masked_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# column profiling
+# ---------------------------------------------------------------------------
+
+
+def _profile_sql() -> str:
+    from .scale import aggstats as A
+
+    aggs, rows = [], []
+    for c in (*A.PROFILE_NUM_COLS, *A.PROFILE_STR_COLS):
+        aggs += [
+            f"count({c}) AS nn_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+        ]
+    for c in A.PROFILE_NUM_COLS:
+        aggs += [
+            f"round(CAST(min({c}) AS DOUBLE), 4) AS mn_{c}",
+            f"round(CAST(max({c}) AS DOUBLE), 4) AS mx_{c}",
+        ]
+        rows.append(
+            f"SELECT '{c}' AS col_name, nn_{c} AS n_nonnull, "
+            f"nd_{c} AS n_distinct, mn_{c} AS min_num, mx_{c} AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
+            "FROM a"
+        )
+    for c in A.PROFILE_STR_COLS:
+        aggs += [f"min({c}) AS mn_{c}", f"max({c}) AS mx_{c}"]
+        rows.append(
+            f"SELECT '{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), mn_{c}, mx_{c} FROM a"
+        )
+    union = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH a AS (SELECT {', '.join(aggs)} FROM orders)
+    {union}
+    """
+
+
+@_register(
+    "ag_profile",
+    _profile_sql(),
+    doc="Column-level data-quality profile of orders (non-null count, "
+    "exact NDV, min/max per column), long form: one scan, all "
+    "aggregates in a single agg, 1-row result unpivoted with stack "
+    "(no driver loop). Swap NDV to the HLL sketch at corpus scale. "
+    "Profiling extension.",
+)
+def ag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.profile(_t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "ag_approx_percentiles",
+    None,  # sketch path: engine-specific summaries; error bounded in
+    # tests/test_aggstats.py against the exact rank-based plan
+    doc="Greenwald-Khanna approximate percentiles per priority class "
+    "(single-pass, mergeable, map-side partial agg) — the sketch "
+    "companion to ag_percentiles' exact sort plan. Rows-only by "
+    "design; error-bound-tested vs exact. Aggregate-statistics "
+    "extension.",
+)
+def ag_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.approx_group_percentiles(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def _incremental_sql() -> str:
+    from .queries_scale import _SHINGLES_CTE, _TOKS_CHAR_CTE
+    from .scale import constants as C
+    from .scale import versioning as V
+
+    mins = ",\n             ".join(
+        f"min((shingle * {a} + {b}) % {C.SHINGLE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(C.MINHASH_COEFFS)
+    )
+    rows = C.MINHASH_BAND_ROWS
+    n_bands = len(C.MINHASH_COEFFS) // rows
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS bucket FROM sigs".format(
+            b=b,
+            expr=" + ".join(
+                f"mh{b * rows + r} * {C.SHINGLE_P ** (rows - 1 - r)}"
+                for r in range(rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    is_new = f"% {V.SNAP_MOD} = {V.INSERT_SLOT}"
+    is_base = f"% {V.SNAP_MOD} <> {V.INSERT_SLOT}"
+    return f"""
+    WITH {_TOKS_CHAR_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_base, b.doc_id AS doc_new
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id {is_base} AND b.doc_id {is_new}
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_base, b.doc_id AS doc_new, count(*) AS n_inter
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+      WHERE a.doc_id {is_base} AND b.doc_id {is_new}
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_base, c.doc_new,
+           round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 4)
+             AS jaccard
+    FROM cand c
+    JOIN inter i USING (doc_base, doc_new)
+    JOIN sizes sa ON sa.doc_id = c.doc_base
+    JOIN sizes sb ON sb.doc_id = c.doc_new
+    WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 4)
+          >= {C.MINHASH_JACCARD_THRESHOLD}
+    """
+
+
+@_register(
+    "dd_incremental",
+    _incremental_sql(),
+    doc="Incremental near-dup: MinHash-LSH pairs between an insert "
+    "batch (the versioning INSERT slot) and the existing corpus — "
+    "work scales with |delta|, not |corpus|^2; both sides encoded "
+    "independently under the pure-map char hash, and in production "
+    "the corpus band/shingle tables are precomputed bucketed tables "
+    "probed shuffle-free. Scale extension (continuous-crawl dedup).",
+)
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import dedup as DD
+    from .scale import versioning as V
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.col("doc_id") % V.SNAP_MOD
+    return DD.incremental_minhash_pairs(
+        docs.filter(h != V.INSERT_SLOT), docs.filter(h == V.INSERT_SLOT)
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup clustering: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 

@@ -128,3 +128,80 @@ def hll_distinct(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
     return df.groupBy(*keys).agg(
         F.approx_count_distinct(col, rsd=HLL_RSD).alias("approx_distinct")
     )
+
+
+PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+def profile(
+    df: DataFrame,
+    num_cols: Sequence[str] = PROFILE_NUM_COLS,
+    str_cols: Sequence[str] = PROFILE_STR_COLS,
+) -> DataFrame:
+    """Column-level data-quality profile, long form: one row per
+    column with (col_name, n_nonnull, n_distinct, min_num, max_num,
+    min_str, max_str).
+
+    One scan: all per-column aggregates run in a single groupBy-less
+    agg (exact distincts expand the input |cols|x — swap in
+    ``approx_count_distinct`` / :func:`hll_distinct` at corpus scale),
+    then the 1-row result is unpivoted driver-free with ``stack``.
+    """
+    aggs = []
+    for c in (*num_cols, *str_cols):
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 4).alias(f"mn_{c}"),
+            F.round(F.max(c).cast("double"), 4).alias(f"mx_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    one = df.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}, "
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        )
+    for c in str_cols:
+        rows.append(
+            f"'{c}', nn_{c}, nd_{c}, CAST(NULL AS DOUBLE), "
+            f"CAST(NULL AS DOUBLE), mn_{c}, mx_{c}"
+        )
+    n = len(rows)
+    return one.select(
+        F.expr(
+            f"stack({n}, {', '.join(rows)}) AS "
+            "(col_name, n_nonnull, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        )
+    )
+
+
+APPROX_PERCENTILES = (0.5, 0.9, 0.99)
+APPROX_PCT_ACCURACY = 10_000
+
+
+def approx_group_percentiles(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    ps: Sequence[float] = APPROX_PERCENTILES,
+) -> DataFrame:
+    """Sketch-based percentiles (``approx_percentile``, Greenwald-
+    Khanna variant): mergeable bounded-memory summaries with
+    map-side partial aggregation — the single-pass 100 TB companion
+    to the exact rank-based :func:`group_percentiles` (whose sort
+    shuffle it avoids).  Rows-only in the oracle catalog (sketch
+    internals are engine-specific); the test suite bounds its error
+    against the exact plan."""
+    return df.groupBy(*keys).agg(
+        F.percentile_approx(
+            value, list(ps), APPROX_PCT_ACCURACY
+        ).alias("approx_pcts")
+    )

@@ -213,10 +213,12 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """(doc_a, doc_b): pairs sharing >= 1 minhash band. Bands of
-    ``MINHASH_BAND_ROWS`` rows are packed into one int64 bucket key;
-    the self-join is keyed on (band, bucket) — no cross join."""
+def band_buckets(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): LSH banding of a minhash signature —
+    bands of ``MINHASH_BAND_ROWS`` rows packed into one int64 bucket
+    key.  This is the stored form of a production LSH index (write it
+    bucketed by (band, bucket) and incremental batches probe it
+    without touching the corpus)."""
     rows = C.MINHASH_BAND_ROWS
     n_bands = len(C.MINHASH_COEFFS) // rows
     bands = F.array(
@@ -234,9 +236,15 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    exploded = signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+    return signatures.select("doc_id", F.explode(bands).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): pairs sharing >= 1 minhash band; the self-join
+    is keyed on (band, bucket) — no cross join."""
+    exploded = band_buckets(signatures)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -559,4 +567,76 @@ def connected_components(
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def incremental_minhash_pairs(
+    base: DataFrame,
+    inserts: DataFrame,
+    threshold: float = C.MINHASH_JACCARD_THRESHOLD,
+    vocab_mode: str = "char",
+) -> DataFrame:
+    """Incremental near-dup detection: (doc_base, doc_new, jaccard)
+    pairs between a NEW batch of documents and the EXISTING corpus —
+    the shape every continuously-crawling pipeline runs (dedup the
+    delta against the index, never the corpus against itself).
+
+    Each side is shingled and banded independently, which is valid
+    only for pure-map token encodings (``char`` hashing) — a
+    corpus-dependent encoding (rank) would drift between batches.
+    The candidate join probes base bands with the (tiny) insert
+    bands, so the work scales with |delta| x bucket-hit-rate, not
+    |corpus|^2; in production the base's band table and shingle
+    index are precomputed tables written bucketed on their join keys
+    (``scale.layout.write_bucketed``), making the probe shuffle-free
+    on the corpus side.
+    """
+    if vocab_mode != "char":
+        raise ValueError("incremental mode requires a pure-map encoding")
+    sh_base = doc_shingles(
+        doc_token_ids(tokens_with_ids(base, vocab_mode=vocab_mode))
+    ).persist()
+    sh_new = doc_shingles(
+        doc_token_ids(tokens_with_ids(inserts, vocab_mode=vocab_mode))
+    ).persist()
+    bands_base = band_buckets(minhash_signatures(sh_base))
+    bands_new = band_buckets(minhash_signatures(sh_new))
+    cand = (
+        bands_base.select(
+            F.col("doc_id").alias("doc_base"), "band", "bucket"
+        )
+        .join(
+            bands_new.select(
+                F.col("doc_id").alias("doc_new"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("doc_base", "doc_new")
+        .distinct()
+    )
+    inter = (
+        sh_base.select(F.col("doc_id").alias("doc_base"), "shingle")
+        .join(
+            sh_new.select(F.col("doc_id").alias("doc_new"), "shingle"),
+            "shingle",
+        )
+        .groupBy("doc_base", "doc_new")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_base = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_base"))
+    sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    return (
+        cand.join(inter, ["doc_base", "doc_new"])
+        .join(sz_base.withColumnRenamed("doc_id", "doc_base"), "doc_base")
+        .join(sz_new.withColumnRenamed("doc_id", "doc_new"), "doc_new")
+        .select(
+            "doc_base",
+            "doc_new",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_base") + F.col("sz_new") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -134,3 +134,27 @@ def stratified_sample(
         .withColumn("keep_rate", rate.cast("long"))
         .filter(F.col("sample_bucket") < F.col("keep_rate"))
     )
+
+
+# --- redaction -----------------------------------------------------------
+# (pattern, replacement) pairs applied in order; Java and RE2 dialects
+# agree on this subset (character classes, +, {m,n} — no backrefs or
+# lookaround, which RE2 lacks)
+REDACT_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    (r"[0-9]+", "#"),
+)
+
+
+def redact(col, rules: tuple[tuple[str, str], ...] = REDACT_RULES):
+    """PII scrubbing as a pure column expression: chained
+    ``regexp_replace`` (global, like SQL's 'g' flag) applying
+    email -> phone -> digit masking in order.  Zero shuffle, runs
+    inside whole-stage codegen at scan speed; patterns restricted to
+    the regex subset Java and RE2 interpret identically so the same
+    rules run on any engine."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in rules:
+        out = F.regexp_replace(out, pat, rep)
+    return out
