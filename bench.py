@@ -27,6 +27,19 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
+    # one tiny untimed query first: pays the one-off session costs
+    # (JVM class loading, codegen compiler warmup, shuffle machinery,
+    # parquet footer reads) that a long-lived cluster amortizes across
+    # jobs — they would otherwise all land on whichever query runs
+    # first
+    from pyspark.sql import functions as F
+
+    from westtopologies_spark.session import load_table
+
+    load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1))
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for spec in catalog():
