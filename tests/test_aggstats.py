@@ -206,3 +206,33 @@ def test_profile_shape(spark, sf_dir):
     assert rows["o_orderkey"]["n_distinct"] == n  # primary key
     assert rows["o_orderstatus"]["min_num"] is None
     assert rows["o_orderstatus"]["min_str"] is not None
+
+
+def test_group_sample_caps_each_stratum(spark, sf_dir):
+    from westtopologies_spark.scale import trainprep as TP
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = TP.group_sample(docs, k=4)
+    per = {r["stratum"]: r["n"] for r in out.groupBy("stratum").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert all(n <= 4 for n in per.values())
+    # repartitioning must not change the selection (hash order, not rand)
+    again = {
+        (r["stratum"], r["doc_id"])
+        for r in TP.group_sample(docs.repartition(7), k=4).collect()
+    }
+    first = {(r["stratum"], r["doc_id"]) for r in out.collect()}
+    assert first == again
+
+
+def test_label_centroids_mean_of_known_vectors(spark):
+    from westtopologies_spark.scale.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0], 7), (2, [3.0, 5.0], 7), (3, [10.0, 0.0], 8)],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {(r["label"], r["dim"]): r["centroid"] for r in label_centroids(df).collect()}
+    assert got[(7, 1)] == 2.0 and got[(7, 2)] == 4.0
+    assert got[(8, 1)] == 10.0 and got[(8, 2)] == 0.0

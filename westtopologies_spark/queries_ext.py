@@ -335,6 +335,86 @@ def gs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# embedding column functions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "emb_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, x) -> a + x)), 6) AS l2_norm
+    FROM embeddings
+    """,
+    doc="Per-vector L2 norm as a pure array fold (zero shuffle; "
+    "Spark aggregate seed == DuckDB list_reduce prepended seed, so "
+    "the double sums are bit-identical pre-round). Embedding-column "
+    "extension.",
+)
+def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.similarity import vector_norms
+
+    return vector_norms(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "emb_centroids",
+    """
+    SELECT label, d AS dim, round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS d
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+    doc="Per-label centroid (long form): posexplode to (dim, value) "
+    "rows collapsed map-side by partial aggregation — one partial sum "
+    "per (label, dim) per task crosses the shuffle, so a billion "
+    "vectors average without materializing per-group arrays. "
+    "Embedding-column extension.",
+)
+def emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# per-stratum capped sampling
+# ---------------------------------------------------------------------------
+
+
+def _group_sample_sql() -> str:
+    from .scale import constants as C
+
+    h = f"((doc_id * {C.SIMHASH_A} + {TP.SAMPLE_SALT}) % {C.FP_P}) % 1000"
+    return f"""
+    SELECT stratum, doc_id, h, rk FROM (
+      SELECT lang AS stratum, doc_id, CAST({h} AS BIGINT) AS h,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {h}, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {TP.GROUP_SAMPLE_K}
+    """
+
+
+@_register(
+    "tp_group_sample",
+    _group_sample_sql(),
+    doc="Deterministic k-per-stratum sample (hash-ranked row_number "
+    "per language, doc_id tie-break): per-group quota capping that is "
+    "stable under repartitioning and replayable by the oracle — a "
+    "distributed reservoir sample without the reservoir. "
+    "Training-data prep extension.",
+)
+def tp_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.group_sample(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

@@ -285,3 +285,35 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def vector_norms(emb: DataFrame) -> DataFrame:
+    """(vec_id, l2_norm): per-vector L2 norm as a pure array fold —
+    zero shuffle, whole-stage codegen over the packed array column.
+    The fold (Spark ``aggregate`` with 0.0 seed == DuckDB
+    ``list_reduce`` with a prepended seed) is left-to-right on both
+    engines, so the double sums are bit-identical pre-round."""
+    v = F.col("embedding").cast("array<double>")
+    return emb.select("vec_id", F.round(_norm(v), 6).alias("l2_norm"))
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid, long form (label, dim, centroid): the
+    class-prototype computation behind centroid classifiers and
+    IVF-style coarse quantizers.  posexplode fans each vector into
+    (dim, value) rows — a bounded x`dim` inflation that partial
+    aggregation collapses map-side to one partial sum per (label,
+    dim) per task, so the shuffle is tiny regardless of corpus
+    size (this is how you average a billion vectors without ever
+    materializing a per-group array)."""
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim0", "v"
+            ),
+        )
+        .select("label", (F.col("dim0") + 1).alias("dim"), "v")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )

@@ -158,3 +158,29 @@ def redact(col, rules: tuple[tuple[str, str], ...] = REDACT_RULES):
     for pat, rep in rules:
         out = F.regexp_replace(out, pat, rep)
     return out
+
+
+# --- per-stratum capping -------------------------------------------------
+GROUP_SAMPLE_K = 10
+
+
+def group_sample(
+    docs: DataFrame,
+    k: int = GROUP_SAMPLE_K,
+    strata: str = "lang",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank each stratum's rows
+    by the sampling hash (ties broken by doc_id) and keep the first
+    ``k`` — per-group capping for eval-set construction or per-source
+    quota enforcement.  One key-partitioned window; the rank order is
+    a pure hash so re-runs and repartitions pick the same rows
+    (a distributed reservoir sample without the reservoir)."""
+    h = sample_hash_col()
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(F.col(strata).alias("stratum"), "doc_id", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
