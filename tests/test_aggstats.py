@@ -236,3 +236,30 @@ def test_label_centroids_mean_of_known_vectors(spark):
     got = {(r["label"], r["dim"]): r["centroid"] for r in label_centroids(df).collect()}
     assert got[(7, 1)] == 2.0 and got[(7, 2)] == 4.0
     assert got[(8, 1)] == 10.0 and got[(8, 2)] == 0.0
+
+
+def test_token_entropy_uniform_vs_collapsed(spark):
+    from westtopologies_spark.scale.textstats import token_entropy
+
+    df = spark.createDataFrame(
+        [("u", "a b c d"), ("c", "x x x x")], ["lang", "text"]
+    )
+    got = {r["stratum"]: r for r in token_entropy(df).collect()}
+    assert got["u"]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert got["c"]["entropy"] == 0.0  # single repeated token
+    assert got["u"]["n_types"] == 4 and got["c"]["n_types"] == 1
+
+
+def test_contamination_rates_bounds(spark):
+    from westtopologies_spark.scale.trainprep import contamination_rates
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q r s")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b c d e"), (101, "z z2 z3 z4")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in contamination_rates(train, ev).collect()}
+    assert got[100]["rate"] == 1.0  # verbatim copy of a train doc
+    assert got[101]["rate"] == 0.0  # disjoint vocabulary
+    assert got[100]["n_shingles"] == 3  # 5 tokens -> 3 trigrams

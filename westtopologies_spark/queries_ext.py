@@ -335,6 +335,83 @@ def gs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus diversity: token entropy
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tx_entropy",
+    """
+    WITH counts AS (
+      SELECT lang AS stratum, token, count(*) AS c
+      FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                     AS token
+            FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT stratum, sum(c) AS n_tokens, count(*) AS n_types,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM counts GROUP BY stratum
+    """,
+    doc="Unigram token-distribution entropy per language "
+    "(H = ln N - sum(c ln c)/N): the corpus-diversity metric curation "
+    "passes track. Two partial-aggregated shuffles; the identity form "
+    "needs no per-token probability join. Text-analysis extension.",
+)
+def tx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# eval-set contamination
+# ---------------------------------------------------------------------------
+
+
+def _contamination_sql() -> str:
+    from .queries_scale import _SHINGLES_CTE, _TOKS_CHAR_CTE
+    from .scale import versioning as V
+
+    is_new = f"% {V.SNAP_MOD} = {V.INSERT_SLOT}"
+    is_base = f"% {V.SNAP_MOD} <> {V.INSERT_SLOT}"
+    return f"""
+    WITH {_TOKS_CHAR_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    train AS (
+      SELECT DISTINCT shingle FROM shingles WHERE doc_id {is_base}
+    )
+    SELECT s.doc_id, count(*) AS n_shingles,
+           count(t.shingle) AS n_contaminated,
+           round(CAST(count(t.shingle) AS DOUBLE) / count(*), 4) AS rate
+    FROM shingles s LEFT JOIN train t ON s.shingle = t.shingle
+    WHERE s.doc_id {is_new}
+    GROUP BY s.doc_id
+    """
+
+
+@_register(
+    "tp_contamination",
+    _contamination_sql(),
+    doc="Eval-set n-gram contamination: per eval document (the "
+    "versioning INSERT slot), the fraction of its 3-gram shingles "
+    "present anywhere in the training corpus — the standard "
+    "decontamination measurement before benchmark reporting. Train "
+    "side collapses to a distinct-shingle set probed by the small "
+    "eval delta (same shape as incremental dedup). Training-data "
+    "prep extension.",
+)
+def tp_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import versioning as V
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.col("doc_id") % V.SNAP_MOD
+    return TP.contamination_rates(
+        docs.filter(h != V.INSERT_SLOT), docs.filter(h == V.INSERT_SLOT)
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding column functions
 # ---------------------------------------------------------------------------
 

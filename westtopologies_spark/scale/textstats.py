@@ -146,3 +146,31 @@ def tfidf_top_terms(docs: DataFrame, top: int = TFIDF_TOP_TERMS) -> DataFrame:
         .filter(F.col("rank") <= top)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def token_entropy(docs: DataFrame, strata: str = "lang") -> DataFrame:
+    """Unigram token-distribution entropy per stratum:
+    H = ln(N) - sum(c * ln c) / N over the stratum's token counts —
+    the corpus-diversity metric data-curation passes track (a
+    collapsed/templated slice shows anomalously low H).
+
+    Two partial-aggregated shuffles: (stratum, token) counts, then a
+    per-stratum fold of c*ln(c).  The identity form avoids computing
+    per-token probabilities (no second join against the total)."""
+    toks = docs.select(
+        F.col(strata).alias("stratum"),
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token"),
+    )
+    counts = toks.groupBy("stratum", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("stratum").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            6,
+        ).alias("entropy"),
+    )

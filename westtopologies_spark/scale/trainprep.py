@@ -184,3 +184,41 @@ def group_sample(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def contamination_rates(
+    train: DataFrame, eval_docs: DataFrame, vocab_mode: str = "char"
+) -> DataFrame:
+    """Eval-set contamination report: for each eval document, the
+    fraction of its token n-gram shingles that also appear anywhere
+    in the training corpus — the standard n-gram decontamination
+    measurement run before reporting benchmark numbers.
+
+    (doc_id, n_shingles, n_contaminated, rate).  The train side
+    collapses to a distinct-shingle set (partial-agg'd, orders of
+    magnitude smaller than the corpus) and the probe is a hash
+    left-join from the (small) eval shingles — at 100 TB the train
+    set is a precomputed bucketed table, making this a map-side probe
+    of the delta, same shape as incremental dedup."""
+    from .dedup import doc_shingles, doc_token_ids, tokens_with_ids
+
+    if vocab_mode != "char":
+        raise ValueError("contamination requires a pure-map encoding")
+    train_set = (
+        doc_shingles(doc_token_ids(tokens_with_ids(train, vocab_mode=vocab_mode)))
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    eval_sh = doc_shingles(
+        doc_token_ids(tokens_with_ids(eval_docs, vocab_mode=vocab_mode))
+    )
+    return (
+        eval_sh.join(train_set, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+            F.round(F.count("_hit") / F.count(F.lit(1)), 4).alias("rate"),
+        )
+    )
