@@ -263,3 +263,19 @@ def test_contamination_rates_bounds(spark):
     assert got[100]["rate"] == 1.0  # verbatim copy of a train doc
     assert got[101]["rate"] == 0.0  # disjoint vocabulary
     assert got[100]["n_shingles"] == 3  # 5 tokens -> 3 trigrams
+
+
+def test_pmi_prefers_exclusive_pairs(spark):
+    from westtopologies_spark.scale.textstats import pmi_bigrams
+
+    # "c b" is exclusive on its left side; "a" splits its mass between
+    # "a b" and "a d", so PMI(c,b) = ln(1.5) > PMI(a,b) = ln(0.75)
+    rows = [("a b",)] * 5 + [("c b",)] * 5 + [("a d",)] * 5
+    df = spark.createDataFrame(rows, ["text"])
+    out = pmi_bigrams(df, min_count=5, k=10).collect()
+    by_pair = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    assert by_pair[("c", "b")] == pytest.approx(math.log(1.5), abs=1e-6)
+    assert by_pair[("a", "b")] == pytest.approx(math.log(0.75), abs=1e-6)
+    assert by_pair[("c", "b")] > by_pair[("a", "b")]
+    # support floor holds
+    assert all(r["c_ab"] >= 5 for r in out)

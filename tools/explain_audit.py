@@ -58,8 +58,8 @@ SINGLE_GROUP_OK = {"w1_exact_windows", "a4_tercile_boundaries", "a3_role_feature
 # with an equi join.
 SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "a3_role_assignment",
-                       # corpus-size N (1 row) joined onto tf-idf scores
-                       "tx_tfidf"}
+                       # corpus-size N (1 row) joined onto tf-idf / PMI scores
+                       "tx_tfidf", "tx_pmi_bigrams"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -365,6 +365,53 @@ def tx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PMI bigram collocations
+# ---------------------------------------------------------------------------
+
+
+def _pmi_sql() -> str:
+    from .scale import textstats as TX
+
+    return f"""
+    WITH w AS (
+      SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents
+    ),
+    big AS (
+      SELECT u.w1, u.w2 FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                 i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS u
+        FROM w)
+    ),
+    c_ab AS (SELECT w1, w2, count(*) AS c_ab FROM big GROUP BY 1, 2),
+    c_a AS (SELECT w1, count(*) AS c_a FROM big GROUP BY 1),
+    c_b AS (SELECT w2, count(*) AS c_b FROM big GROUP BY 1),
+    n AS (SELECT count(*) AS _n FROM big)
+    SELECT w1, w2, c_ab,
+           round(ln(c_ab * _n / (c_a * c_b)), 6) AS pmi
+    FROM c_ab JOIN c_a USING (w1) JOIN c_b USING (w2) CROSS JOIN n
+    WHERE c_ab >= {TX.PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT {TX.PMI_TOP_K}
+    """
+
+
+@_register(
+    "tx_pmi_bigrams",
+    _pmi_sql(),
+    doc="Top-20 bigram collocations by pointwise mutual information "
+    "(support floor 5): phrase-mining / tokenizer-merge-candidate "
+    "signal. Bigram generation is a zero-shuffle in-array transform "
+    "(no positional self-join); three partial-agg'd counts joined on "
+    "their keys; exact integer products, one double division, ranked "
+    "on the rounded score. Text-analysis extension.",
+)
+def tx_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.textstats import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # eval-set contamination
 # ---------------------------------------------------------------------------
 

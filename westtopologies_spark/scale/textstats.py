@@ -174,3 +174,61 @@ def token_entropy(docs: DataFrame, strata: str = "lang") -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def pmi_bigrams(
+    docs: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    PMI = ln(c_ab * N / (c_a * c_b)) over adjacent word pairs, with a
+    ``min_count`` support floor (PMI is noise below it) — the classic
+    phrase-mining / tokenizer-merge-candidate signal.
+
+    Bigram generation is a zero-shuffle array transform (no
+    positional self-join): each doc's token array maps to its
+    adjacent pairs in place.  Three partial-agg'd counts follow
+    (bigram, left unigram, right unigram) joined back on their keys;
+    N (total bigram count) is a 1-row broadcast.  Ranked on the
+    ROUNDED score (ties: bigram asc) for cross-engine determinism.
+    """
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"),
+                F.element_at(words, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c_ab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    c_b = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c_b"))
+    n = big.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        c_ab.filter(F.col("c_ab") >= min_count)
+        .join(c_a, "w1")
+        .join(c_b, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab")
+                    * F.col("_n")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
