@@ -279,3 +279,26 @@ def test_pmi_prefers_exclusive_pairs(spark):
     assert by_pair[("c", "b")] > by_pair[("a", "b")]
     # support floor holds
     assert all(r["c_ab"] >= 5 for r in out)
+
+
+def test_trimmed_mean_drops_outliers(spark):
+    # 20 ones plus two wild outliers; 5% trim (k=1) drops exactly the
+    # min and max -> mean of the remaining 20 ones... construct:
+    vals = [1.0] * 20 + [-1000.0, 1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    r = A.trimmed_mean(df, "v", ["k"]).collect()[0]
+    assert r["n_kept"] == 20
+    assert r["trimmed_mean"] == 1.0
+    # plain mean would be ~0.9 -- the trim is what recovers 1.0
+
+
+def test_quality_gate_monotone_in_score(spark, sf_dir):
+    from westtopologies_spark.scale.trainprep import quality_gate
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_gate(docs)
+    rows = kept.collect()
+    assert 0 < len(rows) < docs.count()
+    # every kept row satisfies its own threshold
+    assert all(r["sample_bucket"] < r["keep_threshold"] for r in rows)

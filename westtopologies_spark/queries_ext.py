@@ -365,6 +365,80 @@ def tx_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# robust statistics: trimmed mean
+# ---------------------------------------------------------------------------
+
+
+def _trimmed_sql() -> str:
+    from .scale import aggstats as A
+
+    f = A.TRIM_FRAC
+    return f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+             row_number() OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority, count(*) AS n_kept,
+           round(avg(v), 4) AS trimmed_mean
+    FROM ranked
+    WHERE rn > floor(n * {f}) AND rn <= n - floor(n * {f})
+    GROUP BY o_orderpriority
+    """
+
+
+@_register(
+    "ag_trimmed_mean",
+    _trimmed_sql(),
+    doc="Robust 5%-trimmed mean of order value per priority class: "
+    "same O(1)-memory rank plan as ag_percentiles with integer trim "
+    "bounds (no interpolation), then a partial-agg'd mean. "
+    "Aggregate-statistics extension.",
+)
+def ag_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.trimmed_mean(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-proportional retention
+# ---------------------------------------------------------------------------
+
+
+def _quality_gate_sql() -> str:
+    from .queries_scale import _quality_sql
+    from .scale import constants as C
+
+    h = f"((doc_id * {C.SIMHASH_A} + {TP.SAMPLE_SALT}) % {C.FP_P}) % 1000"
+    return f"""
+    WITH q AS ({_quality_sql()})
+    SELECT doc_id, quality_score,
+           CAST({h} AS BIGINT) AS sample_bucket,
+           CAST(round(quality_score * 1000) AS BIGINT) AS keep_threshold
+    FROM q
+    WHERE {h} < round(quality_score * 1000)
+    """
+
+
+@_register(
+    "tp_quality_gate",
+    _quality_gate_sql(),
+    doc="Quality-proportional retention: keep each document with "
+    "probability == its composite quality score, realized as a "
+    "deterministic hash threshold (reproducible, repartition-stable, "
+    "oracle-replayable) — the middle ground between hard quality "
+    "filtering and keeping everything. Training-data prep extension.",
+)
+def tp_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.quality_gate(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # PMI bigram collocations
 # ---------------------------------------------------------------------------
 

@@ -205,3 +205,37 @@ def approx_group_percentiles(
             value, list(ps), APPROX_PCT_ACCURACY
         ).alias("approx_pcts")
     )
+
+
+TRIM_FRAC = 0.05
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    frac: float = TRIM_FRAC,
+) -> DataFrame:
+    """Robust (trimmed) mean per key group: drop the lowest and
+    highest ``floor(n * frac)`` rows by value, average the rest —
+    the outlier-resistant center curation dashboards report.
+    Same O(1)-memory rank plan as :func:`group_percentiles`: one sort
+    shuffle, integer trim bounds (no interpolation), one final
+    partial-agg'd mean."""
+    ranked = df.select(
+        *keys,
+        F.col(value).cast("double").alias("_v"),
+        F.row_number().over(
+            Window.partitionBy(*keys).orderBy(value)
+        ).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    k = F.floor(F.col("_n") * F.lit(float(frac)))
+    return (
+        ranked.filter((F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("_v"), 4).alias("trimmed_mean"),
+        )
+    )

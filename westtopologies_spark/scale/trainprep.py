@@ -222,3 +222,22 @@ def contamination_rates(
             F.round(F.count("_hit") / F.count(F.lit(1)), 4).alias("rate"),
         )
     )
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Quality-proportional retention: keep a document with
+    probability equal to its composite quality score — realized
+    deterministically as hash(doc_id) mod 1000 < round(score * 1000).
+    The standard curation move between hard filtering (loses volume)
+    and keeping everything (keeps noise); deterministic, so the
+    kept set is reproducible and oracle-replayable.  Zero shuffle on
+    top of the quality-feature projection."""
+    from .textstats import quality_scores
+
+    q = quality_scores(docs).select("doc_id", "quality_score")
+    thr = F.round(F.col("quality_score") * 1000, 0).cast("long")
+    return (
+        q.withColumn("sample_bucket", sample_hash_col())
+        .withColumn("keep_threshold", thr)
+        .filter(F.col("sample_bucket") < F.col("keep_threshold"))
+    )
