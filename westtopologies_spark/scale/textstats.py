@@ -190,8 +190,11 @@ def pmi_bigrams(
 
     Bigram generation is a zero-shuffle array transform (no
     positional self-join): each doc's token array maps to its
-    adjacent pairs in place.  Three partial-agg'd counts follow
-    (bigram, left unigram, right unigram) joined back on their keys;
+    adjacent pairs in place.  The corpus is scanned ONCE: only the
+    bigram count c_ab aggregates the exploded pairs; the left/right
+    unigram counts and N are re-aggregations of that (vocab²-bounded,
+    persisted) count table — `c_a = Σ c_ab group by w1` etc. — so at
+    100 TB the tokenize+explode pass isn't repeated per marginal.
     N (total bigram count) is a 1-row broadcast.  Ranked on the
     ROUNDED score (ties: bigram asc) for cross-engine determinism.
     """
@@ -207,10 +210,12 @@ def pmi_bigrams(
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     big = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    c_ab = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    c_a = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
-    c_b = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c_b"))
-    n = big.select(F.count(F.lit(1)).alias("_n"))
+    c_ab = (
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).persist()
+    )
+    c_a = c_ab.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    c_b = c_ab.groupBy("w2").agg(F.sum("c_ab").alias("c_b"))
+    n = c_ab.select(F.sum("c_ab").alias("_n"))
     return (
         c_ab.filter(F.col("c_ab") >= min_count)
         .join(c_a, "w1")
