@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from westtopologies_spark.scale import aggstats as A
 from westtopologies_spark.scale import textstats as TX
@@ -302,3 +303,59 @@ def test_quality_gate_monotone_in_score(spark, sf_dir):
     assert 0 < len(rows) < docs.count()
     # every kept row satisfies its own threshold
     assert all(r["sample_bucket"] < r["keep_threshold"] for r in rows)
+
+
+def test_repetition_signals_known_doc(spark):
+    # "a a a a b": top word a (4/5), 2 distinct words, bigrams
+    # [aa, aa, aa, ab] -> 4 total, 2 distinct -> dup frac 0.5
+    df = spark.createDataFrame([(1, "a a a a b")], ["doc_id", "text"])
+    r = TX.repetition_signals(df).collect()[0]
+    assert r["n_words"] == 5
+    assert r["n_distinct_words"] == 2
+    assert r["top_word_share"] == 0.8
+    assert r["dup_bigram_frac"] == 0.5
+
+
+def test_boilerplate_covers_shared_trigram(spark):
+    # docs 1 and 2 share the trigram "x y z"; doc 3 shares nothing
+    df = spark.createDataFrame(
+        [
+            (1, "x y z a b"),
+            (2, "c x y z d"),
+            (3, "p q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TX.boilerplate_coverage(df).collect()}
+    # 5 words -> 3 trigram positions each
+    assert all(out[d]["n_grams"] == 3 for d in (1, 2, 3))
+    assert out[1]["n_boiler"] == 1 and out[2]["n_boiler"] == 1
+    assert out[3]["n_boiler"] == 0
+    assert out[1]["boiler_frac"] == round(1 / 3, 4)
+
+
+def test_balanced_mixture_hits_exact_quotas(spark, sf_dir):
+    from westtopologies_spark.scale.trainprep import (
+        MIXTURE_WEIGHTS_PER_MILLE,
+        balanced_mixture,
+    )
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = balanced_mixture(docs).collect()
+    by_stratum = {}
+    for r in kept:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    counts = {s: len(rs) for s, rs in by_stratum.items()}
+    # every stratum filled its quota exactly
+    for s, rs in by_stratum.items():
+        assert counts[s] == rs[0]["quota"]
+    # the binding stratum (smallest n/w) keeps everything it has
+    n_by = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    lam = min(n * 1000 // MIXTURE_WEIGHTS_PER_MILLE[s] for s, n in n_by.items())
+    for s, n in n_by.items():
+        assert counts[s] == lam * MIXTURE_WEIGHTS_PER_MILLE[s] // 1000
+        assert counts[s] <= n

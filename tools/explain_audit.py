@@ -59,7 +59,9 @@ SINGLE_GROUP_OK = {"w1_exact_windows", "a4_tercile_boundaries", "a3_role_feature
 SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "a3_role_assignment",
                        # corpus-size N (1 row) joined onto tf-idf / PMI scores
-                       "tx_tfidf", "tx_pmi_bigrams"}
+                       "tx_tfidf", "tx_pmi_bigrams",
+                       # mixture scale factor lam (1 row) joined onto quotas
+                       "tp_mixture"}
 
 
 def audit(name: str, plan: str) -> list[str]:

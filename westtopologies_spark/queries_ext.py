@@ -439,6 +439,156 @@ def tp_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# within-doc repetition signals
+# ---------------------------------------------------------------------------
+
+
+_REPETITION_SQL = """
+WITH cnt AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+ws AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words, max(c) AS top
+  FROM cnt GROUP BY 1
+),
+bs AS (
+  SELECT doc_id, len(bg) AS n_bigrams, len(list_distinct(bg)) AS ndb
+  FROM (SELECT doc_id,
+               CASE WHEN len(l) >= 2
+                    THEN list_transform(range(1, len(l)),
+                                        i -> l[i] || ' ' || l[i+1])
+                    ELSE CAST([] AS VARCHAR[]) END AS bg
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z]+') AS l
+              FROM documents))
+)
+SELECT ws.doc_id, n_words, n_distinct_words,
+       round(CAST(top AS DOUBLE) / n_words, 4) AS top_word_share,
+       round(CAST(n_distinct_words AS DOUBLE) / n_words, 4)
+         AS distinct_word_ratio,
+       CASE WHEN n_bigrams > 0
+            THEN round(1.0 - CAST(ndb AS DOUBLE) / n_bigrams, 4)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+@_register(
+    "tx_repetition",
+    _REPETITION_SQL,
+    doc="Gopher-style within-document repetition signals (top-word "
+    "share, distinct-word ratio, duplicate-bigram fraction): in-array "
+    "bigram stats (zero shuffle) + doc-keyed word counts — flags "
+    "templated/degenerate text. Text-analysis extension.",
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.textstats import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# cross-doc boilerplate n-gram coverage
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_sql() -> str:
+    from .scale import textstats as TX
+
+    n, m = TX.BOILER_NGRAM, TX.BOILER_MIN_DOCS
+    return f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(l) >= {n}
+                         THEN list_transform(
+                                range(1, len(l) - {n - 2}),
+                                i -> array_to_string(
+                                       list_slice(l, i, i + {n - 1}), ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS g
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+            FROM documents)
+    ),
+    boiler AS (
+      SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+                     FROM pos GROUP BY 1)
+      WHERE nd >= {m}
+    )
+    SELECT doc_id, count(*) AS n_grams, count(b.g) AS n_boiler,
+           round(CAST(count(b.g) AS DOUBLE) / count(*), 4) AS boiler_frac
+    FROM pos p LEFT JOIN boiler b ON p.g = b.g
+    GROUP BY 1
+    """
+
+
+@_register(
+    "tx_boilerplate",
+    _boilerplate_sql(),
+    doc="C4-style boilerplate coverage: word trigrams shared by >= 2 "
+    "documents are boilerplate spans; per doc, the fraction of its "
+    "trigram positions covered by them. In-array n-gram generation, "
+    "per-doc-distinct document-frequency count, n-gram-keyed probe "
+    "join. Text-analysis / curation extension.",
+)
+def tx_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.textstats import boilerplate_coverage
+
+    return boilerplate_coverage(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# dataset mixture balancing
+# ---------------------------------------------------------------------------
+
+
+def _mixture_sql() -> str:
+    from .scale import constants as C
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}"
+        for k, v in sorted(TP.MIXTURE_WEIGHTS_PER_MILLE.items())
+    )
+    h = f"((doc_id * {C.SIMHASH_A} + {TP.SAMPLE_SALT}) % {C.FP_P}) % 1000"
+    return f"""
+    WITH wt AS (
+      SELECT lang AS stratum, count(*) AS n,
+             CASE lang {cases} ELSE {TP.MIXTURE_DEFAULT_PER_MILLE} END AS w
+      FROM documents GROUP BY 1
+    ),
+    lam AS (SELECT min((n * 1000) // w) AS lam FROM wt),
+    q AS (SELECT stratum, CAST((lam * w) // 1000 AS BIGINT) AS quota
+          FROM wt, lam),
+    rk AS (
+      SELECT lang AS stratum, doc_id,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY {h}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT rk.stratum, doc_id, rk, quota
+    FROM rk JOIN q ON rk.stratum = q.stratum
+    WHERE rk <= quota
+    """
+
+
+@_register(
+    "tp_mixture",
+    _mixture_sql(),
+    doc="Exact dataset-mixture balancing: scale the corpus to the "
+    "largest size at which every language can fill its target share, "
+    "then keep hash-ranked quotas per stratum — data-driven quotas "
+    "vs. stratified_sample's static rates; all quota arithmetic is "
+    "integer division for cross-engine exactness. Training-data prep "
+    "extension.",
+)
+def tp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.balanced_mixture(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # PMI bigram collocations
 # ---------------------------------------------------------------------------
 

@@ -176,6 +176,112 @@ def token_entropy(docs: DataFrame, strata: str = "lang") -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals, per doc:
+
+    - top_word_share:      count of the most frequent word / n_words
+    - distinct_word_ratio: distinct words / n_words
+    - dup_bigram_frac:     1 - distinct bigrams / total bigrams
+
+    High repetition flags templated / degenerate text that slips past
+    length and stopword gates.  The bigram stats are pure in-array
+    expressions (zero shuffle); the word-frequency stats come from one
+    (doc_id, word)-keyed count whose second-level rollup and the final
+    join are all doc-keyed — no global aggregation anywhere, so the
+    plan is embarrassingly key-parallel at corpus scale.
+    """
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    bigr = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    barr = docs.select(
+        "doc_id",
+        F.size(bigr).alias("n_bigrams"),
+        F.size(F.array_distinct(bigr)).alias("_ndb"),
+    )
+    wstats = (
+        docs.select("doc_id", F.explode(words).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("_top"),
+        )
+    )
+    return wstats.join(barr, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(F.col("_top") / F.col("n_words"), 4).alias("top_word_share"),
+        F.round(F.col("n_distinct_words") / F.col("n_words"), 4).alias(
+            "distinct_word_ratio"
+        ),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.round(1.0 - F.col("_ndb") / F.col("n_bigrams"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+BOILER_NGRAM = 3
+BOILER_MIN_DOCS = 2
+
+
+def boilerplate_coverage(
+    docs: DataFrame, n: int = BOILER_NGRAM, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """C4-style boilerplate detection over word ``n``-grams: an n-gram
+    is *boilerplate* if it occurs in >= ``min_docs`` distinct
+    documents; per doc, report how much of its text those shared spans
+    cover — (doc_id, n_grams, n_boiler, boiler_frac).
+
+    N-gram generation is the zero-shuffle in-array slice; the document
+    frequency is a per-doc-distinct + map-side-combined count on the
+    n-gram key, and the probe back is an n-gram-keyed hash join (the
+    boilerplate set is tiny next to the corpus — at 100 TB it would be
+    a precomputed broadcast/bucketed table, same shape as the
+    incremental-dedup index; here the exploded stream is persisted so
+    the tokenize pass runs once for build and probe).
+    """
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select("doc_id", F.explode(grams).alias("g")).persist()
+    boiler = (
+        pos.distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("g", F.lit(1).alias("_b"))
+    )
+    return (
+        pos.join(boiler, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_b").alias("n_boiler"),
+            F.round(F.count("_b") / F.count(F.lit(1)), 4).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 20
 

@@ -224,6 +224,75 @@ def contamination_rates(
     )
 
 
+# --- mixture balancing ---------------------------------------------------
+# target corpus proportions in per-mille; kept integral so every
+# arithmetic step (scale factor, quotas) is exact int64 on any engine
+MIXTURE_WEIGHTS_PER_MILLE = {
+    "en": 300,
+    "de": 200,
+    "es": 200,
+    "fr": 150,
+    "zh": 150,
+}
+MIXTURE_DEFAULT_PER_MILLE = 100
+
+
+def balanced_mixture(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_weight: int = MIXTURE_DEFAULT_PER_MILLE,
+    strata: str = "lang",
+) -> DataFrame:
+    """Downsample to an exact target mixture: given per-stratum target
+    weights (per-mille), find the largest corpus scale ``lam`` such
+    that every stratum can fill its share from the rows it has
+    (``lam = min_s(n_s * 1000 div w_s)``), set per-stratum quotas
+    ``lam * w_s div 1000``, and keep each stratum's first ``quota``
+    rows ranked by the deterministic sampling hash.  The kept set has
+    the target proportions exactly — the dataset-mixing step that sets
+    corpus composition before training, generalizing the static-rate
+    :func:`stratified_sample` to data-driven quotas.
+
+    All quota arithmetic is integer division (bit-identical on any
+    engine); the stratum counts and the quota table are tiny (one row
+    per stratum) and broadcast back, so the only corpus-sized work is
+    one key-partitioned rank window — same shuffle shape as
+    :func:`group_sample`.
+    """
+    weights = MIXTURE_WEIGHTS_PER_MILLE if weights is None else weights
+    w = F.lit(default_weight)
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col("stratum") == k, F.lit(v)).otherwise(w)
+    counts = (
+        docs.groupBy(F.col(strata).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", w.cast("long"))
+    )
+    lam = counts.select(
+        F.min(F.expr("(_n * 1000) div _w")).alias("_lam")
+    )
+    quota = counts.crossJoin(F.broadcast(lam)).select(
+        "stratum", F.expr("(_lam * _w) div 1000").alias("quota")
+    )
+    ranked = docs.select(
+        F.col(strata).alias("stratum"),
+        "doc_id",
+        sample_hash_col().alias("_h"),
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("stratum").orderBy(
+                F.col("_h").asc(), F.col("doc_id").asc()
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "stratum")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("stratum", "doc_id", "rk", "quota")
+    )
+
+
 def quality_gate(docs: DataFrame) -> DataFrame:
     """Quality-proportional retention: keep a document with
     probability equal to its composite quality score — realized
