@@ -359,3 +359,17 @@ def test_balanced_mixture_hits_exact_quotas(spark, sf_dir):
     for s, n in n_by.items():
         assert counts[s] == lam * MIXTURE_WEIGHTS_PER_MILLE[s] // 1000
         assert counts[s] <= n
+
+
+def test_grouped_corr_matches_numpy(spark):
+    import numpy as np
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.1, 3.9, 6.2, 8.0, 9.8]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], ["k", "x", "y"]
+    )
+    r = A.grouped_corr(df, "x", "y", ["k"]).collect()[0]
+    assert r["n"] == 5
+    assert r["corr"] == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-4)
+    assert r["covar"] == pytest.approx(np.cov(xs, ys, ddof=1)[0, 1], abs=1e-4)

@@ -218,3 +218,30 @@ def test_funnel_click_resumes_after_view(spark):
     assert r["steps_completed"] == 3
     # the qualified click is the one AFTER the view
     assert r["t_click"] == T0 + timedelta(seconds=20)
+
+
+def test_cohort_retention_small(spark):
+    import datetime as dt
+
+    from westtopologies_spark.scale.temporal import cohort_retention
+
+    base = dt.datetime(2024, 1, 1)
+    wk = dt.timedelta(days=7)
+    rows = [
+        # user 1: weeks 0, 1; user 2: week 0 only; user 3: weeks 1, 2
+        (1, base), (1, base + wk),
+        (2, base + dt.timedelta(hours=5)),
+        (3, base + wk), (3, base + 2 * wk),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {
+        (r["cohort_week"] - min(x["cohort_week"] for x in c), r["week_offset"]): r
+        for c in [cohort_retention(df).collect()]
+        for r in c
+    }
+    # cohort 0 (users 1,2): offset 0 -> 2 active, offset 1 -> 1 active
+    assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["cohort_size"] == 2
+    assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == 0.5
+    # cohort 1 (user 3): retained both weeks
+    assert out[(1, 0)]["retention"] == 1.0
+    assert out[(1, 1)]["retention"] == 1.0

@@ -439,6 +439,73 @@ def tp_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def _cohort_sql() -> str:
+    wk = f"{_SEC} // {T.COHORT_WEEK_S}"
+    return f"""
+    WITH wk AS (SELECT user_id, {wk} AS week FROM events),
+    coh AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, week FROM wk),
+    sz AS (SELECT cohort_week, count(*) AS cohort_size FROM coh GROUP BY 1),
+    m AS (
+      SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+             count(*) AS n_active
+      FROM act a JOIN coh c ON a.user_id = c.user_id GROUP BY 1, 2
+    )
+    SELECT m.cohort_week, week_offset, n_active, cohort_size,
+           round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+    FROM m JOIN sz ON m.cohort_week = sz.cohort_week
+    """
+
+
+@_register(
+    "ts_cohort",
+    _cohort_sql(),
+    doc="Cohort retention matrix over events: first-event-week "
+    "cohorts x weekly activity, with retention rates. Integer-divided "
+    "week buckets, four key-partitioned aggregations, no global "
+    "windows. Temporal-analytics extension.",
+)
+def ts_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# grouped correlation
+# ---------------------------------------------------------------------------
+
+
+_CORR_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr
+FROM lineitem GROUP BY 1
+"""
+
+
+@_register(
+    "ag_corr",
+    _CORR_SQL,
+    doc="Per-group Pearson correlation / sample covariance "
+    "(quantity vs extended price per return flag): algebraic "
+    "aggregates, one map-side-combined shuffle, constant memory per "
+    "group. Aggregate-statistics extension.",
+)
+def ag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.aggstats import grouped_corr
+
+    return grouped_corr(
+        _t(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        ["l_returnflag"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # within-doc repetition signals
 # ---------------------------------------------------------------------------
 

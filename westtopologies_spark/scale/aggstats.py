@@ -239,3 +239,25 @@ def trimmed_mean(
             F.round(F.avg("_v"), 4).alias("trimmed_mean"),
         )
     )
+
+
+CORR_ROUND_DP = 4
+
+
+def grouped_corr(
+    df: DataFrame, x: str, y: str, keys: Sequence[str]
+) -> DataFrame:
+    """Per-group Pearson correlation and sample covariance of two
+    numeric columns: (keys..., n, covar, corr), rounded to 4dp —
+    coarse enough to absorb summation-order ulps across engines.
+
+    ``corr``/``covar_samp`` are algebraic aggregates (sum, sum of
+    squares, cross product): one map-side-combined shuffle on the
+    keys, constant memory per group at any group size — the
+    feature-relationship screen a profiling pass runs next to
+    :func:`profile`."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.covar_samp(x, y), CORR_ROUND_DP).alias("covar"),
+        F.round(F.corr(x, y), CORR_ROUND_DP).alias("corr"),
+    )

@@ -286,3 +286,53 @@ def moving_stats(
             - F.unix_timestamp(F.lag(ts).over(w))
         ).alias("gap_s"),
     )
+
+
+# cohort week length (seconds); integer-divides epoch seconds so both
+# engines bucket identically with pure int64 arithmetic
+COHORT_WEEK_S = 7 * 24 * 3600
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts: str = "ts",
+    user: str = "user_id",
+    bucket_s: int = COHORT_WEEK_S,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the week of
+    their first event; for each (cohort_week, week_offset) report how
+    many cohort members were active that week and the retention rate —
+    the standard growth-analytics rollup.
+
+    Week buckets are integer division of epoch seconds (exact on any
+    engine).  Four key-partitioned, map-side-combined aggregations
+    (first week per user, distinct user-weeks, cohort sizes, the
+    retention matrix) plus two joins: the user->cohort join is
+    user-keyed (corpus-sized but plain hash, AQE-splittable), the
+    cohort-size join touches one row per (cohort, offset) — tiny.
+    No global window anywhere, so the plan scales with user count.
+    """
+    week = (F.unix_timestamp(F.col(ts)) / F.lit(bucket_s)).cast("long")
+    wk = events.select(F.col(user).alias("user_id"), week.alias("week"))
+    cohorts = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    matrix = (
+        active.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return matrix.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+            "retention"
+        ),
+    )
