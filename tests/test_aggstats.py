@@ -373,3 +373,29 @@ def test_grouped_corr_matches_numpy(spark):
     assert r["n"] == 5
     assert r["corr"] == pytest.approx(np.corrcoef(xs, ys)[0, 1], abs=1e-4)
     assert r["covar"] == pytest.approx(np.cov(xs, ys, ddof=1)[0, 1], abs=1e-4)
+
+
+def test_duplicated_spans_semantics(spark):
+    from westtopologies_spark.scale.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # shares trigram "a b c" with doc 2
+            (2, "a b c x y z"),
+            (3, "p q r p q r p q r"),  # self-repeating
+            (4, "u v w m n o"),   # nothing duplicated
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in duplicated_spans(df).collect()}
+    # docs 1/2: one span covering tokens 1..3 -> frac 0.5
+    for d in (1, 2):
+        assert out[d]["n_spans"] == 1
+        assert out[d]["dup_tokens"] == 3
+        assert out[d]["dup_frac"] == 0.5
+    # doc 3: every trigram repeats -> one span covering all 9 tokens
+    assert out[3]["n_spans"] == 1
+    assert out[3]["dup_tokens"] == 9
+    assert out[3]["dup_frac"] == 1.0
+    # doc 4: clean
+    assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] == 0.0

@@ -439,6 +439,87 @@ def tp_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# duplicated-span (ExactSubstr-style) report
+# ---------------------------------------------------------------------------
+
+
+def _dup_spans_sql() -> str:
+    from .queries_scale import _TOKS_CHAR_CTE
+    from .scale import constants as C
+
+    n = C.SHINGLE_N
+    return f"""
+    WITH {_TOKS_CHAR_CTE.strip()},
+    psh AS (
+      SELECT doc_id, generate_subscripts(sh, 1) AS spos, unnest(sh) AS s
+      FROM (SELECT doc_id,
+                   list_transform(
+                     range(1, greatest(len(tids) - {n - 1}, 0) + 1),
+                     i -> ((tids[i] * {C.FP_MULT} + tids[i + 1])
+                            * {C.FP_MULT} + tids[i + 2]) % {C.SHINGLE_P})
+                     AS sh
+            FROM ids)
+    ),
+    dup AS (
+      SELECT s FROM (SELECT s, count(*) AS c FROM psh GROUP BY 1)
+      WHERE c >= 2
+    ),
+    hits AS (
+      SELECT doc_id, spos, spos + {n - 1} AS send
+      FROM psh WHERE s IN (SELECT s FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id, spos, send,
+             max(send) OVER (PARTITION BY doc_id ORDER BY spos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR spos > prev_end
+                     THEN 1 ELSE 0 END AS is_new
+      FROM isl
+    ),
+    isl3 AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY doc_id ORDER BY spos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl2
+    ),
+    spans AS (
+      SELECT doc_id, island, min(spos) AS st, max(send) AS en
+      FROM isl3 GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY 1
+    ),
+    ntok AS (SELECT doc_id, CAST(len(tids) AS BIGINT) AS n_tokens FROM ids)
+    SELECT t.doc_id, n_tokens,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(dup_tokens, 0) AS dup_tokens,
+           round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens, 4)
+             AS dup_frac
+    FROM ntok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+    """
+
+
+@_register(
+    "dd_dup_spans",
+    _dup_spans_sql(),
+    doc="ExactSubstr-style duplicated-span report (Lee et al.): token "
+    "positions covered by a shingle occurring >= 2 times anywhere are "
+    "merged into maximal spans per doc (gaps-and-islands windows, "
+    "doc-partitioned); reports the removable-duplicate fraction. "
+    "Dedup extension.",
+)
+def dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.dedup import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # cohort retention
 # ---------------------------------------------------------------------------
 

@@ -640,3 +640,93 @@ def incremental_minhash_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame, n: int = C.SHINGLE_N, vocab_mode: str = "char"
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span report: a token position is
+    *duplicated* if it is covered by a token ``n``-gram that occurs
+    at least twice anywhere in the corpus (another document or another
+    position of the same document); overlapping covered positions are
+    merged into maximal spans.  Returns one row per document:
+    (doc_id, n_tokens, n_spans, dup_tokens, dup_frac) — the "how much
+    of this doc is removable duplicate text" measurement of
+    Lee et al.'s exact-substring dedup, at shingle resolution.
+
+    Shape: positional shingles are an in-array map + bounded explode;
+    the duplicate set is one map-side-combined count on the shingle
+    key; the probe back is a shingle-keyed hash join; the interval
+    merge is the classic gaps-and-islands pair of windows, both
+    partitioned by doc_id (per-doc sort, never global).  The shingle
+    stream is persisted so build + probe tokenize once; at corpus
+    scale both it and the duplicate set would be precomputed bucketed
+    tables (same index as ``incremental_minhash_pairs``).
+    """
+    if vocab_mode != "char":
+        raise ValueError("duplicated_spans requires a pure-map encoding")
+    ids = doc_token_ids(tokens_with_ids(docs, vocab_mode=vocab_mode)).persist()
+
+    def shingle_at(tids: Column, i: Column) -> Column:
+        acc = F.element_at(tids, i).cast("long")
+        for k in range(1, n):
+            acc = acc * C.FP_MULT + F.element_at(tids, i + k)
+        return acc % C.SHINGLE_P
+
+    sh = F.when(
+        F.size("tids") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tids") - (n - 1)),
+            lambda i: shingle_at(F.col("tids"), i),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    psh = (
+        ids.select("doc_id", F.posexplode(sh).alias("spos0", "s"))
+        .select("doc_id", (F.col("spos0") + 1).alias("spos"), "s")
+        .persist()
+    )
+    dup = (
+        psh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("s")
+    )
+    hits = psh.join(dup, "s").select(
+        "doc_id", "spos", (F.col("spos") + (n - 1)).alias("send")
+    )
+    w = Window.partitionBy("doc_id").orderBy("spos")
+    prev_end = F.max("send").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            prev_end.isNull() | (F.col("spos") > prev_end), 1
+        ).otherwise(0),
+    )
+    spans = (
+        flagged.withColumn(
+            "_isl",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("spos").alias("_st"), F.max("send").alias("_en"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_en") - F.col("_st") + 1).alias("dup_tokens"),
+    )
+    ntok = ids.select("doc_id", F.size("tids").cast("long").alias("n_tokens"))
+    return ntok.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0).cast("long"))
+            / F.col("n_tokens"),
+            4,
+        ).alias("dup_frac"),
+    )
