@@ -1,0 +1,72 @@
+"""Structural invariants for the graph-analytics operators.
+
+Oracle parity is covered by test_oracle_parity; these check the
+mathematical properties that parity alone would not catch if both
+engines shared the same mistake.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from westtopologies_spark.ops import graph as G
+from westtopologies_spark.queries import _event_edges
+
+
+@pytest.fixture(scope="module")
+def edges(spark, sf_dir):
+    return G.user_edges(_event_edges(spark, sf_dir)).cache()
+
+
+def test_edges_are_ordered_and_distinct(edges):
+    rows = edges.collect()
+    pairs = [(r.u, r.v) for r in rows]
+    assert all(u < v for u, v in pairs)
+    assert len(pairs) == len(set(pairs))
+
+
+def test_triangle_total_divisible_by_three(edges):
+    tri = G.triangle_counts(edges)
+    total = tri.agg(F.sum("n_triangles")).collect()[0][0]
+    assert total is not None and total % 3 == 0
+
+
+def test_triangles_match_bruteforce(edges):
+    adj: dict[int, set[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r.u, set()).add(r.v)
+        adj.setdefault(r.v, set()).add(r.u)
+    expected: dict[int, int] = {}
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for n in (a, b, c):
+                        expected[n] = expected.get(n, 0) + 1
+    got = {r.user_id: r.n_triangles for r in G.triangle_counts(edges).collect()}
+    assert got == expected
+
+
+def test_jaccard_bounds_and_symmetric_pairs(edges):
+    rows = G.neighbor_jaccard(edges).collect()
+    assert rows, "expected some co-neighbor pairs"
+    for r in rows:
+        assert r.ua < r.ub
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common >= G.JACCARD_MIN_COMMON
+
+
+def test_pagerank_mass_and_floor(spark, sf_dir):
+    tweets = _event_edges(spark, sf_dir)
+    nodes = tweets.select(F.col("author_id").alias("node")).distinct()
+    pr = G.pagerank(nodes, G.directed_edges(tweets)).collect()
+    n = len(pr)
+    floor = (1.0 - G.PR_DAMPING) / n
+    assert all(r.pagerank >= round(floor, 6) - 1e-6 for r in pr)
+    # total mass <= 1 (dangling mass is dropped, never created);
+    # allow the per-node output rounding (5e-7 each) to stack
+    assert sum(r.pagerank for r in pr) <= 1.0 + 5e-7 * n + 1e-9

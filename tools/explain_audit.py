@@ -61,7 +61,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # corpus-size N (1 row) joined onto tf-idf / PMI scores
                        "tx_tfidf", "tx_pmi_bigrams",
                        # mixture scale factor lam (1 row) joined onto quotas
-                       "tp_mixture"}
+                       "tp_mixture",
+                       # node-count N (1 row) seeding the rank vector
+                       "gr_pagerank"}
 
 
 def audit(name: str, plan: str) -> list[str]:

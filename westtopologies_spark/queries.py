@@ -1211,6 +1211,9 @@ from . import queries_scale  # noqa: E402, F401
 # temporal + training-data-prep + rollup entries
 from . import queries_ext  # noqa: E402, F401
 
+# graph analytics over the reply-derived user graph
+from . import queries_graph  # noqa: E402, F401
+
 
 def catalog() -> list[QuerySpec]:
     return list(_CATALOG)

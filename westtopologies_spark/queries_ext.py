@@ -1510,3 +1510,75 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_dedup(docs, vocab_mode="char")
     return dedup.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# hourly gap-fill resample + EWMA
+# ---------------------------------------------------------------------------
+
+
+def _gap_fill_sql() -> str:
+    return """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_hour,
+             round(avg(value), 6) AS hour_avg
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(bucket_hour) AS h0, max(bucket_hour) AS h1
+      FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket_hour
+      FROM span
+    )
+    SELECT g.user_id, g.bucket_hour, h.hour_avg,
+           last_value(h.hour_avg IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM grid g
+    LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.bucket_hour = g.bucket_hour
+    """
+
+
+@_register(
+    "ts_gap_fill",
+    _gap_fill_sql(),
+    doc="Hourly resample with forward fill: per-user dense hour grid "
+    "(sequence+explode — generate-side rows bounded by users x "
+    "span-hours, not event count), hourly means rounded before the "
+    "fill so propagation is engine-identical, last(ignorenulls) over "
+    "a per-user window. Time-series extension.",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = T.gap_fill(_t(spark, sf_dir, "events"))
+    return df.withColumnRenamed("hour", "bucket_hour")
+
+
+def _ewma_sql() -> str:
+    a = T.EWMA_ALPHA
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, len(xs) AS n_events,
+           round(list_reduce(list_prepend(xs[1], xs[2:]),
+                             (a, x) -> a * {1.0 - a!r} + x * {a!r}), 6) AS ewma
+    FROM ordered
+    """
+
+
+@_register(
+    "ts_ewma",
+    _ewma_sql(),
+    doc="Final per-user EWMA (alpha 0.3) over (ts, event_id)-ordered "
+    "values, as a left fold seeded with the first element — Spark "
+    "aggregate == DuckDB list_reduce executes the identical operation "
+    "order, bit-identical before output rounding. Time-series "
+    "extension.",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.ewma(_t(spark, sf_dir, "events"))

@@ -1,0 +1,161 @@
+"""Catalog entries for graph analytics over the reply-derived user
+graph (triangles, neighbor similarity, fixed-iteration PageRank).
+
+The reference's role analysis (RoleAnalysisBolt.java,
+NeighbourhoodBolt.java) consumes the same implicit graph; these make
+it first-class. Oracle SQL shares the tweets-CTE with the role
+queries so both engines derive identical edges, and every float is
+rounded with the constants the Spark plans use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .ops import graph as G
+from .queries import _event_edges, _register
+
+# identical tweet/parent derivation to _ROLES_FEATS_CTE (queries.py)
+_TW_CTE = """
+WITH raw AS (
+  SELECT event_id, user_id,
+         CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+  FROM events
+),
+tw AS (
+  SELECT event_id AS tweet_id,
+         CASE WHEN event_id % 5 = 0 THEN NULL
+              WHEN k % 3 = 0 THEN event_id - 1
+              ELSE event_id - (event_id % 5) END AS parent_id,
+         user_id AS author_id
+  FROM raw
+),
+"""
+
+_UEDGES_CTE = """
+uedges AS (
+  SELECT DISTINCT least(c.author_id, p.author_id) AS u,
+                  greatest(c.author_id, p.author_id) AS v
+  FROM tw c JOIN tw p ON c.parent_id = p.tweet_id
+  WHERE c.author_id <> p.author_id
+)
+"""
+
+_DEDGES_CTE = """
+dedges AS (
+  SELECT DISTINCT c.author_id AS src, p.author_id AS dst
+  FROM tw c JOIN tw p ON c.parent_id = p.tweet_id
+  WHERE c.author_id <> p.author_id
+)
+"""
+
+
+@_register(
+    "gr_triangles",
+    _TW_CTE
+    + _UEDGES_CTE
+    + """
+    , tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM uedges e1
+      JOIN uedges e2 ON e2.u = e1.v
+      JOIN uedges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT user_id, count(*) AS n_triangles FROM (
+      SELECT a AS user_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY 1
+    """,
+    doc="Per-user triangle participation via ordered-edge enumeration "
+    "(u<v<w counted once): two hash joins over the distinct edge set, "
+    "then an explode+count. At cluster scale the endpoints would be "
+    "degree-ordered to bound hub fan-out; the plan shape is identical. "
+    "Graph-analytics extension of the role kernel's neighbor logic "
+    "(NeighbourhoodBolt.java:41-77).",
+)
+def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.triangle_counts(G.user_edges(_event_edges(spark, sf_dir)))
+
+
+@_register(
+    "gr_neighbor_jaccard",
+    _TW_CTE
+    + _UEDGES_CTE
+    + f"""
+    , adj AS (
+      SELECT u AS node, v AS nb FROM uedges
+      UNION ALL SELECT v AS node, u AS nb FROM uedges
+    ),
+    deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+    common AS (
+      SELECT a.node AS ua, b.node AS ub, count(*) AS n_common
+      FROM adj a JOIN adj b ON a.nb = b.nb AND a.node < b.node
+      GROUP BY 1, 2 HAVING count(*) >= {G.JACCARD_MIN_COMMON}
+    )
+    SELECT ua, ub, n_common,
+           round(n_common / (da.deg + db.deg - n_common), 6) AS jaccard
+    FROM common
+    JOIN deg da ON da.node = ua
+    JOIN deg db ON db.node = ub
+    """,
+    doc="Neighbor-set Jaccard for user pairs sharing >=2 neighbors: "
+    "wedge self-join on the shared-neighbor column (the same "
+    "co-occurrence-join shape as MinHash-LSH candidate generation), "
+    "integer set arithmetic until the final division. Graph-analytics "
+    "extension.",
+)
+def gr_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.neighbor_jaccard(G.user_edges(_event_edges(spark, sf_dir)))
+
+
+def _pagerank_sql() -> str:
+    d = G.PR_DAMPING
+    base = (1.0 - d)  # noqa: F841 — formatted below with repr for parity
+    sql = (
+        _TW_CTE
+        + _DEDGES_CTE
+        + f"""
+    , nodes AS (SELECT DISTINCT user_id AS node FROM events),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM dedges GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, round(1.0 / n, 9) AS pr, n FROM nodes CROSS JOIN nn)
+    """
+    )
+    for i in range(1, G.PR_ITERS + 1):
+        sql += f"""
+    , in{i} AS (
+      SELECT e.dst, sum(p.pr / o.outdeg) AS in_mass
+      FROM dedges e
+      JOIN pr{i - 1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+      GROUP BY 1
+    ),
+    pr{i} AS (
+      SELECT p.node,
+             round({base!r} / p.n + {d!r} * coalesce(i.in_mass, 0.0), 9) AS pr,
+             p.n
+      FROM pr{i - 1} p LEFT JOIN in{i} i ON i.dst = p.node
+    )
+    """
+    sql += f"""
+    SELECT node AS user_id, round(pr, 6) AS pagerank FROM pr{G.PR_ITERS}
+    """
+    return sql
+
+
+@_register(
+    "gr_pagerank",
+    _pagerank_sql(),
+    doc="PageRank, 3 unrolled join+aggregate rounds over distinct "
+    "reply-direction edges (damping 0.85, dangling mass dropped "
+    "identically on both engines, per-round 1e-9 rounding for oracle "
+    "float convergence). Fully declarative — no driver-side loop or "
+    "collect; each round is one shuffle on dst. Graph-analytics "
+    "extension.",
+)
+def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tweets = _event_edges(spark, sf_dir)
+    nodes = tweets.select(F.col("author_id").alias("node")).distinct()
+    return G.pagerank(nodes, G.directed_edges(tweets))

@@ -336,3 +336,83 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+def gap_fill(events: DataFrame) -> DataFrame:
+    """Per-user hourly resample with forward fill.
+
+    Aggregates to an hourly mean (rounded before filling so the fill
+    propagates engine-identical values), generates each user's dense
+    hour grid with ``sequence`` + ``explode`` (pure per-row generate,
+    no shuffle), left-joins the observations back, and forward-fills
+    via ``last(ignorenulls)`` over a per-user ordered window.
+
+    Scale: the grid size is bounded by users x span-hours, not by raw
+    event count, so the generate side stays small relative to the
+    input; the only shuffles are the hourly aggregate and the window,
+    both partitioned on user_id.
+    """
+    hourly = (
+        events.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("hour_avg"))
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        "hour_avg",
+        F.last("hour_avg", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+def ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Final exponentially-weighted moving average of ``value`` per
+    user, ordered by (ts, event_id).
+
+    Expressed as a left fold over the user's ordered value list
+    (``aggregate`` seeded with the first element), so Spark and the
+    DuckDB oracle execute the identical operation order — the result
+    is bit-identical before the output rounding. One shuffle
+    (groupBy user); per-user state is a single list, fine while a
+    key's history fits a few MB — beyond that, windowed pre-collapse
+    (one EWMA per day, then fold the days) keeps the same shape.
+    """
+    a = float(alpha)
+    xs = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(xs.alias("xs"))
+        .select(
+            "user_id",
+            F.size("xs").alias("n_events"),
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+                    F.element_at("xs", 1),
+                    lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
+                ),
+                6,
+            ).alias("ewma"),
+        )
+    )
