@@ -260,3 +260,30 @@ def test_salted_join_matches_plain_join(spark):
     assert got == want and len(got) > 400
     hot = top_hot_keys(fact, "k", k=1).collect()[0]
     assert hot["k"] == "hot"
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    from westtopologies_spark.scale import bloomjoin as BJ
+    from westtopologies_spark.session import load_table
+
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000.0)
+    orders = load_table(spark, sf_dir, "orders")
+    pos = BJ.bloom_build(cust, "c_custkey")
+    # every build key must be flagged when probed with itself
+    summary = BJ.bloom_probe_summary(cust, "c_custkey", orders, "o_custkey").collect()[0]
+    assert summary.n_flagged >= summary.n_members
+    assert summary.n_false_pos == summary.n_flagged - summary.n_members
+    # position set is bounded by K * n_build and by the filter size
+    n_pos = pos.count()
+    assert n_pos <= min(len(BJ.BLOOM_A) * cust.count(), BJ.BLOOM_M)
+
+
+def test_unigram_lm_scores_are_log_probs(spark, sf_dir):
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.unigram_lm_scores(docs).collect()
+    assert scored
+    for r in scored:
+        assert r.n_tokens > 0
+        assert r.mean_logp < 0.0  # log of probabilities < 1

@@ -63,7 +63,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # mixture scale factor lam (1 row) joined onto quotas
                        "tp_mixture",
                        # node-count N (1 row) seeding the rank vector
-                       "gr_pagerank"}
+                       "gr_pagerank",
+                       # corpus token total (1 row) joined onto LM scores
+                       "tx_unigram_lm"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -1582,3 +1582,97 @@ def _ewma_sql() -> str:
 )
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.ewma(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality scoring + bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+
+def _unigram_lm_sql() -> str:
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    corpus AS (SELECT token, sum(tf) AS c FROM tf GROUP BY 1),
+    tot AS (SELECT sum(c) AS total FROM corpus)
+    SELECT doc_id, sum(tf) AS n_tokens,
+           round(sum(tf * (ln(c) - ln(total))) / sum(tf), 6) AS mean_logp
+    FROM tf JOIN corpus USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """
+
+
+@_register(
+    "tx_unigram_lm",
+    _unigram_lm_sql(),
+    doc="Per-document mean log-probability under the corpus unigram "
+    "LM — the CCNet/KenLM-style quality-filter signal (gibberish "
+    "scores low, boilerplate high). Same plan family as tf-idf: "
+    "combined counts, hash-joined token frequencies, broadcast 1-row "
+    "total. Text-analysis extension.",
+)
+def tx_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import textstats as TX
+
+    return TX.unigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+BLOOM_BAL_THRESHOLD = 5000.0
+
+
+def _bloom_sql() -> str:
+    from .scale import bloomjoin as BJ
+
+    build_pos = "\n        UNION ALL ".join(
+        f"SELECT {p} AS p FROM goodc" for p in BJ.positions_sql("c_custkey")
+    )
+    probe_pos = "\n        UNION ALL ".join(
+        f"SELECT k, {p} AS p FROM keys" for p in BJ.positions_sql("k")
+    )
+    k = len(BJ.BLOOM_A)
+    return f"""
+    WITH goodc AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_BAL_THRESHOLD}
+    ),
+    pos AS (SELECT DISTINCT p FROM ({build_pos})),
+    keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    kpos AS ({probe_pos}),
+    flagged AS (
+      SELECT k FROM kpos JOIN pos USING (p) GROUP BY k HAVING count(*) = {k}
+    ),
+    members AS (
+      SELECT k FROM keys JOIN goodc ON k = c_custkey
+    )
+    SELECT count(*) AS n_probed,
+           sum(CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END) AS n_flagged,
+           sum(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END) AS n_members,
+           sum(CASE WHEN f.k IS NOT NULL AND m.k IS NULL THEN 1 ELSE 0 END)
+             AS n_false_pos
+    FROM orders o
+    LEFT JOIN flagged f ON o.o_custkey = f.k
+    LEFT JOIN members m ON o.o_custkey = m.k
+    """
+
+
+@_register(
+    "j8_bloom_semi_join",
+    _bloom_sql(),
+    doc="Bloom-filter semi-join accuracy summary: filter built over "
+    "high-balance customers (K=3 affine int64 hashes, 64Ki "
+    "positions), broadcast to the orders probe side, compared row-"
+    "for-row with the exact semi-join — the explicit form of Spark's "
+    "runtime bloom filter, the primitive that lets a 100 TB fact "
+    "scan drop rows before the shuffle. Join extension.",
+)
+def j8_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import bloomjoin as BJ
+
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > BLOOM_BAL_THRESHOLD
+    )
+    return BJ.bloom_probe_summary(
+        cust, "c_custkey", _t(spark, sf_dir, "orders"), "o_custkey"
+    )

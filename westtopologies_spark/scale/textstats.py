@@ -343,3 +343,39 @@ def pmi_bigrams(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def unigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Per-document mean log-probability under the corpus unigram LM
+    (the CCNet/KenLM-style quality-filter signal: implausibly low
+    scorers are gibberish, implausibly high are boilerplate).
+
+    p(t) = c(t)/total over the whole corpus; a doc's score is
+    sum(tf * (ln c - ln total)) / n_tokens. Same plan family as
+    tf-idf: map-side-combined (doc, token) counts, hash join against
+    the token-frequency table (AQE splits stopword-hot keys), one
+    broadcast 1-row total. The identity ln(c/total) = ln c - ln total
+    avoids a per-token division before the log.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tf.groupBy("token").agg(F.sum("tf").alias("c"))
+    total = corpus.agg(F.sum("c").alias("total"))
+    return (
+        tf.join(corpus, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * (F.log("c") - F.log("total")))
+                / F.sum("tf"),
+                6,
+            ).alias("mean_logp"),
+        )
+    )
