@@ -366,3 +366,34 @@ def test_gap_session_stream_matches_batch_sessionize(spark, sf_dir, tmp_path_fac
     e = {tuple(r) for r in batch.collect()}
     assert g == e
     assert len(g) > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    """dropDuplicatesWithinWatermark parity: events replayed twice
+    (exact duplicate micro-batch within the watermark horizon) must
+    come out exactly once, matching batch dropDuplicates."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("dedup_stream"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    pdf = ev.select("event_id", "ts", "value").toPandas().sort_values("event_id")
+    # file 0: first 150 events; file 1: events 50..200 (overlap 50..150)
+    chunks = [pdf[pdf.event_id < 150], pdf[pdf.event_id >= 50]]
+    for i, chunk in enumerate(chunks):
+        path = os.path.join(out, f"part-{i}.parquet")
+        chunk.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        mtime = time.time() - 100 + i * 10
+        os.utime(path, (mtime, mtime))
+    schema = "event_id long, ts timestamp, value double"
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path := out)
+    deduped = (
+        src.withWatermark("ts", "90 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    got = _run_stream(spark, deduped, "dedup_stream_out")
+    assert got.count() == 200
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in ev.collect()
+    )

@@ -65,7 +65,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # node-count N (1 row) seeding the rank vector
                        "gr_pagerank",
                        # corpus token total (1 row) joined onto LM scores
-                       "tx_unigram_lm"}
+                       "tx_unigram_lm",
+                       # label-count total (1 row) joined onto class counts
+                       "tp_class_weights"}
 
 
 def audit(name: str, plan: str) -> list[str]:

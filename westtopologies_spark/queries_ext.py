@@ -1676,3 +1676,45 @@ def j8_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BJ.bloom_probe_summary(
         cust, "c_custkey", _t(spark, sf_dir, "orders"), "o_custkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# feature standardization + class weights
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tp_zscore",
+    """
+    WITH stats AS (
+      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY 1
+    )
+    SELECT e.user_id, e.event_id, e.value AS x,
+           round((e.value - s.mu) / s.sigma, 6) AS z
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    """,
+    doc="Per-key z-score standardization: grouped algebraic "
+    "mean/stddev joined back onto rows — the vanilla feature-"
+    "normalization pass of an ML pipeline. Training-prep extension.",
+)
+def tp_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.zscore_standardize(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "tp_class_weights",
+    """
+    WITH counts AS (
+      SELECT label, count(*) AS n_c FROM embeddings GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_c) AS n, count(*) AS n_classes FROM counts)
+    SELECT label, n_c, round(n / (n_classes * n_c), 6) AS weight
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Inverse-frequency class weights (balanced convention "
+    "n/(n_classes*count)): one count aggregate + broadcast 1-row "
+    "total. Training-prep extension.",
+)
+def tp_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.class_weights(_t(spark, sf_dir, "embeddings"))

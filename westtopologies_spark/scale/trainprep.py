@@ -310,3 +310,41 @@ def quality_gate(docs: DataFrame) -> DataFrame:
         .withColumn("keep_threshold", thr)
         .filter(F.col("sample_bucket") < F.col("keep_threshold"))
     )
+
+
+def zscore_standardize(
+    events: DataFrame, key: str = "user_id", value: str = "value"
+) -> DataFrame:
+    """Per-key z-score feature standardization — the vanilla ML-prep
+    normalization. Grouped mean/stddev (algebraic, map-side partial)
+    broadcast back onto the rows via an equi join; single-row groups
+    yield NULL (sample stddev undefined), identically on both
+    engines."""
+    stats = events.groupBy(key).agg(
+        F.avg(value).alias("mu"), F.stddev_samp(value).alias("sigma")
+    )
+    return events.join(stats, key).select(
+        key,
+        "event_id",
+        F.col(value).alias("x"),
+        F.round((F.col(value) - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+
+
+def class_weights(labeled: DataFrame, label: str = "label") -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced'
+    convention: n / (n_classes * count_c)) — what a training loop
+    feeds its loss to correct class imbalance. One count aggregate
+    plus a broadcast 1-row total; exact integer arithmetic until the
+    final division."""
+    counts = labeled.groupBy(label).agg(F.count(F.lit(1)).alias("n_c"))
+    tot = counts.agg(
+        F.sum("n_c").alias("n"), F.count(F.lit(1)).alias("n_classes")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        label,
+        "n_c",
+        F.round(F.col("n") / (F.col("n_classes") * F.col("n_c")), 6).alias(
+            "weight"
+        ),
+    )
