@@ -51,6 +51,20 @@ def test_ngram_jaccard_exact_values(docs):
     assert pairs[(0, 1)] == round(6 / 8, 4)
 
 
+@pytest.mark.parametrize("threshold", [0.3, 0.6, 0.8])
+def test_prefix_jaccard_matches_bruteforce(docs, threshold):
+    # the prefix filter must be lossless: identical pair set + values
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.prefix_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    assert pref == full and full  # non-empty at these thresholds
+
+
 def test_simhash_identical_docs_zero_hamming(docs):
     toks = dedup.tokens_with_ids(docs)
     near = {

@@ -188,6 +188,19 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, vocab_mode="char")
 
 
+@_register(
+    "dd_ppjoin",
+    _ngram_jaccard_sql(),
+    doc="PPJoin-style prefix-filtered all-pairs Jaccard: candidates "
+    "from each doc's rarest-shingle prefix only (lossless for t=0.8); "
+    "oracle shared with dd_ngram_jaccard proves the filter exact. "
+    "Scale extension.",
+)
+def dd_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_pairs(docs, vocab_mode="char")
+
+
 def _simhash_sql() -> str:
     h = f"(tid * {C.SIMHASH_A} + {C.SIMHASH_B}) % {C.SIMHASH_M}"
     bits = " + ".join(
