@@ -399,3 +399,47 @@ def test_duplicated_spans_semantics(spark):
     assert out[3]["dup_frac"] == 1.0
     # doc 4: clean
     assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] == 0.0
+
+
+def test_mad_exact(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 100.0)], ["k", "v"]
+    )
+    row = A.mad(df, "v", ["k"]).collect()[0]
+    # median of [1,2,3,100] = 2.5; devs [1.5,0.5,0.5,97.5] -> median 1.0
+    assert row["median"] == 2.5 and row["mad"] == 1.0
+
+
+def test_crosstab_pivot_dense_zero_fill(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "a", 5.0), (2, "b", 7.0)], ["k", "t", "v"]
+    )
+    out = {r["k"]: r for r in A.crosstab_pivot(df, "k", "t", ("a", "b"), "v").collect()}
+    assert out[1]["t_a"] == 15.0 and out[1]["t_b"] == 0.0
+    assert out[2]["t_a"] == 0.0 and out[2]["t_b"] == 7.0
+
+
+def test_scd2_history_runs(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "a", t0, 1),
+        (1, "a", t0 + dt.timedelta(minutes=1), 2),
+        (1, "b", t0 + dt.timedelta(minutes=2), 3),
+        (1, "a", t0 + dt.timedelta(minutes=3), 4),
+        (2, "x", t0, 5),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    out = V.scd2_history(df)
+    u1 = sorted(
+        [r for r in out.collect() if r["user_id"] == 1],
+        key=lambda r: r["valid_from"],
+    )
+    assert [r["event_type"] for r in u1] == ["a", "b", "a"]
+    assert [r["n_events"] for r in u1] == [2, 1, 1]
+    # intervals chain: each valid_to == next valid_from; only last open
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]
+    assert u1[1]["valid_to"] == u1[2]["valid_from"]
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"]
+    assert not u1[0]["is_current"]

@@ -1718,3 +1718,105 @@ def tp_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tp_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.class_weights(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history, pivot cross-tab, MAD
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dv_scd2_history",
+    """
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runid AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM runs
+    ),
+    iv AS (
+      SELECT user_id, run, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM runid GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           n_events,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM iv WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+    """,
+    doc="Type-2 SCD history: per-user runs of equal event_type "
+    "collapsed to validity intervals (gaps-and-islands) — the batch "
+    "primitive behind dimension MERGEs and point-in-time joins. One "
+    "shuffle on the key; lag/run-id/lead windows share a single "
+    "sort. Versioning extension.",
+)
+def dv_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import versioning as V
+
+    return V.scd2_history(_t(spark, sf_dir, "events"))
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_register(
+    "ag_pivot",
+    """
+    SELECT user_id % 10 AS bucket,
+    """
+    + ",\n    ".join(
+        f"round(coalesce(sum(CASE WHEN event_type = '{t}' THEN value END), 0), 2)"
+        f" AS event_type_{t}"
+        for t in _PIVOT_TYPES
+    )
+    + """
+    FROM events GROUP BY 1
+    """,
+    doc="Cross-tab via native pivot (explicit value list -> no "
+    "distinct-scan job, stable schema): per user-bucket summed value "
+    "per event type, compiled to one CASE-WHEN sum per column with "
+    "map-side combine. Aggregate-statistics extension.",
+)
+def ag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("bucket"), "event_type", "value"
+    )
+    return A.crosstab_pivot(ev, "bucket", "event_type", _PIVOT_TYPES, "value")
+
+
+@_register(
+    "ag_mad",
+    """
+    WITH med AS (
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS median
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT o.o_orderpriority, med.median,
+             abs(o.o_totalprice - med.median) AS dev
+      FROM orders o JOIN med USING (o_orderpriority)
+    )
+    SELECT o_orderpriority, round(min(median), 4) AS median,
+           round(quantile_cont(dev, 0.5), 4) AS mad
+    FROM d GROUP BY 1
+    """,
+    doc="Median absolute deviation per priority class: robust "
+    "dispersion for outlier-immune quality gates, exact via the "
+    "rank-based median plan run twice (values, then deviations) — "
+    "no per-group value buffering. Aggregate-statistics extension.",
+)
+def ag_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.mad(_t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"])

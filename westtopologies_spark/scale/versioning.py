@@ -16,7 +16,7 @@ column rather than the payload when rows are wide.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # deterministic synthetic snapshots, derived from doc_id so the
@@ -43,6 +43,54 @@ def synthetic_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .alias("text"),
     )
     return old, new
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse each key's
+    event stream into validity intervals, one row per *run* of equal
+    ``attr`` values (gaps-and-islands).  Output: (key, attr,
+    valid_from, valid_to, n_events, is_current) where ``valid_to`` is
+    the next run's start (null on the current run).
+
+    This is the batch primitive behind dimension-table MERGEs and
+    point-in-time joins over mutable entity state.  Plan: one shuffle
+    on ``key`` feeding lag/run-id/aggregate windows all on the same
+    partitioning — Catalyst reuses a single sort; no joins.
+    ``seq`` breaks timestamp ties deterministically.
+    """
+    w = Window.partitionBy(key).orderBy(ts, seq)
+    runs = df.select(
+        key,
+        attr,
+        ts,
+        seq,
+        F.when(
+            F.lag(attr).over(w).isNull() | (F.lag(attr).over(w) != F.col(attr)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+    ).withColumn("_run", F.sum("_chg").over(w))
+    intervals = runs.groupBy(key, "_run").agg(
+        F.first(attr).alias(attr),
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key).orderBy("_run")
+    return intervals.select(
+        key,
+        attr,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
