@@ -301,3 +301,30 @@ def test_unigram_lm_scores_are_log_probs(spark, sf_dir):
     for r in scored:
         assert r.n_tokens > 0
         assert r.mean_logp < 0.0  # log of probabilities < 1
+
+
+def test_cooccurrence_window_pairs(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "c a")], ["doc_id", "text"])
+    out = {
+        (r["wa"], r["wb"]): (r["n_cooc"], r["n_docs"])
+        for r in textstats.cooccurrence(df, window=2, min_count=1).collect()
+    }
+    # doc1 pairs: (a,b),(a,c),(b,c); doc2: (a,c) -> (a,c) twice across 2 docs
+    assert out[("a", "c")] == (2, 2)
+    assert out[("a", "b")] == (1, 1) and out[("b", "c")] == (1, 1)
+
+
+def test_cooccurrence_respects_window(spark):
+    df = spark.createDataFrame([(1, "a x y z b")], ["doc_id", "text"])
+    out = textstats.cooccurrence(df, window=2, min_count=1).collect()
+    assert ("a", "b") not in {(r["wa"], r["wb"]) for r in out}  # distance 4 > 2
+
+
+def test_inverted_index_postings(spark):
+    df = spark.createDataFrame(
+        [(3, "dog cat"), (1, "dog dog"), (2, "dog")], ["doc_id", "text"]
+    )
+    out = {r["term"]: r for r in textstats.inverted_index(df, cap=2).collect()}
+    assert out["dog"]["df"] == 3 and out["dog"]["cf"] == 4
+    assert out["dog"]["postings"] == "1,2"  # sorted, capped at 2
+    assert out["cat"]["postings"] == "3"

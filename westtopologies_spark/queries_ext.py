@@ -1820,3 +1820,76 @@ def ag_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import aggstats as A
 
     return A.mad(_t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence counts, inverted index
+# ---------------------------------------------------------------------------
+
+
+def _cooc_sql() -> str:
+    from .scale import textstats as TX
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term,
+             generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1)
+               AS pos
+      FROM documents
+    )
+    SELECT least(a.term, b.term) AS wa, greatest(a.term, b.term) AS wb,
+           count(*) AS n_cooc, count(DISTINCT a.doc_id) AS n_docs
+    FROM toks a JOIN toks b
+      ON a.doc_id = b.doc_id AND b.pos > a.pos
+         AND b.pos <= a.pos + {TX.COOC_WINDOW}
+    WHERE a.term <> b.term
+    GROUP BY 1, 2
+    HAVING count(*) >= {TX.COOC_MIN_COUNT}
+    """
+
+
+@_register(
+    "tx_cooccurrence",
+    _cooc_sql(),
+    doc="Windowed term co-occurrence (the word2vec-SGNS / topic-"
+    "coherence statistic): unordered word pairs within 5 positions, "
+    "generated as a zero-shuffle nested array transform — no "
+    "positional self-join — then one partial-agg'd count. Text-"
+    "analysis extension.",
+)
+def tx_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import textstats as TX
+
+    return TX.cooccurrence(_t(spark, sf_dir, "documents"))
+
+
+def _invidx_sql() -> str:
+    from .scale import textstats as TX
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      FROM documents
+    )
+    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf,
+           array_to_string(
+             (list_sort(list(DISTINCT doc_id)))[1:{TX.POSTINGS_CAP}], ',')
+             AS postings
+    FROM toks GROUP BY 1
+    """
+
+
+@_register(
+    "tx_inverted_index",
+    _invidx_sql(),
+    doc="Inverted index build: per-term document frequency, collection "
+    "frequency, and capped ascending postings — the search / "
+    "contamination-lookup primitive; write uncapped bucketed by term "
+    "for shuffle-free probes at scale. Text-analysis extension.",
+)
+def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import textstats as TX
+
+    return TX.inverted_index(_t(spark, sf_dir, "documents"))

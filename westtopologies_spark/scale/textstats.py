@@ -379,3 +379,98 @@ def unigram_lm_scores(docs: DataFrame) -> DataFrame:
             ).alias("mean_logp"),
         )
     )
+
+
+COOC_WINDOW = 5
+COOC_MIN_COUNT = 20
+POSTINGS_CAP = 10
+
+
+def cooccurrence(
+    docs: DataFrame,
+    window: int = COOC_WINDOW,
+    min_count: int = COOC_MIN_COUNT,
+) -> DataFrame:
+    """Windowed term co-occurrence counts: every unordered word pair
+    within ``window`` positions of each other, with event count and
+    document frequency — the raw statistic behind word-association /
+    topic-coherence / embedding-evaluation (word2vec SGNS trains on
+    exactly these pairs).
+
+    Pair generation is a zero-shuffle nested array transform (no
+    positional self-join — a per-doc join would be quadratic in the
+    hot partition): each doc maps to its in-window pairs in place,
+    normalized wa < wb so unordered pairs collapse; one explode, one
+    partial-aggregated groupBy.  Output is vocab²-bounded and pruned
+    by ``min_count`` before leaving the aggregation.
+    """
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    docs2 = docs.select("doc_id", words.alias("_ws"))
+    ws = F.col("_ws")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(window), F.size(ws) - i)
+                    ),
+                    lambda d: F.struct(
+                        F.least(
+                            F.element_at(ws, i), F.element_at(ws, i + d)
+                        ).alias("wa"),
+                        F.greatest(
+                            F.element_at(ws, i), F.element_at(ws, i + d)
+                        ).alias("wb"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<wa:string,wb:string>>"))
+    ex = (
+        docs2.select("doc_id", F.explode(pairs).alias("p"))
+        .filter(F.col("p.wa") != F.col("p.wb"))
+        .select("doc_id", "p.wa", "p.wb")
+    )
+    return (
+        ex.groupBy("wa", "wb")
+        .agg(
+            F.count(F.lit(1)).alias("n_cooc"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_cooc") >= min_count)
+    )
+
+
+def inverted_index(docs: DataFrame, cap: int = POSTINGS_CAP) -> DataFrame:
+    """Inverted index over the corpus: per term, document frequency,
+    collection frequency, and the first ``cap`` posting doc_ids
+    (ascending, comma-joined) — the search-engine / contamination-
+    lookup primitive.
+
+    One tokenize scan, one groupBy term.  The postings list is the
+    one genuinely list-valued aggregate here; at 100 TB the full
+    (uncapped) index would be written bucketed by term
+    (``scale.layout.write_bucketed``) so probe joins are
+    shuffle-free, and hot terms (stopword-scale df) belong behind
+    the ``heavy_hitters`` prune first — the cap keeps this catalog
+    query's output bounded either way.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    return toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("cf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, cap),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
