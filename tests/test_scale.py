@@ -328,3 +328,28 @@ def test_inverted_index_postings(spark):
     assert out["dog"]["df"] == 3 and out["dog"]["cf"] == 4
     assert out["dog"]["postings"] == "1,2"  # sorted, capped at 2
     assert out["cat"]["postings"] == "3"
+
+
+def test_kmeans_two_clusters(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.98, 0.05, 0.0, 0.0]),
+        (2, [0.97, 0.0, 0.05, 0.0]),
+        (7, [0.0, 0.0, 1.0, 0.0]),
+        (8, [0.0, 0.05, 0.98, 0.0]),
+        (9, [0.05, 0.0, 0.97, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    # seeds: vec_ids 0 and 7 (divisible by 7) -> one per true cluster
+    out = {
+        r["vec_id"]: r
+        for r in similarity.kmeans_assignments(
+            vecs, k=2, iters=2, dim=4, stride=7
+        ).collect()
+    }
+    assert {out[i]["cluster_id"] for i in (0, 1, 2)} == {0}
+    assert {out[i]["cluster_id"] for i in (7, 8, 9)} == {7}
+    # every member sits close to its own centroid
+    assert all(r["cosine"] > 0.95 for r in out.values())

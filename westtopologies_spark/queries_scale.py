@@ -577,3 +577,65 @@ def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = multimodal.as_binary_docs(_t(spark, sf_dir, "documents"))
     return multimodal.byte_histogram(b)
+
+
+def _kmeans_sql() -> str:
+    d = C.EMBEDDING_DIM
+    mean_list = ", ".join(f"round(avg(n.v[{i + 1}]), 9)" for i in range(d))
+    dot = _DOT.format(d=d, a="n.v", b="c.cv")
+    parts = [
+        f"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    normed AS (SELECT vec_id, v, {_NORM.format(v="v")} AS nrm FROM base),
+    c0 AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM normed
+      WHERE vec_id % {C.KMEANS_SEED_STRIDE} = 0
+      ORDER BY vec_id LIMIT {C.KMEANS_K}
+    )"""
+    ]
+    for i in range(C.KMEANS_ITERS):
+        parts.append(
+            f"""s{i} AS (
+      SELECT n.vec_id, c.cid, round({dot} / (n.nrm * c.cn), 6) AS sim
+      FROM normed n CROSS JOIN c{i} c
+    ),
+    b{i} AS (SELECT vec_id, max(sim) AS best FROM s{i} GROUP BY vec_id),
+    a{i} AS (
+      SELECT s.vec_id, min(s.cid) AS cid
+      FROM s{i} s JOIN b{i} b ON s.vec_id = b.vec_id AND s.sim = b.best
+      GROUP BY s.vec_id
+    ),
+    m{i + 1} AS (
+      SELECT a.cid, [{mean_list}]::DOUBLE[] AS cv
+      FROM a{i} a JOIN normed n USING (vec_id) GROUP BY a.cid
+    ),
+    c{i + 1} AS (SELECT cid, cv, {_NORM.format(v="cv")} AS cn FROM m{i + 1})"""
+        )
+    fin = C.KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    sf AS (
+      SELECT n.vec_id, c.cid, round({dot} / (n.nrm * c.cn), 6) AS sim
+      FROM normed n CROSS JOIN c{fin} c
+    ),
+    bf AS (SELECT vec_id, max(sim) AS best FROM sf GROUP BY vec_id)
+    SELECT s.vec_id, min(s.cid) AS cluster_id, max(s.sim) AS cosine
+    FROM sf s JOIN bf b ON s.vec_id = b.vec_id AND s.sim = b.best
+    GROUP BY s.vec_id
+    """
+    )
+
+
+@_register(
+    "emb_kmeans",
+    _kmeans_sql(),
+    doc="Spherical k-means over the embedding corpus: 3 unrolled "
+    "Lloyd iterations (broadcast centroids, map-side-combined "
+    "re-centering, persisted corpus scan), deterministic stride "
+    "seeds and tie-breaks so the oracle replays the exact iteration "
+    "trace. Scale extension.",
+)
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assignments(emb)

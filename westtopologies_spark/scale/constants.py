@@ -74,6 +74,12 @@ def lsh_plane(plane: int, dim: int = EMBEDDING_DIM) -> list[float]:
     return out
 
 
+# --- k-means clustering --------------------------------------------------
+KMEANS_K = 8  # clusters
+KMEANS_ITERS = 3  # unrolled Lloyd iterations
+KMEANS_SEED_STRIDE = 13  # seeds = first K vec_ids with id % stride == 0
+
+
 # --- text analysis -------------------------------------------------------
 STOPWORDS: tuple[str, ...] = (
     "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",

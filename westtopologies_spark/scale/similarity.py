@@ -317,3 +317,67 @@ def label_centroids(emb: DataFrame) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 6).alias("centroid"))
     )
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    k: int = C.KMEANS_K,
+    iters: int = C.KMEANS_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = C.EMBEDDING_DIM,
+    stride: int = C.KMEANS_SEED_STRIDE,
+) -> DataFrame:
+    """Spherical k-means: ``iters`` unrolled Lloyd iterations (assign
+    by cosine, re-center by component mean), then the final
+    per-vector assignment (vec_id, cluster_id, cosine).
+
+    Fully deterministic (no RNG — seeds are a stride sample of the
+    corpus, ties break to the smallest centroid id on the 6-decimal
+    rounded similarity), so the DuckDB oracle replays the identical
+    iteration trace.  Scale shape per iteration: the centroid table
+    (k rows) is broadcast, assignment is one parallel scan, the
+    re-center is a map-side-combinable aggregation — the classic
+    mini-batch-free distributed k-means; the corpus scan is persisted
+    once and reused by every round.  No driver-side loop state beyond
+    plan construction (cf. ops.graph.pagerank's unrolled rounds).
+    """
+    v = _normed(emb, vec_col, id_col, "c_").persist()
+    cents = (
+        v.filter(F.col("c_id") % stride == 0)
+        .orderBy("c_id")
+        .limit(k)
+        .select(
+            F.col("c_id").alias("cid"),
+            F.col("c_v").alias("cent_v"),
+            F.col("c_n").alias("cent_n"),
+        )
+    )
+    mean_v = F.array(
+        *[
+            F.round(F.avg(F.element_at(F.col("c_v"), i + 1)), 9)
+            for i in range(dim)
+        ]
+    )
+    for _ in range(iters):
+        assigned = _nearest_centroid(v, cents)
+        cents = (
+            v.join(assigned, "c_id")
+            .groupBy("cid")
+            .agg(mean_v.alias("cent_v"))
+            .withColumn("cent_n", _norm(F.col("cent_v")))
+        )
+    sim = F.round(
+        _dot(F.col("c_v"), F.col("cent_v")) / (F.col("c_n") * F.col("cent_n")), 6
+    )
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        "c_id", "cid", sim.alias("_sim")
+    )
+    best = scored.groupBy("c_id").agg(F.max("_sim").alias("_best"))
+    return (
+        scored.join(best, "c_id")
+        .filter(F.col("_sim") == F.col("_best"))
+        .groupBy("c_id")
+        .agg(F.min("cid").alias("cluster_id"), F.max("_sim").alias("cosine"))
+        .select(F.col("c_id").alias("vec_id"), "cluster_id", "cosine")
+    )
