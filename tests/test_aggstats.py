@@ -443,3 +443,48 @@ def test_scd2_history_runs(spark):
     assert u1[1]["valid_to"] == u1[2]["valid_from"]
     assert u1[2]["valid_to"] is None and u1[2]["is_current"]
     assert not u1[0]["is_current"]
+
+
+def test_quantile_bins_equal_frequency(spark):
+    df = spark.createDataFrame(
+        [("g", float(i), i) for i in range(1, 9)], ["k", "v", "id"]
+    )
+    out = {r["bin"]: r for r in A.quantile_bins(df, "v", ["k"], "id").collect()}
+    assert [out[b]["n_rows"] for b in (1, 2, 3, 4)] == [2, 2, 2, 2]
+    assert out[1]["bin_lo"] == 1.0 and out[4]["bin_hi"] == 8.0
+
+
+def test_weighted_quantiles_lower_rule(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0, 5.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0)], ["k", "v", "w"]
+    )
+    out = {
+        r["p10"]: r["wq_value"]
+        for r in A.weighted_quantiles(df, "v", "w", ["k"]).collect()
+    }
+    # cum weights: v=1 -> 5, v=2 -> 8, v=3 -> 10 (total 10)
+    assert out[5] == 1.0  # 5*10 >= 5*10 at v=1
+    assert out[9] == 3.0  # first cum*10 >= 90 is v=3
+
+
+def test_priority_sample_deterministic_and_complete(spark):
+    from westtopologies_spark.scale import trainprep as TP
+
+    df = spark.createDataFrame(
+        [(i, 10 * (i + 1)) for i in range(20)], ["doc_id", "n_chars"]
+    )
+    a = sorted(map(tuple, TP.priority_sample(df, n=5).collect()))
+    b = sorted(map(tuple, TP.priority_sample(df.repartition(7), n=5).collect()))
+    assert a == b and len(a) == 5  # repartition-stable draw
+    assert len(TP.priority_sample(df, n=100).collect()) == 20  # n > rows -> all
+
+
+def test_readability_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "zzz")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in TX.readability(df).collect()}
+    assert out[1]["n_words"] == 6 and out[1]["n_sentences"] == 2
+    # one vowel group per word in doc 1
+    assert out[1]["n_syllables"] == 6
+    assert out[2]["n_sentences"] == 1 and out[2]["n_syllables"] == 0

@@ -1893,3 +1893,126 @@ def tx_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import textstats as TX
 
     return TX.inverted_index(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# priority sampling, quantile bins, weighted quantiles, readability
+# ---------------------------------------------------------------------------
+
+
+def _priority_sample_sql() -> str:
+    from .scale import constants as C
+
+    pri = (
+        f"CAST(n_chars AS DOUBLE) * {C.FP_P} / "
+        f"((doc_id * {C.SIMHASH_A} + {TP.PRIORITY_SALT}) % {C.FP_P} + 1)"
+    )
+    return f"""
+    WITH pri AS (
+      SELECT doc_id, n_chars AS weight, {pri} AS p FROM documents
+    )
+    SELECT doc_id, weight, round(p, 4) AS priority
+    FROM pri ORDER BY p DESC, doc_id ASC LIMIT {TP.PRIORITY_SAMPLE_N}
+    """
+
+
+@_register(
+    "tp_priority_sample",
+    _priority_sample_sql(),
+    doc="Weighted sampling without replacement via priority sampling "
+    "(priority = w/u, top-n): deterministic hash u makes the draw "
+    "reproducible and repartition-stable; top-n is a TakeOrdered, "
+    "never a global sort. Training-prep extension.",
+)
+def tp_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.priority_sample(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ag_quantile_bins",
+    """
+    WITH b AS (
+      SELECT o_orderpriority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT o_orderpriority, bin, count(*) AS n_rows,
+           round(min(o_totalprice), 2) AS bin_lo,
+           round(max(o_totalprice), 2) AS bin_hi
+    FROM b GROUP BY 1, 2
+    """,
+    doc="Equal-frequency binning (quartiles of order value per "
+    "priority class): one keyed ntile window with a deterministic "
+    "tiebreak + a partial-agg'd rollup — the feature-discretization "
+    "primitive. Aggregate-statistics extension.",
+)
+def ag_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.quantile_bins(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        ["o_orderpriority"],
+        "o_orderkey",
+    )
+
+
+@_register(
+    "ag_weighted_quantiles",
+    """
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cw,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag, p10, round(min(v), 2) AS wq_value
+    FROM r CROSS JOIN (SELECT unnest([5, 9]) AS p10) p
+    WHERE cw * 10 >= p10 * tw
+    GROUP BY 1, 2
+    """,
+    doc="Exact weighted quantiles (lower rule, integer-weight "
+    "arithmetic — no floats anywhere): the price below which 50%/90% "
+    "of QUANTITY sits, per return flag; RANGE-framed cumulative sums "
+    "make ties deterministic and share one keyed sort. "
+    "Aggregate-statistics extension.",
+)
+def ag_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.weighted_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        ["l_returnflag"],
+    )
+
+
+@_register(
+    "tx_readability",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * n_words / n_sentences
+                 - 84.6 * n_syllables / n_words, 4) AS flesch
+    FROM c WHERE n_words > 0
+    """,
+    doc="Flesch-style readability from three integer regexp counts "
+    "(words, sentence enders, vowel groups): the fast prose-vs-"
+    "listing quality gate — codegen'd, zero shuffle. Text-analysis "
+    "extension.",
+)
+def tx_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import textstats as TX
+
+    return TX.readability(_t(spark, sf_dir, "documents"))

@@ -313,3 +313,65 @@ def grouped_corr(
         F.round(F.covar_samp(x, y), CORR_ROUND_DP).alias("covar"),
         F.round(F.corr(x, y), CORR_ROUND_DP).alias("corr"),
     )
+
+
+QUANTILE_BINS = 4
+WEIGHTED_PS_TENTHS = (5, 9)
+
+
+def quantile_bins(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    tiebreak: str,
+    n_bins: int = QUANTILE_BINS,
+) -> DataFrame:
+    """Equal-frequency discretization: per key group, ``n_bins``
+    ntile buckets of ``value`` with count and value range — the
+    feature-binning / monotone-calibration primitive.  One keyed
+    sort window (ordered by value + ``tiebreak`` so ties land
+    deterministically), one partial-agg'd rollup."""
+    w = Window.partitionBy(*keys).orderBy(value, tiebreak)
+    return (
+        df.withColumn("bin", F.ntile(n_bins).over(w))
+        .groupBy(*keys, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min(value), 2).alias("bin_lo"),
+            F.round(F.max(value), 2).alias("bin_hi"),
+        )
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value: str,
+    weight: str,
+    keys: Sequence[str],
+    ps_tenths: Sequence[int] = WEIGHTED_PS_TENTHS,
+) -> DataFrame:
+    """Exact weighted quantiles (lower rule: smallest v with
+    cumweight(v) >= p * totalweight) per key group, for integer
+    weights — token-budget-aware corpus statistics ("the document
+    length below which half the TOKENS sit", not half the docs).
+
+    The cumulative weight uses the default RANGE frame, so all rows
+    tied on ``value`` share one cumulative total (no arbitrary
+    intra-tie ordering); the p*W comparison is kept in integers
+    (cumw * 10 >= p10 * W) — nothing floating anywhere, so
+    cross-engine parity is exact, and the windows + final min all
+    share the one keyed sort."""
+    kw = Window.partitionBy(*keys)
+    cum = F.sum(F.col(weight).cast("long")).over(kw.orderBy(value))
+    tot = F.sum(F.col(weight).cast("long")).over(kw)
+    ranked = df.select(
+        *keys, F.col(value).alias("_v"), cum.alias("_cw"), tot.alias("_tw")
+    )
+    exploded = ranked.withColumn(
+        "p10", F.explode(F.array(*[F.lit(int(p)) for p in ps_tenths]))
+    )
+    return (
+        exploded.filter(F.col("_cw") * 10 >= F.col("p10") * F.col("_tw"))
+        .groupBy(*keys, "p10")
+        .agg(F.round(F.min("_v"), 2).alias("wq_value"))
+    )

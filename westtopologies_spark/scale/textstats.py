@@ -474,3 +474,33 @@ def inverted_index(docs: DataFrame, cap: int = POSTINGS_CAP) -> DataFrame:
             ),
         ).alias("postings"),
     )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Flesch-reading-ease-style readability per document, from three
+    integer counts (words = [a-z]+ runs, sentences = [.!?]+ runs
+    floored at 1, syllables ~= [aeiouy]+ vowel groups):
+
+        score = 206.835 - 1.015*(words/sentences) - 84.6*(syll/words)
+
+    The classic fast quality gate for prose vs. listings/tables/code.
+    Pure regexp counts + one float expression — codegen'd, zero
+    shuffle, identical arithmetic in the oracle."""
+    lower = F.lower(F.col("text"))
+    n_words = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * n_words / n_sent
+            - F.lit(84.6) * n_syll / n_words,
+            4,
+        ).alias("flesch"),
+    )

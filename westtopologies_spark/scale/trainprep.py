@@ -348,3 +348,41 @@ def class_weights(labeled: DataFrame, label: str = "label") -> DataFrame:
             "weight"
         ),
     )
+
+
+# --- priority sampling ---------------------------------------------------
+PRIORITY_SAMPLE_N = 100
+PRIORITY_SALT = 54321
+
+
+def priority_sample(
+    docs: DataFrame,
+    n: int = PRIORITY_SAMPLE_N,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sample without replacement via priority sampling
+    (Duffield/Lund/Thorup: priority = w/u, keep the top-n): heavy
+    documents are near-certain picks, light ones keep a
+    weight-proportional chance — the standard one-pass budgeted
+    corpus subset.
+
+    u is a deterministic integer hash of the id mapped into (0, 1],
+    so the draw is reproducible, repartition-stable, and
+    oracle-replayable; priority = w * P / h is a single IEEE
+    division, bit-identical across engines.  The top-n is a
+    TakeOrdered (per-partition heap + merge of n-row heads), never a
+    global sort.
+    """
+    h = (F.col(id_col) * C.SIMHASH_A + PRIORITY_SALT) % C.FP_P + 1
+    priority = F.col(weight_col).cast("double") * float(C.FP_P) / h
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            priority.alias("_pri"),
+        )
+        .orderBy(F.desc("_pri"), F.asc(id_col))
+        .limit(n)
+        .select(id_col, "weight", F.round("_pri", 4).alias("priority"))
+    )
