@@ -48,6 +48,10 @@ def main() -> None:
         # foreach-noop action: executes the whole plan, returns nothing
         df.write.format("noop").mode("overwrite").save()
         timings[spec.name] = round(time.time() - t0, 3)
+        # drop intermediates persisted inside the query: caches are
+        # strictly intra-query; letting 100+ queries' pins accumulate
+        # eventually evicts/OOMs the execution memory pool
+        spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
     print(

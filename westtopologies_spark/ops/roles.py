@@ -269,6 +269,11 @@ def tercile_levels(
     community when ``community_col`` is given (A4, Boundaries#train/
     #getLevel: `<=` -> low/med, else high).
     """
+    # the feature frame (pointer-doubling root walk + fused aggs) feeds
+    # both the boundary aggregation and the join-back; without a pin
+    # Spark computes it twice — at any scale the trained-population
+    # scan is materialized once
+    features = features.persist()
     aggs = []
     for c in feature_cols:
         vals = F.sort_array(F.collect_list(F.col(c)))

@@ -190,7 +190,14 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     join are all doc-keyed — no global aggregation anywhere, so the
     plan is embarrassingly key-parallel at corpus scale.
     """
-    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    # materialize the token array once: element_at(<expr>, i) inside a
+    # transform lambda re-evaluates the regexp per element (O(len^2)
+    # regex executions per doc) — project it to a column first
+    base = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("_ws"),
+    )
+    words = F.col("_ws")
     bigr = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -200,13 +207,13 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    barr = docs.select(
+    barr = base.select(
         "doc_id",
         F.size(bigr).alias("n_bigrams"),
         F.size(F.array_distinct(bigr)).alias("_ndb"),
     )
     wstats = (
-        docs.select("doc_id", F.explode(words).alias("w"))
+        base.select("doc_id", F.explode(words).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
@@ -304,7 +311,12 @@ def pmi_bigrams(
     N (total bigram count) is a 1-row broadcast.  Ranked on the
     ROUNDED score (ties: bigram asc) for cross-engine determinism.
     """
-    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    # project the token array before indexing it: element_at over the
+    # raw regexp expression would re-run the regex per element
+    base = docs.select(
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("_ws")
+    )
+    words = F.col("_ws")
     pairs = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -315,7 +327,7 @@ def pmi_bigrams(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    big = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    big = base.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     c_ab = (
         big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")).persist()
     )

@@ -35,9 +35,16 @@ def get_spark(
     cpus = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     shuffle_partitions = shuffle_partitions or cpus
+    # In local mode executors live inside the driver JVM; the 1g
+    # default heap starves 32 concurrent task threads (broadcast
+    # builds OOM once a few intermediates are cached). Only effective
+    # if set before the JVM launches — i.e. harmless no-op when a
+    # session already exists.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
