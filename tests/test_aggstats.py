@@ -488,3 +488,43 @@ def test_readability_counts(spark):
     # one vowel group per word in doc 1
     assert out[1]["n_syllables"] == 6
     assert out[2]["n_sentences"] == 1 and out[2]["n_syllables"] == 0
+
+
+def test_latest_per_key_picks_max_ts_then_seq(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, "a"),
+        (1, t0 + dt.timedelta(minutes=1), 2, "b"),
+        (1, t0 + dt.timedelta(minutes=1), 3, "c"),  # ts tie -> higher seq
+        (2, t0, 4, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    out = {r["user_id"]: r["event_type"] for r in V.latest_per_key(df).collect()}
+    assert out == {1: "c", 2: "x"}
+
+
+def test_psi_drift_identical_snapshots_zero(spark):
+    df = spark.createDataFrame(
+        [(i, "x" * (10 + i % 3)) for i in range(30)], ["doc_id", "text"]
+    )
+    out = V.psi_drift(df, df, width=5).collect()
+    assert out and all(r["psi_term"] == 0.0 for r in out)
+    assert all(r["n_old"] == r["n_new"] for r in out)
+
+
+def test_psi_drift_one_sided_bin_is_null(spark):
+    old = spark.createDataFrame([(1, "aaaaa")], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, "aaaaaaaaaaaa")], ["doc_id", "text"])
+    out = {r["bin"]: r for r in V.psi_drift(old, new, width=5).collect()}
+    assert out[1]["psi_term"] is None and out[2]["psi_term"] is None
+
+
+def test_iqr_outliers_flags_extreme(spark):
+    vals = [float(v) for v in range(1, 13)] + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    row = A.iqr_outliers(df, "v", ["k"]).collect()[0]
+    assert row["n_rows"] == 13 and row["n_outliers"] == 1
+    assert row["lo_fence"] < 1.0 < 1000.0
+    assert row["hi_fence"] < 1000.0

@@ -62,6 +62,8 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "tx_tfidf", "tx_pmi_bigrams",
                        # mixture scale factor lam (1 row) joined onto quotas
                        "tp_mixture",
+                       # old/new snapshot totals (1 row) joined onto PSI bins
+                       "dv_psi_drift",
                        # node-count N (1 row) seeding the rank vector
                        "gr_pagerank",
                        # corpus token total (1 row) joined onto LM scores

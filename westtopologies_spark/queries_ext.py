@@ -2016,3 +2016,136 @@ def tx_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import textstats as TX
 
     return TX.readability(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# latest-per-key compaction, PSI drift, IQR outliers, set ops
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dv_latest_per_key",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Upsert compaction: latest row per key (one keyed row_number "
+    "window, deterministic tiebreak) — the fold a CDC stream applies "
+    "to produce current state before a MERGE. Versioning extension.",
+)
+def dv_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import versioning as V
+
+    return V.latest_per_key(_t(spark, sf_dir, "events"))
+
+
+def _psi_sql() -> str:
+    from .scale import versioning as V
+
+    w = V.PSI_BIN_WIDTH
+    return f"""
+    WITH old_s AS (
+      SELECT text FROM documents WHERE doc_id % {V.SNAP_MOD} <> {V.INSERT_SLOT}
+    ),
+    new_s AS (
+      SELECT CASE WHEN doc_id % {V.SNAP_MOD} = {V.UPDATE_SLOT}
+                  THEN text || ' [rev]' ELSE text END AS text
+      FROM documents WHERE doc_id % {V.SNAP_MOD} <> {V.DELETE_SLOT}
+    ),
+    ob AS (SELECT CAST(floor(length(text) / {w}) AS BIGINT) AS bin,
+                  count(*) AS n_old FROM old_s GROUP BY 1),
+    nb AS (SELECT CAST(floor(length(text) / {w}) AS BIGINT) AS bin,
+                  count(*) AS n_new FROM new_s GROUP BY 1),
+    j AS (
+      SELECT coalesce(ob.bin, nb.bin) AS bin,
+             coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new
+      FROM ob FULL OUTER JOIN nb ON ob.bin = nb.bin
+    ),
+    t AS (SELECT sum(n_old) AS ot, sum(n_new) AS nt FROM j)
+    SELECT bin, n_old, n_new,
+           round(n_old / ot, 6) AS p_share,
+           round(n_new / nt, 6) AS q_share,
+           CASE WHEN n_old > 0 AND n_new > 0
+                THEN round((n_new / nt - n_old / ot)
+                           * ln((n_new / nt) / (n_old / ot)), 6)
+           END AS psi_term
+    FROM j CROSS JOIN t
+    """
+
+
+@_register(
+    "dv_psi_drift",
+    _psi_sql(),
+    doc="Population-stability-index drift between two corpus "
+    "snapshots over the doc-length distribution: per-bin PSI terms "
+    "(q-p)*ln(q/p), one-sided bins surfaced as NULL instead of "
+    "epsilon-smoothed — the standard build-over-build drift alarm. "
+    "Versioning extension.",
+)
+def dv_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import versioning as V
+
+    old, new = V.synthetic_snapshots(_t(spark, sf_dir, "documents"))
+    return V.psi_drift(old, new)
+
+
+@_register(
+    "ag_iqr_outliers",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+             round(quantile_cont(o_totalprice, 0.75), 4) AS q3
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, count(*) AS n_rows,
+           sum(CASE WHEN o.o_totalprice < q1 - 1.5 * (q3 - q1)
+                      OR o.o_totalprice > q3 + 1.5 * (q3 - q1)
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           round(min(q1 - 1.5 * (q3 - q1)), 4) AS lo_fence,
+           round(max(q3 + 1.5 * (q3 - q1)), 4) AS hi_fence
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY 1
+    """,
+    doc="Tukey-fence outlier summary per priority class: exact "
+    "rank-plan quartiles, 1.5*IQR fences broadcast back onto the "
+    "rows — the robust anomaly gate. Aggregate-statistics extension.",
+)
+def ag_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.iqr_outliers(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+@_register(
+    "j9_set_ops",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    EXCEPT
+    SELECT user_id AS custkey FROM events WHERE event_type = 'error'
+    """,
+    doc="Set-operator surface (INTERSECT / EXCEPT, distinct "
+    "semantics): customers ordering at both priority extremes minus "
+    "those with error events — compiles to aggregate-based set "
+    "logic, AQE-sized. Relational extension.",
+)
+def j9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("custkey")
+    )
+    return urgent.intersect(low).subtract(err)

@@ -375,3 +375,41 @@ def weighted_quantiles(
         .groupBy(*keys, "p10")
         .agg(F.round(F.min("_v"), 2).alias("wq_value"))
     )
+
+
+IQR_FENCE = 1.5
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    fence: float = IQR_FENCE,
+) -> DataFrame:
+    """Tukey-fence outlier summary per key group: quartiles from the
+    rank-based exact plan, fences at q1/q3 -/+ ``fence``*IQR, and the
+    count of rows outside them — the robust anomaly gate run before
+    training-data aggregation.  The quartile subplan shares one keyed
+    sort; the fence check is a broadcast join back onto the rows."""
+    qs = (
+        group_percentiles(df, value, keys, ps=(0.25, 0.75))
+        .groupBy(*keys)
+        .pivot("p", [0.25, 0.75])
+        .sum("pct_value")
+        .select(
+            *keys,
+            F.col("`0.25`").alias("_q1"),
+            F.col("`0.75`").alias("_q3"),
+        )
+    )
+    lo = F.col("_q1") - fence * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + fence * (F.col("_q3") - F.col("_q1"))
+    joined = df.join(F.broadcast(qs), list(keys))
+    return joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            ((F.col(value) < lo) | (F.col(value) > hi)).cast("long")
+        ).alias("n_outliers"),
+        F.round(F.min(lo), 4).alias("lo_fence"),
+        F.round(F.max(hi), 4).alias("hi_fence"),
+    )

@@ -119,3 +119,75 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFr
             F.length("_new").alias("new_len"),
         )
     )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    seq: str = "event_id",
+) -> DataFrame:
+    """Upsert compaction: the latest row per key (``ts`` desc, ``seq``
+    desc tiebreak) — what a CDC stream folds into a current-state
+    table, and the companion primitive to :func:`scd2_history` (full
+    history) and :func:`snapshot_diff` (two-version delta).
+
+    One keyed row_number window.  At scale this is the compaction an
+    ingest job runs per partition before MERGE; the window shuffle is
+    the unavoidable cost and AQE splits skewed keys."""
+    w = Window.partitionBy(key).orderBy(F.desc(ts), F.desc(seq))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+PSI_BIN_WIDTH = 50
+
+
+def psi_drift(
+    old: DataFrame, new: DataFrame, width: int = PSI_BIN_WIDTH
+) -> DataFrame:
+    """Population-stability-index drift between two snapshot versions
+    of the corpus, over the document-length distribution: per
+    equi-width bin, old/new counts, shares and the PSI term
+    ``(q - p) * ln(q / p)`` — the standard drift alarm between
+    consecutive corpus builds.  Bins observed in only one snapshot
+    are reported with a NULL psi_term (the unsmoothed PSI is
+    undefined there) rather than silently epsilon-smoothed.
+
+    Two scans + two tiny aggregations + a full-outer join on the bin
+    id; totals are 1-row broadcasts."""
+    def binned(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            df.select(
+                (F.floor(F.length("text") / width)).cast("long").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    o = binned(old, "n_old")
+    n = binned(new, "n_new")
+    j = o.join(n, "bin", "full_outer").select(
+        "bin",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    tot = j.select(
+        F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn")
+    )
+    p = F.col("n_old") / F.col("_to")
+    q = F.col("n_new") / F.col("_tn")
+    return j.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        F.round(p, 6).alias("p_share"),
+        F.round(q, 6).alias("q_share"),
+        F.when(
+            (F.col("n_old") > 0) & (F.col("n_new") > 0),
+            F.round((q - p) * F.log(q / p), 6),
+        ).alias("psi_term"),
+    )
