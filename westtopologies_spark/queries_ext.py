@@ -2149,3 +2149,106 @@ def j9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("custkey")
     )
     return urgent.intersect(low).subtract(err)
+
+
+# ---------------------------------------------------------------------------
+# star-join analytics (TPC-H Q3/Q5 shapes): Catalyst join planning
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sq_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 3
+    ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): 3-table star join with "
+    "selective dimension filters. The customer side broadcasts; "
+    "date predicates push into both parquet scans; the top-10 is a "
+    "TakeOrdered, not a global sort. Relational extension.",
+)
+def sq_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "sq_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): 6-table snowflake "
+    "join incl. the same-nation customer=supplier condition. All "
+    "dimensions broadcast; only the orders-lineitem join shuffles; "
+    "region filter prunes through nation before any fact scan. "
+    "Relational extension.",
+)
+def sq_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
