@@ -397,3 +397,76 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     assert sorted(r.event_id for r in got.collect()) == sorted(
         r.event_id for r in ev.collect()
     )
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Watermarked stream-stream interval join == the batch join with
+    the same predicate, across micro-batch boundaries."""
+    from westtopologies_spark.streaming.stateful import stream_stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purch_b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+
+    out = tmp_path_factory.mktemp("ssj")
+    paths = {}
+    for name, df in (("clicks", clicks_b), ("purchases", purch_b)):
+        pdf = df.toPandas().sort_values(df.columns[2])
+        d = os.path.join(str(out), name)
+        os.makedirs(d)
+        n = len(pdf)
+        for i in range(4):  # 4 time-ordered chunks -> several micro-batches
+            chunk = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+            p = os.path.join(d, f"part-{i}.parquet")
+            chunk.to_parquet(
+                p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+            )
+            mtime = time.time() - 100 + i * 10
+            os.utime(p, (mtime, mtime))
+        paths[name] = d
+
+    cs = (
+        spark.readStream.schema("user_id long, click_id long, click_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(paths["clicks"])
+    )
+    ps = (
+        spark.readStream.schema(
+            "user_id long, purchase_id long, purchase_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(paths["purchases"])
+    )
+    got = _run_stream(
+        spark, stream_stream_interval_join(cs, ps, gap="24 hours"), "ssj_out"
+    )
+
+    expect = (
+        clicks_b.alias("c")
+        .join(
+            purch_b.alias("p"),
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.purchase_ts") >= F.col("c.click_ts"))
+            & (
+                F.col("p.purchase_ts")
+                <= F.col("c.click_ts") + F.expr("INTERVAL 24 hours")
+            ),
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            "click_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+        )
+    )
+    g = sorted(map(tuple, got.collect()))
+    e = sorted(map(tuple, expect.collect()))
+    assert len(e) > 10  # the interval actually matches pairs
+    assert g == e

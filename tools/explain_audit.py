@@ -58,8 +58,8 @@ SINGLE_GROUP_OK = {"w1_exact_windows", "a4_tercile_boundaries", "a3_role_feature
 # with an equi join.
 SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "a3_role_assignment",
-                       # corpus-size N (1 row) joined onto tf-idf / PMI scores
-                       "tx_tfidf", "tx_pmi_bigrams",
+                       # corpus-size N (1 row) joined onto tf-idf / PMI / LM scores
+                       "tx_tfidf", "tx_pmi_bigrams", "tx_bigram_lm",
                        # mixture scale factor lam (1 row) joined onto quotas
                        "tp_mixture",
                        # old/new snapshot totals (1 row) joined onto PSI bins

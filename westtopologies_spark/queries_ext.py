@@ -2252,3 +2252,53 @@ def sq_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def _bigram_lm_sql() -> str:
+    from .scale import textstats as TX
+
+    lam = TX.BIGRAM_LM_LAMBDA_PCT / 100.0
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM toks, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+    ),
+    doc_pairs AS (
+      SELECT doc_id, w1, w2, count(*) AS cnt FROM pairs GROUP BY 1, 2, 3
+    ),
+    c_ab AS (SELECT w1, w2, sum(cnt) AS c12 FROM doc_pairs GROUP BY 1, 2),
+    c_1 AS (SELECT w1, sum(c12) AS c1 FROM c_ab GROUP BY 1),
+    c_2 AS (SELECT w2, sum(c12) AS c2 FROM c_ab GROUP BY 1),
+    t AS (SELECT sum(c12) AS tt FROM c_ab)
+    SELECT doc_id, sum(cnt) AS n_bigrams,
+           round(sum(cnt * ln({lam} * c12 / c1 + {1.0 - lam} * c2 / tt))
+                 / sum(cnt), 6) AS mean_logp
+    FROM doc_pairs
+    JOIN c_ab USING (w1, w2) JOIN c_1 USING (w1) JOIN c_2 USING (w2)
+    CROSS JOIN t
+    GROUP BY doc_id
+    """
+
+
+@_register(
+    "tx_bigram_lm",
+    _bigram_lm_sql(),
+    doc="Interpolated bigram-LM quality score (0.5*cond + 0.5*unigram "
+    "backoff): one corpus scan builds the bigram count table, "
+    "marginals and total are re-aggregations of it — catches "
+    "shuffled word salad the unigram LM scores as natural. "
+    "Text-analysis extension.",
+)
+def tx_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import textstats as TX
+
+    return TX.bigram_lm_scores(_t(spark, sf_dir, "documents"))

@@ -516,3 +516,66 @@ def readability(docs: DataFrame) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+BIGRAM_LM_LAMBDA_PCT = 50  # interpolation weight for the conditional, in %
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Per-document mean log-probability under an interpolated corpus
+    bigram LM:
+
+        p(w2 | w1) = lam * c12/c1 + (1-lam) * c2/T      (lam = 0.5)
+
+    where c12/c1/c2/T all come from ONE bigram count table (c1 =
+    bigrams starting with w1, c2 = bigrams ending with w2, T = all
+    bigrams) — the corpus is scanned once, the marginals are
+    re-aggregations, exactly the pmi_bigrams plan family.  Compared
+    to the unigram score this also penalizes shuffled/templated word
+    salad whose unigram profile looks natural.  Scale: two hash
+    joins against vocab/vocab²-bounded tables (AQE splits stopword-
+    hot keys), one 1-row broadcast total."""
+    lam = BIGRAM_LM_LAMBDA_PCT / 100.0
+    base = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("_ws"),
+    )
+    words = F.col("_ws")
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"),
+                F.element_at(words, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_pairs = (
+        base.select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", "p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c_ab = (
+        doc_pairs.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12")).persist()
+    )
+    c_1 = c_ab.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c_2 = c_ab.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    t = c_ab.select(F.sum("c12").alias("_t"))
+    logp = F.log(
+        F.lit(lam) * F.col("c12") / F.col("c1")
+        + F.lit(1.0 - lam) * F.col("c2") / F.col("_t")
+    )
+    return (
+        doc_pairs.join(c_ab, ["w1", "w2"])
+        .join(c_1, "w1")
+        .join(c_2, "w2")
+        .crossJoin(F.broadcast(t))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(F.sum(F.col("cnt") * logp) / F.sum("cnt"), 6).alias(
+                "mean_logp"
+            ),
+        )
+    )

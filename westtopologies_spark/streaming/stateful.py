@@ -317,3 +317,39 @@ def gap_session_stream(
             "sum_value",
         )
     )
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    gap: str = "60 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click row joins
+    purchase rows of the same key whose timestamp falls in
+    [click_ts, click_ts + gap] — the streaming attribution join
+    (click->conversion) the reference could not express at all (its
+    only join surface is static side-table lookups, SURVEY.md §2.4).
+
+    Input column contracts: clicks(key, click_id, click_ts),
+    purchases(key, purchase_id, purchase_ts).  Both sides carry a
+    ``gap`` watermark, which is exactly the bound Spark needs to
+    evict join state: a click older than watermark - gap can never
+    match a future purchase, so state is O(gap x rate), not
+    unbounded.  State is keyed by ``key`` — shards across executors.
+    The batch equivalent (same predicate as a plain join) is pinned
+    by a parity test."""
+    c = clicks.withWatermark("click_ts", gap)
+    p = purchases.withWatermark("purchase_ts", gap)
+    cond = (
+        (c[key] == p[key])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {gap}"))
+    )
+    return c.join(p, cond, "inner").select(
+        c[key].alias(key),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+    )
