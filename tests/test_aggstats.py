@@ -528,3 +528,14 @@ def test_iqr_outliers_flags_extreme(spark):
     assert row["n_rows"] == 13 and row["n_outliers"] == 1
     assert row["lo_fence"] < 1.0 < 1000.0
     assert row["hi_fence"] < 1000.0
+
+
+def test_cms_estimate_one_sided(spark):
+    df = spark.createDataFrame(
+        [(i, "alpha beta " * (i + 1) + "gamma") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = {r["token"]: r for r in A.cms_heavy_hitter_estimates(df, k=3).collect()}
+    # CMS never under-counts
+    assert all(r["cms_est"] >= r["n_exact"] for r in out.values())
+    assert out["alpha"]["n_exact"] == 15 and out["beta"]["n_exact"] == 15

@@ -245,3 +245,20 @@ def test_cohort_retention_small(spark):
     # cohort 1 (user 3): retained both weeks
     assert out[(1, 0)]["retention"] == 1.0
     assert out[(1, 1)]["retention"] == 1.0
+
+
+def test_chunk_udtf_matches_expression_path(spark):
+    """The Python-UDTF chunker (SURVEY.md §2.11 bolt-analog surface)
+    must produce exactly the expression-path chunks."""
+    from westtopologies_spark.ops.udtfs import chunk_documents_udtf
+    from westtopologies_spark.scale.trainprep import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 7), (2, "short"), (3, "x" * 200)],
+        ["doc_id", "text"],
+    )
+    expr_out = sorted(map(tuple, chunk_documents(docs, size=50, stride=30).collect()))
+    udtf_out = sorted(
+        map(tuple, chunk_documents_udtf(spark, docs, size=50, stride=30).collect())
+    )
+    assert udtf_out == expr_out and len(expr_out) > 5

@@ -11,7 +11,7 @@ float aggregates are rounded on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
@@ -2302,3 +2302,109 @@ def tx_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import textstats as TX
 
     return TX.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (deterministic -> exact oracle), monthly trend
+# ---------------------------------------------------------------------------
+
+
+def _cms_sql() -> str:
+    from .scale import aggstats as A
+    from .scale import constants as C
+
+    tid = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, length(token) + 1), i -> ord(token[i]))), "
+        f"(a, c) -> (a * {C.FP_MULT} + c) % {C.SHINGLE_P})"
+    )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS row, ((tid * {a} + {b}) % {C.SHINGLE_P}) % {A.CMS_W}"
+        f" AS bucket FROM occ"
+        for i, (a, b) in enumerate(C.MINHASH_COEFFS[: A.CMS_D])
+    )
+    probe_rows = "\n      UNION ALL ".join(
+        f"SELECT token, n_exact, {i} AS row,"
+        f" ((tid * {a} + {b}) % {C.SHINGLE_P}) % {A.CMS_W} AS bucket FROM exact"
+        for i, (a, b) in enumerate(C.MINHASH_COEFFS[: A.CMS_D])
+    )
+    return f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents
+    ),
+    occ AS (SELECT token, {tid} AS tid FROM toks),
+    upd AS (
+      {rows}
+    ),
+    sketch AS (SELECT row, bucket, count(*) AS cnt FROM upd GROUP BY 1, 2),
+    exact AS (
+      SELECT token, min(tid) AS tid, count(*) AS n_exact
+      FROM occ GROUP BY token
+      ORDER BY n_exact DESC, token ASC LIMIT {A.HEAVY_HITTER_K}
+    ),
+    probes AS (
+      {probe_rows}
+    )
+    SELECT token, n_exact, min(cnt) AS cms_est
+    FROM probes JOIN sketch USING (row, bucket)
+    GROUP BY 1, 2
+    """
+
+
+@_register(
+    "ag_cms_heavy_hitters",
+    _cms_sql(),
+    doc="Count-min sketch under a FIXED hash family: 4x1024 mergeable "
+    "counter grid built by one partial-agg'd groupBy; the exact "
+    "top-20 tokens are probed against it (estimate >= truth, "
+    "one-sided error). Deterministic, so the sketch itself is "
+    "oracle-replayed exactly — unlike HLL/GK which are rows-only. "
+    "Aggregate-statistics extension.",
+)
+def ag_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.cms_heavy_hitter_estimates(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ts_monthly_trend",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             round(sum(o_totalprice), 2) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+           round(avg(revenue) OVER (ORDER BY month
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+    FROM m
+    """,
+    doc="Calendar trend rollup: monthly revenue with month-over-month "
+    "delta and 3-month moving average. The lag/moving windows run on "
+    "the PRE-AGGREGATED ~80-row frame (allowlisted single-partition "
+    "window: the heavy groupBy shuffled first, the window input is "
+    "tiny by construction). Temporal extension.",
+)
+def ts_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
+        F.round(
+            F.avg("revenue").over(w.rowsBetween(-2, Window.currentRow)), 2
+        ).alias("ma3"),
+    )

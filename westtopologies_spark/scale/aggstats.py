@@ -413,3 +413,85 @@ def iqr_outliers(
         F.round(F.min(lo), 4).alias("lo_fence"),
         F.round(F.max(hi), 4).alias("hi_fence"),
     )
+
+
+CMS_D = 4  # sketch depth (hash rows) — first 4 MINHASH_COEFFS pairs
+CMS_W = 1024  # sketch width (buckets per row)
+
+
+def cms_sketch(tokens: DataFrame) -> DataFrame:
+    """Count-min sketch of a token stream: (row, bucket, cnt) — the
+    mergeable fixed-size (D x W integers) frequency summary.  Input
+    is (token, tid) occurrences with integer-hash tids; every update
+    is a pure map, the sketch itself is one partial-agg'd groupBy —
+    at 100 TB each executor folds its partition into D*W counters
+    and the shuffle carries only those.
+
+    Unlike HLL/GK, CMS under a FIXED hash family is fully
+    deterministic, so the catalog query checks it against a DuckDB
+    replay exactly — estimate >= truth always (one-sided error)."""
+    from . import constants as C
+
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (
+                        ((F.col("tid") * a + b) % C.SHINGLE_P) % CMS_W
+                    ).alias("bucket"),
+                )
+                for i, (a, b) in enumerate(C.MINHASH_COEFFS[:CMS_D])
+            ]
+        )
+    ).alias("rb")
+    return (
+        tokens.select(rows)
+        .groupBy("rb.row", "rb.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitter_estimates(docs: DataFrame, k: int = HEAVY_HITTER_K) -> DataFrame:
+    """Exact top-``k`` tokens with their count-min estimates:
+    (token, n_exact, cms_est), cms_est = min over the D probed
+    buckets — demonstrating the sketch's one-sided error against the
+    exact path on the same corpus.  The probe is a D-row explode of
+    the k tokens joined against the (row, bucket)-keyed sketch."""
+    from . import constants as C
+    from .dedup import char_hash_tid
+
+    occ = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token")
+    ).withColumn("tid", char_hash_tid(F.col("token")))
+    sketch = cms_sketch(occ)
+    exact = (
+        occ.groupBy("token", "tid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("token"))
+        .limit(k)
+    )
+    probes = exact.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            ((F.col("tid") * a + b) % C.SHINGLE_P) % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(C.MINHASH_COEFFS[:CMS_D])
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "n_exact", "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
