@@ -2408,3 +2408,159 @@ def ts_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("revenue").over(w.rowsBetween(-2, Window.currentRow)), 2
         ).alias("ma3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# transition matrix, contribution analysis, salted join, fuzzy match
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ts_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, count(*) AS n FROM seq
+      WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    t AS (SELECT src, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.src, c.dst, c.n,
+           round(c.n / t.tot, 6) AS p_transition
+    FROM c JOIN t USING (src)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (lead window keyed by user, pair counts, per-source "
+    "normalization from a re-aggregation — no second corpus scan): "
+    "the session path-analysis primitive. Temporal extension.",
+)
+def ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").alias("tot"))
+    return c.join(t, "src").select(
+        "src", "dst", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p_transition")
+    )
+
+
+@_register(
+    "ag_contribution",
+    """
+    WITH a AS (
+      SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, revenue, n_orders,
+           round(revenue * 100.0 / sum(revenue) OVER (), 4) AS pct_of_total
+    FROM a
+    """,
+    doc="Ratio-to-report contribution analysis: per-class revenue "
+    "share of total; the percent window runs on the pre-aggregated "
+    "5-row frame, the heavy lifting is one partial-agg'd groupBy. "
+    "Aggregate-statistics extension.",
+)
+def ag_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return a.select(
+        "o_orderpriority",
+        "revenue",
+        "n_orders",
+        F.round(
+            F.col("revenue") * 100.0 / F.sum("revenue").over(Window.partitionBy()),
+            4,
+        ).alias("pct_of_total"),
+    )
+
+
+@_register(
+    "j10_salted_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="Salted-join correctness gate: the Spark side routes the fact "
+    "table through scale.skew.salted_join (skewed side salted, build "
+    "side replicated 8x, join key (key, salt)) and must produce the "
+    "plain-join oracle result exactly — salting is routing, never "
+    "semantics. Skew-mitigation extension.",
+)
+def j10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(orders, cust, on="o_custkey")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+FUZZY_MAX_DIST = 2
+
+
+@_register(
+    "j11_fuzzy_match",
+    f"""
+    WITH names AS (
+      SELECT p_name, count(*) AS n_parts,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.n_parts AS parts_a, b.n_parts AS parts_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    doc="Entity-resolution fuzzy join: distinct part names blocked on "
+    "their last word (candidate pairs only within a block — never a "
+    "corpus cross join), confirmed by edit distance <= 2. The "
+    "name-dedup pass runs first so the pair join is vocabulary-"
+    "bounded regardless of row count. Relational extension.",
+)
+def j11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    names = names.withColumn(
+        "block", F.element_at(F.split("p_name", " "), -1)
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("parts_a"),
+        "block",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("parts_b"),
+        "block",
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "parts_a", "parts_b", "dist")
+    )
