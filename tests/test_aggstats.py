@@ -539,3 +539,21 @@ def test_cms_estimate_one_sided(spark):
     # CMS never under-counts
     assert all(r["cms_est"] >= r["n_exact"] for r in out.values())
     assert out["alpha"]["n_exact"] == 15 and out["beta"]["n_exact"] == 15
+
+
+def test_incremental_rollup_equals_full(spark):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, i % 28 + 1), "t" + str(i % 2), float(i))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    inc = V.incremental_rollup(df, split_ts="2024-01-15 00:00:00")
+    full = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))

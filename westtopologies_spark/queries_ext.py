@@ -2564,3 +2564,91 @@ def j11_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", "parts_a", "parts_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance, semantic dedup keep-list
+# ---------------------------------------------------------------------------
+
+
+def _inc_rollup_sql() -> str:
+    from .scale import versioning as V
+
+    return f"""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY 1
+    -- oracle is the FULL recompute; the engine answers from
+    -- base(< '{V.INC_SPLIT_TS}') + delta partials merged
+    """
+
+
+@_register(
+    "dv_incremental_rollup",
+    _inc_rollup_sql(),
+    doc="Incremental aggregate maintenance: base partials (before the "
+    "split) merged with delta partials by algebraic re-aggregation "
+    "(sum-of-counts, sum-of-sums, min/max-of-partials) — must equal "
+    "the full-recompute oracle. The daily-pipeline pattern that "
+    "never rescans yesterday's partition. Versioning extension.",
+)
+def dv_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import versioning as V
+
+    return V.incremental_rollup(_t(spark, sf_dir, "events"))
+
+
+def _semantic_dedup_sql() -> str:
+    from .queries_scale import _neardup_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_neardup_sql()}),
+    nodes AS (
+      SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    comp AS (SELECT node AS id, min(reach) AS cid FROM walk GROUP BY node)
+    SELECT e.vec_id,
+           coalesce(c.cid, e.vec_id) AS component_id,
+           coalesce(c.cid, e.vec_id) = e.vec_id AS is_kept
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """
+
+
+@_register(
+    "dd_semantic_dedup",
+    _semantic_dedup_sql(),
+    doc="SemDeDup-style semantic dedup keep-list: embedding-cosine "
+    "near-dup pairs -> connected components -> keep the min-id "
+    "representative per cluster; singletons keep themselves. "
+    "Composition of the GEMM pair scorer and min-label propagation; "
+    "the oracle replays components as a recursive reachability "
+    "fixpoint. Scale extension.",
+)
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_neardup_pairs(emb)
+    comp = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        emb.select("vec_id")
+        .join(comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", "vec_id").alias("component_id"),
+            (
+                F.coalesce("component_id", "vec_id") == F.col("vec_id")
+            ).alias("is_kept"),
+        )
+    )

@@ -191,3 +191,43 @@ def psi_drift(
             F.round((q - p) * F.log(q / p), 6),
         ).alias("psi_term"),
     )
+
+
+INC_SPLIT_TS = "2024-01-20 00:00:00"
+
+
+def incremental_rollup(
+    events: DataFrame, split_ts: str = INC_SPLIT_TS
+) -> DataFrame:
+    """Incremental aggregate maintenance: a stored base rollup (rows
+    before ``split_ts``) merged with a delta rollup (rows at/after),
+    via re-aggregation of the ALGEBRAIC partials (count -> sum of
+    counts, sum -> sum of sums, min/max -> min/max of partials).
+    Must equal the full recompute — that equality is the oracle.
+
+    This is the pattern a 100 TB daily pipeline lives on: yesterday's
+    materialized partials never get rescanned; only the delta
+    partition is read and the merge touches one row per (partition,
+    group).  Any aggregate expressible as a commutative monoid merges
+    this way; the non-mergeable ones (exact distinct, exact median)
+    are exactly the ones the sketch operators replace."""
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("_sum_v"),
+            F.min("value").alias("_min_v"),
+            F.max("value").alias("_max_v"),
+        )
+
+    base = partial(events.filter(F.col("ts") < split_ts))
+    delta = partial(events.filter(F.col("ts") >= split_ts))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("_sum_v"), 2).alias("sum_value"),
+            F.round(F.min("_min_v"), 6).alias("min_value"),
+            F.round(F.max("_max_v"), 6).alias("max_value"),
+        )
+    )
