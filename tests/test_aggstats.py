@@ -557,3 +557,44 @@ def test_incremental_rollup_equals_full(spark):
         F.round(F.max("value"), 6).alias("max_value"),
     )
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_cms_sketch_mergeable(spark):
+    """CMS partials from disjoint corpus halves merged by summing
+    (row, bucket) cells == the sketch of the union — the property a
+    per-partition / per-day incremental sketch build relies on."""
+    from westtopologies_spark.scale.dedup import char_hash_tid
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common") for i in range(20)],
+        ["doc_id", "text"],
+    )
+
+    def occ(df):
+        return df.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("token")
+        ).withColumn("tid", char_hash_tid(F.col("token")))
+
+    left = A.cms_sketch(occ(docs.filter("doc_id < 10")))
+    right = A.cms_sketch(occ(docs.filter("doc_id >= 10")))
+    merged = (
+        left.unionByName(right)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = A.cms_sketch(occ(docs))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_winsorized_mean_caps(spark):
+    vals = [1.0] + [float(v) for v in range(10, 20)] + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
+    row = A.winsorized_mean(df, "v", ["k"]).collect()[0]
+    # capped mean sits strictly between the raw mean w/o outliers and w/
+    assert row["cap_lo"] > 1.0 and row["cap_hi"] < 1000.0
+    assert row["winsorized_mean"] < 100.0  # the 1000 outlier is clamped
+    assert row["n_rows"] == 12

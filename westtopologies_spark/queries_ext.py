@@ -2652,3 +2652,138 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal tile plan, winsorized mean, session paths
+# ---------------------------------------------------------------------------
+
+
+def _tile_plan_sql() -> str:
+    from .scale import multimodal as MM
+
+    t, p = MM.TILE_SIZE, MM.PATCH_SIZE
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS width,
+             CAST(64 + (doc_id % 5) * 32 AS BIGINT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(ceil(width / {t}.0) AS BIGINT) AS n_tiles_x,
+           CAST(ceil(height / {t}.0) AS BIGINT) AS n_tiles_y,
+           CAST(ceil(width / {t}.0) * ceil(height / {t}.0) AS BIGINT)
+             AS n_tiles,
+           CAST(ceil(width / {p}.0) * ceil(height / {p}.0) AS BIGINT)
+             AS n_patches,
+           CASE WHEN width > height THEN 'landscape'
+                WHEN width < height THEN 'portrait'
+                ELSE 'square' END AS aspect_bucket
+    FROM m
+    """
+
+
+@_register(
+    "mm_tile_plan",
+    _tile_plan_sql(),
+    doc="Vision-encoder preprocessing plan from metadata only (tile "
+    "grid, ViT patch count, aspect bucket) — batch packing decided "
+    "before any pixel decode; pure integer expressions over the "
+    "multimodal metadata struct. Multimodal extension.",
+)
+def mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import multimodal as MM
+
+    return MM.tile_plan(MM.as_binary_docs(_t(spark, sf_dir, "documents")))
+
+
+@_register(
+    "ag_winsorized_mean",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.1), 4) AS lo,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, count(*) AS n_rows,
+           round(avg(least(greatest(o.o_totalprice, lo), hi)), 4)
+             AS winsorized_mean,
+           round(min(lo), 4) AS cap_lo, round(max(hi), 4) AS cap_hi
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY 1
+    """,
+    doc="Winsorized mean per priority class: exact rank-plan p10/p90 "
+    "caps broadcast back, outlier rows kept but clamped (vs trimmed "
+    "mean which drops them). Aggregate-statistics extension.",
+)
+def ag_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import aggstats as A
+
+    return A.winsorized_mean(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+@_register(
+    "ts_session_paths",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC LIMIT 10
+    """,
+    doc="Top-10 session paths: 30-min gap sessionization (keyed "
+    "windows), per-session ordered event-type path string, global "
+    "top-k via TakeOrdered — the clickstream path-mining query. "
+    "Temporal extension.",
+)
+def ts_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = (
+        prev.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800)
+    ).cast("long")
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )

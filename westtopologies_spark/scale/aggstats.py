@@ -495,3 +495,43 @@ def cms_heavy_hitter_estimates(docs: DataFrame, k: int = HEAVY_HITTER_K) -> Data
         .groupBy("token", "n_exact")
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+WINSOR_PS = (0.1, 0.9)
+
+
+def winsorized_mean(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    ps: Sequence[float] = WINSOR_PS,
+) -> DataFrame:
+    """Winsorized mean per key group: values capped at the exact
+    p10/p90 (rank-based plan, rounded before capping so both engines
+    cap identically), then averaged — the robust mean that keeps
+    outlier rows (unlike the trimmed mean, which drops them)."""
+    lo_p, hi_p = ps
+    qs = (
+        group_percentiles(df, value, keys, ps=ps)
+        .groupBy(*keys)
+        .pivot("p", [lo_p, hi_p])
+        .sum("pct_value")
+        .select(
+            *keys,
+            F.col(f"`{lo_p}`").alias("_lo"),
+            F.col(f"`{hi_p}`").alias("_hi"),
+        )
+    )
+    capped = F.least(
+        F.greatest(F.col(value).cast("double"), F.col("_lo")), F.col("_hi")
+    )
+    return (
+        df.join(F.broadcast(qs), list(keys))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg(capped), 4).alias("winsorized_mean"),
+            F.round(F.min("_lo"), 4).alias("cap_lo"),
+            F.round(F.max("_hi"), 4).alias("cap_hi"),
+        )
+    )

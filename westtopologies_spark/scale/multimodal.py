@@ -148,3 +148,36 @@ def frame_sample_stub(bdocs: DataFrame, every_n: int = 10) -> DataFrame:
         ]
     )
     return bdocs.select("doc_id", "content").mapInPandas(compute, schema)
+
+
+TILE_SIZE = 32
+PATCH_SIZE = 16
+
+
+def tile_plan(
+    bdocs: DataFrame, tile: int = TILE_SIZE, patch: int = PATCH_SIZE
+) -> DataFrame:
+    """Vision-encoder preprocessing plan from image metadata only:
+    per item, the tile grid (ceil(w/tile) x ceil(h/tile)) and ViT
+    patch count (ceil(w/patch)*ceil(h/patch)) plus an aspect bucket —
+    the numbers a multimodal batcher needs to pack GPU batches
+    BEFORE any pixel is decoded.  Pure integer expressions over the
+    metadata struct; the (deferred, stubbed) decode kernel only runs
+    on items the plan admits."""
+    w = F.col("meta.width").cast("long")
+    h = F.col("meta.height").cast("long")
+    tiles_x = F.ceil(w / F.lit(tile))
+    tiles_y = F.ceil(h / F.lit(tile))
+    return bdocs.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        tiles_x.alias("n_tiles_x"),
+        tiles_y.alias("n_tiles_y"),
+        (tiles_x * tiles_y).alias("n_tiles"),
+        (F.ceil(w / F.lit(patch)) * F.ceil(h / F.lit(patch))).alias("n_patches"),
+        F.when(w > h, F.lit("landscape"))
+        .when(w < h, F.lit("portrait"))
+        .otherwise(F.lit("square"))
+        .alias("aspect_bucket"),
+    )
