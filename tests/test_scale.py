@@ -353,3 +353,18 @@ def test_kmeans_two_clusters(spark):
     assert {out[i]["cluster_id"] for i in (7, 8, 9)} == {7}
     # every member sits close to its own centroid
     assert all(r["cosine"] > 0.95 for r in out.values())
+
+
+def test_quantize_stats_error_bounded(vectors):
+    out = {r["vec_id"]: r for r in similarity.quantize_stats(vectors, dim=4).collect()}
+    for r in out.values():
+        # int8 quantization error per element is at most (scale/2)^2
+        sc = (r["vmax"] - r["vmin"]) / 255.0
+        assert 0.0 <= r["mse_q"] <= (sc / 2) ** 2 + 1e-12
+
+
+def test_quantize_stats_constant_vector_zero_error(spark):
+    df = spark.createDataFrame([(1, [0.5, 0.5, 0.5, 0.5])], ["vec_id", "embedding"])
+    df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    r = similarity.quantize_stats(df, dim=4).collect()[0]
+    assert r["mse_q"] == 0.0 and r["vmin"] == r["vmax"]

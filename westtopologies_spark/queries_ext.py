@@ -2787,3 +2787,39 @@ def ts_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets, embedding int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "gs_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS lvl,
+           count(*) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Full CUBE over (status, priority) with a grouping-id level "
+    "column: all 4 grouping sets in ONE Catalyst Expand pass with "
+    "map-side partial aggregation — no per-level rescan. "
+    "Aggregation extension.",
+)
+def gs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "lvl", "n_rows", "sum_price")
+    )

@@ -639,3 +639,41 @@ def _kmeans_sql() -> str:
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.kmeans_assignments(emb)
+
+
+def _quantize_sql() -> str:
+    d = C.EMBEDDING_DIM
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+             (list_max(v) - list_min(v)) / 255.0 AS sc
+      FROM base
+    ),
+    e AS (
+      SELECT vec_id, mn, mx,
+             list_transform(v, x -> CASE WHEN sc > 0
+               THEN pow(x - (mn + round((x - mn) / sc) * sc), 2.0)
+               ELSE 0.0 END) AS err2
+      FROM s
+    )
+    SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+           round(list_reduce(list_prepend(0.0::DOUBLE, err2),
+                             (a, b) -> a + b) / {d}.0, 9) AS mse_q
+    FROM e
+    """
+
+
+@_register(
+    "emb_quantize",
+    _quantize_sql(),
+    doc="Int8 scalar-quantization audit: per-vector range + "
+    "reconstruction MSE of the 8-bit code (the 4x storage compression "
+    "of a large vector corpus, with its measured cost). Elementwise "
+    "expressions + explicit left fold — bit-identical cross-engine "
+    "before rounding. Scale extension.",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_stats(_t(spark, sf_dir, "embeddings"))

@@ -381,3 +381,39 @@ def kmeans_assignments(
         .agg(F.min("cid").alias("cluster_id"), F.max("_sim").alias("cosine"))
         .select(F.col("c_id").alias("vec_id"), "cluster_id", "cosine")
     )
+
+
+def quantize_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = C.EMBEDDING_DIM,
+) -> DataFrame:
+    """Scalar int8 quantization audit: per vector, the min/max range,
+    and the reconstruction MSE of the 8-bit code (code = round((x -
+    min)/scale), scale = range/255) — the 4x embedding-storage
+    compression every large vector corpus applies, with the error it
+    costs.  All elementwise expressions + one explicit left fold
+    (array order), so the oracle reproduces the arithmetic
+    bit-for-bit before rounding; degenerate constant vectors get
+    scale 0 and MSE 0 rather than a divide-by-zero."""
+    v = F.col(vec_col).cast("array<double>")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    sc = (mx - mn) / F.lit(255.0)
+    err2 = F.transform(
+        v,
+        lambda x: F.when(
+            sc > 0,
+            F.pow(x - (mn + F.round((x - mn) / sc) * sc), F.lit(2.0)),
+        ).otherwise(F.lit(0.0)),
+    )
+    mse = (
+        F.aggregate(err2, F.lit(0.0), lambda acc, e: acc + e) / F.lit(float(dim))
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(mn, 6).alias("vmin"),
+        F.round(mx, 6).alias("vmax"),
+        F.round(mse, 9).alias("mse_q"),
+    )
