@@ -70,3 +70,23 @@ def test_pagerank_mass_and_floor(spark, sf_dir):
     # total mass <= 1 (dangling mass is dropped, never created);
     # allow the per-node output rounding (5e-7 each) to stack
     assert sum(r.pagerank for r in pr) <= 1.0 + 5e-7 * n + 1e-9
+
+
+def test_kcore_peels_tails(spark):
+    from westtopologies_spark.ops.graph import kcore_peel
+
+    # path 1-2-3-4 with a triangle 4-5-6: 2-core is exactly the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)], ["u", "v"]
+    )
+    out = {r["user_id"]: r["degree"] for r in kcore_peel(edges, k=2, rounds=5).collect()}
+    assert out == {4: 2, 5: 2, 6: 2}
+
+
+def test_kcore_keeps_cycle(spark):
+    from westtopologies_spark.ops.graph import kcore_peel
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    out = kcore_peel(cyc, k=2, rounds=3).collect()
+    assert {r["user_id"] for r in out} == {1, 2, 3, 4}
+    assert all(r["degree"] == 2 for r in out)

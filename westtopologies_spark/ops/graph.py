@@ -26,7 +26,7 @@ picks the physical join strategy:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_DAMPING = 0.85
@@ -176,3 +176,58 @@ def pagerank(
             )
         )
     return pr.select(F.col("node").alias("user_id"), F.round("pr", 6).alias("pagerank"))
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Bounded-round k-core peeling: repeat ``rounds`` times — compute
+    degrees over the surviving subgraph, drop nodes with degree < k
+    and their incident edges.  Returns (user_id, degree) for nodes
+    surviving all rounds with their final within-subgraph degree.
+
+    Join-free rounds: the symmetric edge list is annotated with each
+    endpoint's degree by ONE keyed window, then edges regroup on the
+    undirected key keeping min(endpoint degree) >= k — "both
+    endpoints survive" without any join (an edge survives iff its
+    weaker endpoint does).  Two keyed shuffles per round, unrolled
+    like pagerank/kmeans (no driver loop state); each round's edge
+    set is pinned because the next round branches over it.  Full
+    convergence needs <= degeneracy rounds; the fixed small bound is
+    part of the query's declared semantics, so the oracle replays
+    the identical trace.  ``edges`` are distinct undirected (u < v).
+    """
+    e = edges.persist()
+    wdeg = Window.partitionBy("node")
+    prev_n = e.count()
+    for _ in range(rounds):
+        sym = e.select(
+            F.col("u").alias("node"), F.col("v").alias("other")
+        ).unionByName(e.select(F.col("v").alias("node"), F.col("u").alias("other")))
+        ann = sym.withColumn("deg", F.count(F.lit(1)).over(wdeg))
+        e = (
+            ann.groupBy(
+                F.least("node", "other").alias("u"),
+                F.greatest("node", "other").alias("v"),
+            )
+            .agg(F.min("deg").alias("_mdeg"))
+            .filter(F.col("_mdeg") >= k)
+            .select("u", "v")
+            .persist()
+        )
+        # peeling is a monotone fixpoint: an unchanged edge COUNT means
+        # no node fell below k, so every further round is an identity —
+        # skip them (only this scalar ever reaches the driver; results
+        # equal the full unroll, which the oracle still replays)
+        n = e.count()
+        if n == prev_n:
+            break
+        prev_n = n
+    sym = e.select(F.col("u").alias("user_id")).unionByName(
+        e.select(F.col("v").alias("user_id"))
+    )
+    return sym.groupBy("user_id").agg(F.count(F.lit(1)).alias("degree"))

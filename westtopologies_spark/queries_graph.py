@@ -159,3 +159,44 @@ def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tweets = _event_edges(spark, sf_dir)
     nodes = tweets.select(F.col("author_id").alias("node")).distinct()
     return G.pagerank(nodes, G.directed_edges(tweets))
+
+
+def _kcore_sql() -> str:
+    k, rounds = G.KCORE_K, G.KCORE_ROUNDS
+    parts = [_TW_CTE + _UEDGES_CTE + ", e0 AS (SELECT u, v FROM uedges)"]
+    for i in range(rounds):
+        parts.append(
+            f""",
+    d{i} AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+      ) GROUP BY 1
+    ),
+    keep{i} AS (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i + 1} AS (
+      SELECT e.u, e.v FROM e{i} e
+      JOIN keep{i} a ON e.u = a.node
+      JOIN keep{i} b ON e.v = b.node
+    )"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+    SELECT node AS user_id, count(*) AS degree FROM (
+      SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+    ) GROUP BY 1
+    """
+    )
+
+
+@_register(
+    "gr_kcore",
+    _kcore_sql(),
+    doc="Bounded-round 2-core peeling (3 unrolled rounds, part of the "
+    "declared semantics so the oracle replays the trace): per round "
+    "one symmetric-degree aggregation + two keyed semi joins; the "
+    "community-skeleton extraction that precedes dense-subgraph "
+    "mining. Graph-analytics extension.",
+)
+def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.kcore_peel(G.user_edges(_event_edges(spark, sf_dir)))
