@@ -2823,3 +2823,120 @@ def gs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "lvl", "n_rows", "sum_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# more classic SQL shapes: Q1 summary, Q18 having+semi, correlated subquery
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sq_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q1 shape (pricing summary): the canonical wide "
+    "aggregation — 8 aggregates in one partial-agg'd pass, compound "
+    "arithmetic inside whole-stage codegen, date filter pushed to "
+    "the scan. Relational extension.",
+)
+def sq_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "sq_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY 1 HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): HAVING-filtered "
+    "aggregate drives a semi-style join back onto the fact table; "
+    "the big-order key set is tiny post-filter so AQE broadcasts it. "
+    "Relational extension.",
+)
+def sq_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(F.col("l_orderkey").alias("_big_orderkey"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big._big_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+_CORR_SUBQ_SQL = """
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+"""
+
+
+@_register(
+    "sq_above_nation_avg",
+    _CORR_SUBQ_SQL,
+    doc="Correlated scalar subquery (customers above their nation's "
+    "average balance), submitted as the IDENTICAL SQL text to both "
+    "engines: Catalyst decorrelates it into an aggregate + join — "
+    "demonstrating the SQL entry surface, not just the DataFrame "
+    "API. Relational extension.",
+)
+def sq_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .session import load_tables
+
+    load_tables(spark, sf_dir, ("customer",))
+    return spark.sql(_CORR_SUBQ_SQL)
