@@ -2940,3 +2940,97 @@ def sq_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("customer",))
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# rolling active users, BPE merge candidates
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ts_rolling_active",
+    """
+    WITH contrib AS (
+      SELECT DISTINCT
+             unnest(generate_series(date_trunc('hour', ts),
+                                    date_trunc('hour', ts)
+                                      + INTERVAL 23 HOUR,
+                                    INTERVAL 1 HOUR)) AS window_hour,
+             user_id
+      FROM events
+    )
+    SELECT window_hour, count(*) AS active_users
+    FROM contrib GROUP BY 1
+    """,
+    doc="Rolling 24h active users: each event contributes its user to "
+    "the 24 hourly windows that cover it (bounded explode), then one "
+    "distinct count per window — the standard rewrite that turns a "
+    "sliding DISTINCT (unindexable at scale) into an equi-keyed "
+    "aggregation. Temporal extension.",
+)
+def ts_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    contrib = ev.select(
+        F.explode(
+            F.sequence(hour, hour + F.expr("INTERVAL 23 HOURS"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("window_hour"),
+        "user_id",
+    ).distinct()
+    return contrib.groupBy("window_hour").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+
+
+BPE_TOP_MERGES = 20
+
+
+def _bpe_sql() -> str:
+    return f"""
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    ),
+    pairs AS (
+      SELECT w[i] AS c1, w[i + 1] AS c2
+      FROM words, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT c1, c2, count(*) AS n_pair
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_pair DESC, c1 ASC, c2 ASC LIMIT {BPE_TOP_MERGES}
+    """
+
+
+@_register(
+    "tx_bpe_merges",
+    _bpe_sql(),
+    doc="BPE tokenizer-training primitive: adjacent character-pair "
+    "frequencies within words across the corpus, top-20 merge "
+    "candidates (the argmax of one BPE round). Zero-shuffle in-array "
+    "pair generation + one partial-agg'd count over a <=26^2 key "
+    "space; TakeOrdered top-k. Text-analysis extension.",
+)
+def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    # dynamic-start substring needs the SQL expression form
+    pairs = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> struct(substring(w, i, 1) AS c1, "
+                "substring(w, i + 1, 1) AS c2))"
+            )
+        ).alias("p")
+    ).select("p.c1", "p.c2")
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .orderBy(F.desc("n_pair"), F.asc("c1"), F.asc("c2"))
+        .limit(BPE_TOP_MERGES)
+    )
