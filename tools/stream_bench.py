@@ -1,0 +1,78 @@
+"""Streaming throughput bench: replay the events parquet through the
+W1-aligned watermarked window rollup (the flagship streaming path) as
+one availableNow run into a noop-style memory sink, and print ONE JSON
+line {"metric": "stream_events_per_sec", ...}.
+
+Measures end-to-end micro-batch execution including stream startup —
+the number BASELINE.md cites. Usage:
+
+    python tools/stream_bench.py            # $SPARK_GRAFT_SF_DIR or sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from westtopologies_spark.session import get_spark, load_table  # noqa: E402
+from westtopologies_spark.streaming.stateful import (  # noqa: E402
+    aligned_window_rollup_stream,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("stream-bench")
+
+    # stage the batch table as a one-file-per-trigger parquet stream dir
+    batch = load_table(spark, sf_dir, "events")
+    n_events = batch.count()
+    stage = os.path.join("/tmp", f"stream_bench_{os.getpid()}")
+    batch.repartition(8).write.mode("overwrite").parquet(stage)
+
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+        # round-tripped column may come back TIMESTAMP_NTZ; watermarks
+        # require TIMESTAMP
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    t0 = time.time()
+    q = (
+        aligned_window_rollup_stream(src)
+        .writeStream.format("memory")
+        .queryName("stream_bench_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    elapsed = time.time() - t0
+    n_windows = spark.sql("SELECT count(*) FROM stream_bench_out").collect()[0][0]
+
+    print(
+        json.dumps(
+            {
+                "metric": "stream_events_per_sec",
+                "value": round(n_events / elapsed, 1),
+                "unit": "events/sec",
+                "elapsed_sec": round(elapsed, 2),
+                "n_events": n_events,
+                "n_closed_windows": int(n_windows),
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -3034,3 +3034,61 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), F.asc("c1"), F.asc("c2"))
         .limit(BPE_TOP_MERGES)
     )
+
+
+# ---------------------------------------------------------------------------
+# moving-window anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ts_anomaly",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sigma,
+             count(*) OVER w AS n_prior
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, round(value, 6) AS value,
+           round((value - mu) / sigma, 4) AS zscore
+    FROM s
+    WHERE n_prior >= 5 AND sigma > 0
+      AND abs((value - mu) / sigma) > 3
+    """,
+    doc="Streaming-style anomaly flags: each event scored against its "
+    "own trailing-20 window (mean/stddev exclude the current row — "
+    "no self-leakage), flagged at |z| > 3 with a 5-observation "
+    "warm-up. One keyed sort feeds all three frame aggregates. "
+    "Temporal extension.",
+)
+def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        s.filter(
+            (F.col("n_prior") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 3)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
