@@ -3092,3 +3092,114 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix, Gini index, deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_sql() -> str:
+    from .queries import _CATALOG
+
+    x1 = next(s for s in _CATALOG if s.name == "x1_language_id")
+    return f"""
+    WITH pred AS ({x1.oracle})
+    SELECT d.lang AS lang_actual, p.lang_pred,
+           count(*) AS n_docs
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@_register(
+    "tx_lang_confusion",
+    _lang_confusion_sql(),
+    doc="Classifier-evaluation confusion matrix: the deterministic X1 "
+    "language scorer's predictions crossed with gold labels, one "
+    "count per (actual, predicted) cell — the model-eval primitive "
+    "a curation pipeline runs on every labeled slice. Text-analysis "
+    "extension.",
+)
+def tx_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.text import language_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_scores(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_actual"))
+        .join(pred, "doc_id")
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_register(
+    "ag_gini",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS i,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n,
+             sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           round(2.0 * sum(i * o_totalprice) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r GROUP BY 1
+    """,
+    doc="Gini concentration index of order value per priority class "
+    "(G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over rank-sorted values): "
+    "the inequality metric for corpus/source concentration audits; "
+    "one keyed sort feeds rank, count and total. Aggregate-"
+    "statistics extension.",
+)
+def ag_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    kw = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number()
+        .over(kw.orderBy("o_totalprice", "o_orderkey"))
+        .alias("i"),
+        F.count(F.lit(1)).over(kw).alias("n"),
+        F.sum("o_totalprice").over(kw).alias("tot"),
+    )
+    return r.groupBy("o_orderpriority").agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("o_totalprice"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini")
+    )
+
+
+EPOCH_SHUFFLE_SALT = 7
+
+
+@_register(
+    "tp_epoch_shuffle",
+    f"""
+    SELECT doc_id,
+           ((doc_id * 2971 + {EPOCH_SHUFFLE_SALT}) % 1000003) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key ASC, doc_id ASC LIMIT 100
+    """,
+    doc="Deterministic epoch shuffle: training order = affine-hash "
+    "key (epoch number as salt) — reproducible, repartition-stable, "
+    "resumable mid-epoch, no RNG state; ORDER BY executes as "
+    "range-partitioned sort at scale (first 100 shown via "
+    "TakeOrdered). Training-prep extension.",
+)
+def tp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * 2971 + EPOCH_SHUFFLE_SALT) % 1000003
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy(F.asc("shuffle_key"), F.asc("doc_id"))
+        .limit(100)
+    )
