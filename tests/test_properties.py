@@ -162,3 +162,79 @@ def test_tercile_levels_match_reference_rule(spark, values):
     for i, v in enumerate(values):
         want = "low" if v <= lm else ("med" if v <= mh else "high")
         assert got[i] == want, (v, lm, mh)
+
+
+# ---------------------------------------------------------------------------
+# weighted quantiles / MAD / priority sampling vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def weighted_values(draw):
+    n = draw(st.integers(1, 30))
+    vals = draw(
+        st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    weights = draw(st.lists(st.integers(1, 9), min_size=n, max_size=n))
+    return [(round(v, 2), w) for v, w in zip(vals, weights)]
+
+
+@given(weighted_values())
+@SET
+def test_weighted_quantiles_match_bruteforce(spark, rows):
+    from westtopologies_spark.scale.aggstats import weighted_quantiles
+
+    df = spark.createDataFrame([("g", v, w) for v, w in rows], ["k", "v", "w"])
+    got = {
+        r["p10"]: r["wq_value"]
+        for r in weighted_quantiles(df, "v", "w", ["k"]).collect()
+    }
+    # brute force: expand each value w times, take the lower-rule quantile
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    n = len(expanded)
+    for p10 in (5, 9):
+        idx = next(i for i in range(n) if (i + 1) * 10 >= p10 * n)
+        assert got[p10] == round(expanded[idx], 2)
+
+
+@given(weighted_values())
+@SET
+def test_mad_matches_bruteforce(spark, rows):
+    import statistics
+
+    from westtopologies_spark.scale.aggstats import mad
+
+    df = spark.createDataFrame([("g", float(v)) for v, _ in rows], ["k", "v"])
+    r = mad(df, "v", ["k"]).collect()[0]
+    med = round(statistics.median(v for v, _ in rows), 4)
+    devs = [abs(v - med) for v, _ in rows]
+    assert r["median"] == med
+    assert abs(r["mad"] - round(statistics.median(devs), 4)) < 1e-6
+
+
+@given(st.integers(1, 40), st.integers(1, 15))
+@SET
+def test_priority_sample_matches_bruteforce(spark, n_rows, n_pick):
+    from westtopologies_spark.scale import constants as C
+    from westtopologies_spark.scale.trainprep import PRIORITY_SALT, priority_sample
+
+    rows = [(i, 3 + (i * 17) % 50) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = [
+        r["doc_id"]
+        for r in priority_sample(df, n=n_pick)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    pri = {
+        i: w * float(C.FP_P) / ((i * C.SIMHASH_A + PRIORITY_SALT) % C.FP_P + 1)
+        for i, w in rows
+    }
+    expect = sorted(
+        sorted(pri, key=lambda i: (-pri[i], i))[: min(n_pick, n_rows)]
+    )
+    assert got == expect
