@@ -677,3 +677,80 @@ def _quantize_sql() -> str:
 )
 def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def _minhash_audit_sql() -> str:
+    n_h = len(C.MINHASH_COEFFS)
+    mins = ",\n             ".join(
+        f"min((shingle * {a} + {b}) % {C.SHINGLE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(C.MINHASH_COEFFS)
+    )
+    rows = C.MINHASH_BAND_ROWS
+    n_bands = n_h // rows
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS bucket FROM sigs".format(
+            b=b,
+            expr=" + ".join(
+                f"mh{b * rows + r} * {C.SHINGLE_P ** (rows - 1 - r)}"
+                for r in range(rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n_h)
+    )
+    return f"""
+    WITH {_TOKS_CHAR_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             round(({agree}) / {n_h}.0, 4) AS jaccard_est
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.jaccard_est,
+           round(CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter), 4)
+             AS jaccard,
+           round(e.jaccard_est
+                 - round(CAST(i.n_inter AS DOUBLE)
+                         / (za.sz + zb.sz - i.n_inter), 4), 4) AS est_error
+    FROM est e
+    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+    """
+
+
+@_register(
+    "dd_minhash_audit",
+    _minhash_audit_sql(),
+    doc="MinHash estimator-accuracy audit: signature-agreement "
+    "Jaccard estimate vs exact shingle Jaccard with signed error on "
+    "every LSH candidate pair — the QC number that justifies the "
+    "sketch threshold; deterministic under the fixed permutation "
+    "family, so fully oracle-checked. Scale extension.",
+)
+def dd_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_audit(docs, vocab_mode="char")

@@ -782,3 +782,46 @@ def duplicated_spans(
             4,
         ).alias("dup_frac"),
     )
+
+
+def minhash_estimate_audit(
+    docs: DataFrame, vocab_mode: str | None = None
+) -> DataFrame:
+    """Sketch-accuracy audit for MinHash: on every LSH candidate pair,
+    the signature-agreement Jaccard estimate (matching minhash slots /
+    8) next to the exact shingle Jaccard and their signed error —
+    the quality-control number that justifies (or revokes) trusting
+    the sketch pipeline's threshold at scale.  Deterministic (fixed
+    permutation family), so fully oracle-checkable, unlike
+    probabilistic-sketch audits."""
+    shingles = doc_shingles(
+        doc_token_ids(tokens_with_ids(docs, vocab_mode=vocab_mode))
+    ).persist()
+    sigs = minhash_signatures(shingles)
+    cand = lsh_candidate_pairs(sigs)
+    n_h = len(C.MINHASH_COEFFS)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_h)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_h)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_h)
+    )
+    est = cand.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.round(agree / F.lit(float(n_h)), 4).alias("jaccard_est"),
+    )
+    exact = jaccard_of_pairs(cand, shingles)
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "jaccard_est",
+        "jaccard",
+        F.round(F.col("jaccard_est") - F.col("jaccard"), 4).alias("est_error"),
+    )
