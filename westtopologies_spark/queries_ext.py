@@ -3203,3 +3203,57 @@ def tp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("shuffle_key"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# higher-moment statistics (skewness / kurtosis from raw moments)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ag_moments",
+    """
+    WITH m AS (
+      SELECT o_orderpriority, count(*) AS n,
+             sum(o_totalprice) AS s1,
+             sum(o_totalprice * o_totalprice) AS s2,
+             sum(o_totalprice * o_totalprice * o_totalprice) AS s3
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           round(s1 / n, 4) AS mean,
+           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS pop_std,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                 / pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3), 6)
+             AS skewness
+    FROM m
+    """,
+    doc="Population skewness per priority class from raw power sums "
+    "(one partial-agg'd pass, constant memory per group — the "
+    "algebraic-moment form that merges across partitions, vs. "
+    "two-pass central-moment formulas). Identical arithmetic "
+    "expression both engines. Aggregate-statistics extension.",
+)
+def ag_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    skew = (
+        F.col("s3") / F.col("n")
+        - 3 * mean * (F.col("s2") / F.col("n"))
+        + 2 * F.pow(mean, F.lit(3.0))
+    ) / F.pow(F.sqrt(var), F.lit(3.0))
+    return m.select(
+        "o_orderpriority",
+        "n",
+        F.round(mean, 4).alias("mean"),
+        F.round(F.sqrt(var), 4).alias("pop_std"),
+        F.round(skew, 6).alias("skewness"),
+    )
