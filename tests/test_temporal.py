@@ -254,11 +254,17 @@ def test_chunk_udtf_matches_expression_path(spark):
     from westtopologies_spark.scale.trainprep import chunk_documents
 
     docs = spark.createDataFrame(
-        [(1, "abcdefghij" * 7), (2, "short"), (3, "x" * 200)],
+        # includes NULL and empty text: the UDTF must propagate NULL the
+        # way substring(NULL) does in the expression path (ADVICE r1)
+        [(1, "abcdefghij" * 7), (2, "short"), (3, "x" * 200), (4, None), (5, "")],
         ["doc_id", "text"],
     )
-    expr_out = sorted(map(tuple, chunk_documents(docs, size=50, stride=30).collect()))
+    expr_out = sorted(
+        map(tuple, chunk_documents(docs, size=50, stride=30).collect()),
+        key=repr,
+    )
     udtf_out = sorted(
-        map(tuple, chunk_documents_udtf(spark, docs, size=50, stride=30).collect())
+        map(tuple, chunk_documents_udtf(spark, docs, size=50, stride=30).collect()),
+        key=repr,
     )
     assert udtf_out == expr_out and len(expr_out) > 5

@@ -2,8 +2,23 @@
 
 Runs every ``queries()`` entry on Spark and the matching
 ``oracle_sql()`` on DuckDB over the same parquet tables, then
-compares row count, column names, and values (columns sorted by
-name, rows sorted, exact string compare after canonicalization).
+compares row count, column names, column TYPES, and values
+(columns sorted by name, rows sorted, exact string compare after
+canonicalization).
+
+Strictness mirrors the driver (round-1 lesson — VERDICT r1 #2):
+
+- timestamps keep their tzinfo in the value canon: a DuckDB
+  ``TIMESTAMP WITH TIME ZONE`` result no longer silently equals a
+  naive Spark timestamp (this is exactly how ``p4_timestamp_parse``
+  passed locally and failed the driver in round 1);
+- column types are compared after normalization.  Equivalence
+  classes are the ones the round-1 driver demonstrably accepted
+  (schema_match=true rows in CORRECTNESS_r01.json): all integer
+  widths collapse to one class (BIGINT/HUGEINT/INTEGER/TINYINT all
+  passed against Spark int/bigint), TIMESTAMP ==
+  timestamp/timestamp_ntz, VARCHAR == string.  TIMESTAMP WITH TIME
+  ZONE is its own class (the driver failed p4 on it).
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -23,6 +38,49 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
 
+# ---------------------------------------------------------------------------
+# type normalization
+# ---------------------------------------------------------------------------
+
+_INT_CLASS = {"tinyint", "smallint", "int", "integer", "bigint", "hugeint", "long", "short", "byte", "ubigint", "uinteger", "usmallint", "utinyint"}
+
+
+def _norm_type(t: str) -> str:
+    """Collapse a DuckDB or Spark type string to a canonical class."""
+    t = t.strip().lower()
+    # arrays: duckdb 'integer[]', spark 'array<int>'
+    if t.endswith("[]"):
+        return f"array<{_norm_type(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_norm_type(t[6:-1])}>"
+    if t in _INT_CLASS:
+        return "int"
+    if t in ("timestamp with time zone", "timestamptz"):
+        return "timestamptz"
+    if t in ("timestamp", "timestamp_ntz", "timestamp_ltz", "datetime"):
+        return "timestamp"
+    if t in ("varchar", "string", "text"):
+        return "string"
+    if t in ("double", "float8"):
+        return "double"
+    if t in ("real", "float", "float4"):
+        return "float"
+    if t in ("blob", "binary", "bytea"):
+        return "binary"
+    if t in ("boolean", "bool"):
+        return "boolean"
+    # decimal(p,s): keep precision/scale — force the two sides identical
+    return t
+
+
+def spark_types(sdf) -> dict[str, str]:
+    return {f.name: _norm_type(f.dataType.simpleString()) for f in sdf.schema.fields}
+
+
+# ---------------------------------------------------------------------------
+# value canonicalization — NO tz stripping (driver-strict)
+# ---------------------------------------------------------------------------
+
 
 def canon(v) -> str:
     import datetime
@@ -35,9 +93,13 @@ def canon(v) -> str:
             return "nan"
         return repr(v)
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # keep tzinfo: an aware timestamp must NOT compare equal to a
+        # naive one (round-1 p4 regression class)
+        return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
     return str(v)
 
 
@@ -71,6 +133,7 @@ def main() -> int:
         try:
             sdf = spec.spark(spark, sf_dir)
             s_cols = sdf.columns
+            s_typ = spark_types(sdf)
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {spec.name}: spark error: {e}")
@@ -80,9 +143,10 @@ def main() -> int:
             print(f"ok   {spec.name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(spec.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(spec.oracle)
+            d_cols = list(rel.columns)
+            d_typ = {c: _norm_type(str(t)) for c, t in zip(rel.columns, rel.types)}
+            d_rows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {spec.name}: duckdb error: {e}")
             failures += 1
@@ -95,6 +159,12 @@ def main() -> int:
             status.append(f"rowcount spark={len(sr)} duck={len(dr)}")
         if sc != dc:
             status.append(f"columns spark={sc} duck={dc}")
+        else:
+            bad_types = {
+                c: (d_typ[c], s_typ[c]) for c in dc if d_typ[c] != s_typ[c]
+            }
+            if bad_types:
+                status.append(f"types differ (duck, spark): {bad_types}")
         if not status and sr != dr:
             n_bad = sum(1 for a, b in zip(sr, dr) if a != b)
             ex = next((a, b) for a, b in zip(sr, dr) if a != b)

@@ -205,6 +205,7 @@ def kcore_peel(
     wdeg = Window.partitionBy("node")
     prev_n = e.count()
     for _ in range(rounds):
+        prev_e = e
         sym = e.select(
             F.col("u").alias("node"), F.col("v").alias("other")
         ).unionByName(e.select(F.col("v").alias("node"), F.col("u").alias("other")))
@@ -224,6 +225,10 @@ def kcore_peel(
         # skip them (only this scalar ever reaches the driver; results
         # equal the full unroll, which the oracle still replays)
         n = e.count()
+        # this round's frame is materialized — the previous round's
+        # cache is no longer an input of anything; drop it so rounds
+        # don't accumulate storage for the life of the session
+        prev_e.unpersist()
         if n == prev_n:
             break
         prev_n = n

@@ -23,13 +23,17 @@ class ChunkTextUDTF:
     """One row per fixed-size character chunk with overlap — the UDTF
     twin of ``chunk_documents`` (chunk k covers 1-indexed positions
     [1 + k*stride, 1 + k*stride + size); empty text yields one empty
-    chunk, matching the expression path)."""
+    chunk and NULL text yields one NULL chunk — substring(NULL) is
+    NULL — matching the expression path; ADVICE r1)."""
 
     def eval(self, text: str, size: int, stride: int):
-        n = max(len(text or ""), 1)
+        if text is None:
+            yield 0, None, None
+            return
+        n = max(len(text), 1)
         k = 0
         for start in range(0, n, stride):
-            piece = (text or "")[start : start + size]
+            piece = text[start : start + size]
             yield k, piece, len(piece)
             k += 1
 

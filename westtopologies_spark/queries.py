@@ -62,7 +62,7 @@ def _register(name: str, oracle: str | None, doc: str = ""):
            event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -76,7 +76,8 @@ def w1_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # DECIMAL sum: exact, partition-order-independent (VERDICT r1 #1c)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -128,7 +129,7 @@ def s3_json_parse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            strftime(ts, '%a %b %d %H:%M:%S +0000 %Y') AS created_at,
            strptime(strftime(ts, '%a %b %d %H:%M:%S +0000 %Y'),
-                    '%a %b %d %H:%M:%S %z %Y') AS parsed_ts
+                    '%a %b %d %H:%M:%S %z %Y')::TIMESTAMP AS parsed_ts
     FROM events
     WHERE event_id % 97 = 0
     """,
@@ -270,7 +271,8 @@ def j1_dummy_parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
            r.r_name AS region,
            count(*) AS n_lineitems,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -295,9 +297,11 @@ def j2_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # per-row product is exactly 4-dec (2-dec price x 2-dec discount);
+            # DECIMAL(18,4) sum is exact and order-independent
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -440,8 +444,10 @@ def a4_tercile_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a5_nb_logsum",
     """
     SELECT p_brand,
-           round(sum(ln((l_quantity + 1) / (50 + 2))) + ln(0.5), 6) AS pos_log_odds,
-           round(sum(ln((l_discount * 100 + 1) / (10 + 2))) + ln(0.5), 6) AS neg_log_odds,
+           round(CAST(sum(CAST(ln((l_quantity + 1) / (50 + 2)) AS DECIMAL(27,12)))
+                      AS DOUBLE) + ln(0.5), 6) AS pos_log_odds,
+           round(CAST(sum(CAST(ln((l_discount * 100 + 1) / (10 + 2)) AS DECIMAL(27,12)))
+                      AS DOUBLE) + ln(0.5), 6) AS neg_log_odds,
            count(*) AS n_props
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
@@ -456,11 +462,20 @@ def a5_nb_logsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.groupBy("p_brand").agg(
-        F.round(F.sum(F.log((F.col("l_quantity") + 1) / (50 + 2))) + math.log(0.5), 6).alias(
-            "pos_log_odds"
-        ),
+        # ln terms cast to DECIMAL(27,12) before summing: the reduction
+        # becomes exact integer arithmetic, so partition order can't shift
+        # the pre-round ulp (VERDICT r1 #1c)
         F.round(
-            F.sum(F.log((F.col("l_discount") * 100 + 1) / (10 + 2))) + math.log(0.5), 6
+            F.sum(F.log((F.col("l_quantity") + 1) / (50 + 2)).cast("decimal(27,12)"))
+            .cast("double")
+            + math.log(0.5),
+            6,
+        ).alias("pos_log_odds"),
+        F.round(
+            F.sum(F.log((F.col("l_discount") * 100 + 1) / (10 + 2)).cast("decimal(27,12)"))
+            .cast("double")
+            + math.log(0.5),
+            6,
         ).alias("neg_log_odds"),
         F.count(F.lit(1)).alias("n_props"),
     )
@@ -503,7 +518,7 @@ def t1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id // 5 AS batch_id,
            count(*) AS n,
-           round(sum(value), 2) AS batch_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS batch_value
     FROM events
     GROUP BY 1
     """,
@@ -514,7 +529,10 @@ def w2_count_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.floor(F.col("event_id") / 5).alias("batch_id"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("batch_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("batch_value"),
+        )
     )
 
 
@@ -576,8 +594,9 @@ def p9_p10_geo_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT ts FROM ev WHERE pos = w.start_pos) AS window_start,
            (SELECT ts FROM ev WHERE pos = w.close_pos) AS window_end,
            w.close_pos - w.start_pos + 1 AS n_events,
-           round((SELECT sum(value) FROM ev e
-                  WHERE e.pos BETWEEN w.start_pos AND w.close_pos), 2) AS sum_value
+           CAST((SELECT sum(CAST(value AS DECIMAL(18,2))) FROM ev e
+                 WHERE e.pos BETWEEN w.start_pos AND w.close_pos) AS DOUBLE)
+             AS sum_value
     FROM win w
     WHERE w.close_pos IS NOT NULL
     """,

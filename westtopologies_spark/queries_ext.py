@@ -53,7 +53,7 @@ def _sessionize_sql() -> str:
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sess GROUP BY 1, 2
     """
 
@@ -306,8 +306,8 @@ def tp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
              AS lvl,
            count(*) AS n_rows,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_price
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -325,8 +325,9 @@ def gs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
             ).cast("long").alias("lvl"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            # DECIMAL sums: exact, partition-order-independent (VERDICT r1 #1c)
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
         .select(
             "l_returnflag", "l_linestatus", "lvl", "n_rows", "sum_qty", "sum_price"
@@ -1599,7 +1600,8 @@ def _unigram_lm_sql() -> str:
     corpus AS (SELECT token, sum(tf) AS c FROM tf GROUP BY 1),
     tot AS (SELECT sum(c) AS total FROM corpus)
     SELECT doc_id, sum(tf) AS n_tokens,
-           round(sum(tf * (ln(c) - ln(total))) / sum(tf), 6) AS mean_logp
+           round(CAST(sum(CAST(tf * (ln(c) - ln(total)) AS DECIMAL(27,12)))
+                      AS DOUBLE) / sum(tf), 6) AS mean_logp
     FROM tf JOIN corpus USING (token) CROSS JOIN tot
     GROUP BY doc_id
     """
@@ -2160,7 +2162,8 @@ def j9_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sq_shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -2192,9 +2195,13 @@ def sq_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            # DECIMAL(18,4) sum: exact, order-independent — also makes the
+            # top-10 cutoff deterministic (VERDICT r1 #1c)
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -2206,7 +2213,8 @@ def sq_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sq_local_supplier_volume",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2247,9 +2255,11 @@ def sq_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -2280,7 +2290,8 @@ def _bigram_lm_sql() -> str:
     c_2 AS (SELECT w2, sum(c12) AS c2 FROM c_ab GROUP BY 1),
     t AS (SELECT sum(c12) AS tt FROM c_ab)
     SELECT doc_id, sum(cnt) AS n_bigrams,
-           round(sum(cnt * ln({lam} * c12 / c1 + {1.0 - lam} * c2 / tt))
+           round(CAST(sum(CAST(cnt * ln({lam} * c12 / c1 + {1.0 - lam} * c2 / tt)
+                               AS DECIMAL(27,12))) AS DOUBLE)
                  / sum(cnt), 6) AS mean_logp
     FROM doc_pairs
     JOIN c_ab USING (w1, w2) JOIN c_1 USING (w1) JOIN c_2 USING (w2)
@@ -2373,7 +2384,7 @@ def ag_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-             round(sum(o_totalprice), 2) AS revenue,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              count(*) AS n_orders
       FROM orders GROUP BY 1
     )
@@ -2394,7 +2405,7 @@ def ts_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -2456,12 +2467,14 @@ def ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ag_contribution",
     """
     WITH a AS (
-      SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
+      SELECT o_orderpriority,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              count(*) AS n_orders
       FROM orders GROUP BY 1
     )
     SELECT o_orderpriority, revenue, n_orders,
-           round(revenue * 100.0 / sum(revenue) OVER (), 4) AS pct_of_total
+           round(revenue * 100.0 / CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+                 OVER () AS DOUBLE), 4) AS pct_of_total
     FROM a
     """,
     doc="Ratio-to-report contribution analysis: per-class revenue "
@@ -2474,7 +2487,7 @@ def ag_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -2483,7 +2496,11 @@ def ag_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         "n_orders",
         F.round(
-            F.col("revenue") * 100.0 / F.sum("revenue").over(Window.partitionBy()),
+            F.col("revenue")
+            * 100.0
+            / F.sum(F.col("revenue").cast("decimal(18,2)"))
+            .over(Window.partitionBy())
+            .cast("double"),
             4,
         ).alias("pct_of_total"),
     )
@@ -2493,7 +2510,7 @@ def ag_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j10_salted_join",
     """
     SELECT c.c_mktsegment, count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS revenue
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,
@@ -2513,7 +2530,7 @@ def j10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(orders, cust, on="o_custkey")
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
     )
 
 
@@ -2576,7 +2593,7 @@ def _inc_rollup_sql() -> str:
 
     return f"""
     SELECT event_type, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            round(min(value), 6) AS min_value,
            round(max(value), 6) AS max_value
     FROM events GROUP BY 1
@@ -2801,7 +2818,7 @@ def ts_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
                 AS BIGINT) AS lvl,
            count(*) AS n_rows,
-           round(sum(o_totalprice), 2) AS sum_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -2819,7 +2836,7 @@ def gs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
             ).cast("long").alias("lvl"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
         .select("o_orderstatus", "o_orderpriority", "lvl", "n_rows", "sum_price")
     )
@@ -2834,14 +2851,19 @@ def gs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sq_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-             AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_quantity), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(l_discount), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -2857,14 +2879,22 @@ def sq_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") <= "2001-09-01"
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # DECIMAL sums (exact per-row decimals: price 2dp, x(1-disc) 4dp,
+    # x(1+tax) 6dp): reductions become order-independent integer
+    # arithmetic; avgs derive from the same exact sums (VERDICT r1 #1c)
+    dsum_qty = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    dsum_price = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    dsum_dsc = F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        dsum_qty.alias("sum_qty"),
+        dsum_price.alias("sum_base_price"),
+        F.sum(disc.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+        F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_charge"),
+        F.round(dsum_qty / F.count("l_quantity"), 4).alias("avg_qty"),
+        F.round(dsum_price / F.count("l_extendedprice"), 4).alias("avg_price"),
+        F.round(dsum_dsc / F.count("l_discount"), 6).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -2874,11 +2904,11 @@ def sq_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH big AS (
       SELECT l_orderkey FROM lineitem
-      GROUP BY 1 HAVING sum(l_quantity) > 150
+      GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
     )
     SELECT c.c_name, o.o_orderkey, o.o_orderdate,
            round(o.o_totalprice, 2) AS o_totalprice,
-           round(sum(l.l_quantity), 2) AS total_qty
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM orders o
     JOIN big ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -2896,7 +2926,9 @@ def sq_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("_q"))
+        # DECIMAL sum: the >150 threshold test is then exact, no
+        # double-fold boundary flake (VERDICT r1 #1c)
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
         .filter(F.col("_q") > 150)
         .select(F.col("l_orderkey").alias("_big_orderkey"))
     )
@@ -2905,7 +2937,7 @@ def sq_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
         .select(
             "c_name",
             "o_orderkey",
@@ -3215,33 +3247,41 @@ def tp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT o_orderpriority, count(*) AS n,
-             sum(o_totalprice) AS s1,
-             sum(o_totalprice * o_totalprice) AS s2,
-             sum(o_totalprice * o_totalprice * o_totalprice) AS s3
+             CAST(sum(CAST(o_totalprice AS DECIMAL(8,2)) - 150000) AS DOUBLE) AS s1,
+             CAST(sum((CAST(o_totalprice AS DECIMAL(8,2)) - 150000)
+                      * (CAST(o_totalprice AS DECIMAL(8,2)) - 150000)) AS DOUBLE) AS s2,
+             CAST(sum((CAST(o_totalprice AS DECIMAL(8,2)) - 150000)
+                      * (CAST(o_totalprice AS DECIMAL(8,2)) - 150000)
+                      * (CAST(o_totalprice AS DECIMAL(8,2)) - 150000)) AS DOUBLE) AS s3
       FROM orders GROUP BY 1
     )
     SELECT o_orderpriority, n,
-           round(s1 / n, 4) AS mean,
+           round(150000 + s1 / n, 4) AS mean,
            round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS pop_std,
            round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
                  / pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3), 6)
              AS skewness
     FROM m
     """,
-    doc="Population skewness per priority class from raw power sums "
-    "(one partial-agg'd pass, constant memory per group — the "
-    "algebraic-moment form that merges across partitions, vs. "
-    "two-pass central-moment formulas). Identical arithmetic "
-    "expression both engines. Aggregate-statistics extension.",
+    doc="Population skewness per priority class from SHIFTED power sums "
+    "(one partial-agg'd pass, constant memory per group, mergeable "
+    "across partitions). Values shift by a fixed constant near the "
+    "mean (skewness/variance are shift-invariant), and the shifted "
+    "powers are exact DECIMALs (2-dec cents -> 4/6-dec powers), so "
+    "the reductions are exact integer arithmetic: no catastrophic "
+    "cancellation from raw ~1e21 cube sums and no partition-order "
+    "double-fold drift (ADVICE r1). Identical arithmetic expression "
+    "both engines. Aggregate-statistics extension.",
 )
 def ag_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    v = F.col("o_totalprice")
+    SHIFT = 150000  # fixed, data-independent center (~mean order value)
+    d = F.col("o_totalprice").cast("decimal(8,2)") - SHIFT
     m = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(v).alias("s1"),
-        F.sum(v * v).alias("s2"),
-        F.sum(v * v * v).alias("s3"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.sum(d * d * d).cast("double").alias("s3"),
     )
     mean = F.col("s1") / F.col("n")
     var = F.col("s2") / F.col("n") - mean * mean
@@ -3253,7 +3293,7 @@ def ag_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "o_orderpriority",
         "n",
-        F.round(mean, 4).alias("mean"),
+        F.round(SHIFT + mean, 4).alias("mean"),
         F.round(F.sqrt(var), 4).alias("pop_std"),
         F.round(skew, 6).alias("skewness"),
     )

@@ -65,7 +65,10 @@ def sessionize(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # sum as DECIMAL so the reduction is exact integer arithmetic —
+        # order-independent across partitions (a double fold's pre-round
+        # ulp can differ with aggregation order; VERDICT r1 #1b)
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
 
 

@@ -384,8 +384,11 @@ def unigram_lm_scores(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
+            # DECIMAL term sum: exact, partition-order-independent reduction
             F.round(
-                F.sum(F.col("tf") * (F.log("c") - F.log("total")))
+                F.sum(
+                    (F.col("tf") * (F.log("c") - F.log("total"))).cast("decimal(27,12)")
+                ).cast("double")
                 / F.sum("tf"),
                 6,
             ).alias("mean_logp"),
@@ -574,8 +577,11 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_bigrams"),
-            F.round(F.sum(F.col("cnt") * logp) / F.sum("cnt"), 6).alias(
-                "mean_logp"
-            ),
+            # DECIMAL term sum: exact, partition-order-independent reduction
+            F.round(
+                F.sum((F.col("cnt") * logp).cast("decimal(27,12)")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("mean_logp"),
         )
     )

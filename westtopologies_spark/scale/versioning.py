@@ -214,7 +214,10 @@ def incremental_rollup(
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("_sum_v"),
+            # DECIMAL partials: the partial-merge is then exact integer
+            # arithmetic, so it equals the full recompute bit-for-bit
+            # regardless of partition order (VERDICT r1 #1c)
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sum_v"),
             F.min("value").alias("_min_v"),
             F.max("value").alias("_max_v"),
         )
@@ -226,7 +229,7 @@ def incremental_rollup(
         .groupBy("event_type")
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.round(F.sum("_sum_v"), 2).alias("sum_value"),
+            F.sum("_sum_v").cast("double").alias("sum_value"),
             F.round(F.min("_min_v"), 6).alias("min_value"),
             F.round(F.max("_max_v"), 6).alias("max_value"),
         )

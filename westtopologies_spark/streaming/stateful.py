@@ -42,18 +42,18 @@ def _scan_windows(pdf: pd.DataFrame, ts_col: str, value_col: str, seq_col: str, 
     out = []
     start = None
     n = 0
-    total = 0.0
+    total_c = 0  # integer cents: exact accumulation, no float-fold ulp
     deadline = None
     for ts, val in zip(pdf[ts_col], pdf[value_col]):
         if start is None:
             start = ts
             deadline = start + pd.Timedelta(seconds=interval_sec)
             n = 0
-            total = 0.0
+            total_c = 0
         n += 1
-        total += float(val)
+        total_c += int(round(float(val) * 100))
         if ts >= deadline:  # trigger included in the flushed buffer
-            out.append((start, ts, n, round(total, 2)))
+            out.append((start, ts, n, total_c / 100.0))
             start = None
     # final partial buffer intentionally NOT emitted (reference never
     # flushes without a trigger)
@@ -103,13 +103,14 @@ def data_driven_window_rollup_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    state_schema = "start_us long, n long, sum_value double"
+    # sum carried as integer cents (exact, order-stable across batches)
+    state_schema = "start_us long, n long, sum_cents long"
 
     def fn(key, pdfs, state):
         if state.exists:
-            start_us, n, total = state.get
+            start_us, n, total_c = state.get
         else:
-            start_us, n, total = None, 0, 0.0
+            start_us, n, total_c = None, 0, 0
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(seq_col)
@@ -118,23 +119,23 @@ def data_driven_window_rollup_stream(
                 if start_us is None:
                     start_us = ts_us
                     n = 0
-                    total = 0.0
+                    total_c = 0
                 n += 1
-                total += float(val)
+                total_c += int(round(float(val) * 100))
                 if ts_us >= start_us + interval_sec * 1_000_000:
                     out.append(
                         (
                             pd.Timestamp(start_us * 1000),
                             pd.Timestamp(ts_us * 1000),
                             n,
-                            round(total, 2),
+                            total_c / 100.0,
                         )
                     )
                     start_us = None
         if start_us is None:
             state.remove()
         else:
-            state.update((start_us, n, total))
+            state.update((start_us, n, total_c))
         yield pd.DataFrame(
             out, columns=["window_start", "window_end", "n_events", "sum_value"]
         )
@@ -176,14 +177,14 @@ def data_driven_window_rollup_stream_tws(
     class W1Processor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._buf = handle.getValueState(
-                "buf", "start_us long, n long, sum_value double"
+                "buf", "start_us long, n long, sum_cents long"
             )
 
         def handleInputRows(self, key, rows, timerValues):
             if self._buf.exists():
-                start_us, n, total = self._buf.get()
+                start_us, n, total_c = self._buf.get()
             else:
-                start_us, n, total = None, 0, 0.0
+                start_us, n, total_c = None, 0, 0
             # concatenate the batch's chunks, then one global sort by
             # arrival seq — chunk boundaries are arbitrary
             pdf = pd.concat(list(rows)).sort_values(seq_col)
@@ -193,23 +194,23 @@ def data_driven_window_rollup_stream_tws(
                 if start_us is None:
                     start_us = ts_us
                     n = 0
-                    total = 0.0
+                    total_c = 0
                 n += 1
-                total += float(val)
+                total_c += int(round(float(val) * 100))
                 if ts_us >= start_us + interval_sec * 1_000_000:
                     out.append(
                         (
                             pd.Timestamp(start_us * 1000),
                             pd.Timestamp(ts_us * 1000),
                             n,
-                            round(total, 2),
+                            total_c / 100.0,
                         )
                     )
                     start_us = None
             if start_us is None:
                 self._buf.clear()
             else:
-                self._buf.update((start_us, n, total))
+                self._buf.update((start_us, n, total_c))
             yield pd.DataFrame(
                 out, columns=["window_start", "window_end", "n_events", "sum_value"]
             )
@@ -277,7 +278,11 @@ def aligned_window_rollup_stream(
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, interval).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL sum: exact, partition/trigger-order-independent
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
@@ -307,7 +312,8 @@ def gap_session_stream(
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # DECIMAL sum: exact, partition/trigger-order-independent
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             key,
