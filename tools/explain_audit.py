@@ -46,7 +46,10 @@ VOCAB_RANK_OK = {
 # the IVF coarse-quantizer assignment (corpus x broadcast of <=16
 # centroid rows — every IVF implementation scores all cells per row).
 BLOCK_JOIN_OK = {"dd_embedding_neardup", "ann_bruteforce_topk", "ann_lsh_bucketed",
-                 "dd_exact", "ann_ivf_topk", "emb_kmeans"}
+                 "dd_exact", "ann_ivf_topk", "emb_kmeans",
+                 # composes kmeans_assignments: the BNLJ is the k-row
+                 # broadcast-centroid assignment scan, not a pair grid
+                 "dd_semantic_dedup"}
 # single-group stateful scan (reference semantics require one ordered
 # group; the keyed variant shards it -- see streaming.stateful docs)
 SINGLE_GROUP_OK = {"w1_exact_windows", "a4_tercile_boundaries", "a3_role_features",

@@ -579,7 +579,11 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.byte_histogram(b)
 
 
-def _kmeans_sql() -> str:
+def _kmeans_cte_parts() -> list[str]:
+    """WITH-clause parts replaying :func:`similarity.kmeans_assignments`'s
+    deterministic iteration trace, ending in a CTE ``kassign(vec_id,
+    cluster_id, cosine)`` — composable into larger oracles (e.g. the
+    cluster-blocked semantic dedup)."""
     d = C.EMBEDDING_DIM
     mean_list = ", ".join(f"round(avg(n.v[{i + 1}]), 9)" for i in range(d))
     dot = _DOT.format(d=d, a="n.v", b="c.cv")
@@ -611,19 +615,26 @@ def _kmeans_sql() -> str:
     c{i + 1} AS (SELECT cid, cv, {_NORM.format(v="cv")} AS cn FROM m{i + 1})"""
         )
     fin = C.KMEANS_ITERS
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f""",
-    sf AS (
+    parts.append(
+        f"""sf AS (
       SELECT n.vec_id, c.cid, round({dot} / (n.nrm * c.cn), 6) AS sim
       FROM normed n CROSS JOIN c{fin} c
     ),
-    bf AS (SELECT vec_id, max(sim) AS best FROM sf GROUP BY vec_id)
-    SELECT s.vec_id, min(s.cid) AS cluster_id, max(s.sim) AS cosine
-    FROM sf s JOIN bf b ON s.vec_id = b.vec_id AND s.sim = b.best
-    GROUP BY s.vec_id
-    """
+    bf AS (SELECT vec_id, max(sim) AS best FROM sf GROUP BY vec_id),
+    kassign AS (
+      SELECT s.vec_id, min(s.cid) AS cluster_id, max(s.sim) AS cosine
+      FROM sf s JOIN bf b ON s.vec_id = b.vec_id AND s.sim = b.best
+      GROUP BY s.vec_id
+    )"""
+    )
+    return parts
+
+
+def _kmeans_sql() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_kmeans_cte_parts())
+        + "\n    SELECT vec_id, cluster_id, cosine FROM kassign"
     )
 
 

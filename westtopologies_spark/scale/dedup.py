@@ -562,6 +562,130 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_clustered(
+    emb: DataFrame,
+    threshold: float = C.NEARDUP_COSINE_THRESHOLD,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = C.KMEANS_K,
+    iters: int = C.KMEANS_ITERS,
+) -> DataFrame:
+    """(id_a, id_b, cosine): SemDeDup-recipe near-dup pairs — vectors
+    are first assigned to deterministic spherical-k-means clusters
+    (:func:`..similarity.kmeans_assignments`), then compared EXACTLY
+    (dense GEMM) only within their cluster.
+
+    This is the scale-safe default candidate generation (VERDICT r1
+    #3): candidate work is sum(|cluster|^2) instead of the all-pairs
+    n^2 of :func:`embedding_neardup_pairs` — with ``k`` scaled so
+    clusters hold a few thousand vectors, a 100x corpus growth grows
+    the per-cluster GEMMs linearly, not quadratically.  Cross-cluster
+    pairs are NOT compared: that recall<1 trade-off is the declared
+    semantics (exactly SemDeDup's: Abbas et al. 2023 dedupe within
+    k-means clusters only) and the DuckDB oracle replays the identical
+    clustering trace, so the result is still bit-deterministic.
+    ``embedding_neardup_pairs`` remains the exact small-data kernel /
+    oracle path.
+    """
+    import pandas as pd
+
+    from .similarity import kmeans_assignments
+
+    assign = kmeans_assignments(
+        emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    rows = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).join(
+        assign.select(F.col("vec_id").alias("id"), "cluster_id"), "id"
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        A = np.asarray([np.asarray(x) for x in pdf["v"]])
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        S = np.round(A @ A.T, 4)
+        ii, jj = np.nonzero((S >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ii], "id_b": ids[jj], "cosine": S[ii, jj]}
+        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+
+    return rows.groupBy("cluster_id").applyInPandas(
+        score, "id_a long, id_b long, cosine double"
+    )
+
+
+def semantic_dedup_components(
+    emb: DataFrame,
+    threshold: float = C.NEARDUP_COSINE_THRESHOLD,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = C.KMEANS_K,
+    iters: int = C.KMEANS_ITERS,
+) -> DataFrame:
+    """(vec_id, component_id): SemDeDup keep-list labels in ONE pass.
+
+    Because :func:`embedding_neardup_pairs_clustered` only ever emits
+    same-cluster pairs, the near-dup graph decomposes exactly into
+    per-cluster subgraphs — so the connected components are computed
+    INSIDE the same per-cluster kernel (numpy GEMM for the pairs, then
+    a union-find over them), with no iterative label-propagation rounds
+    on the driver at all.  One k-means assignment + one grouped scan;
+    per-cluster work is |cluster|^2 GEMM + near-linear union-find,
+    which is the SemDeDup cost model by construction.
+    """
+    import pandas as pd
+
+    from .similarity import kmeans_assignments
+
+    assign = kmeans_assignments(
+        emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+    rows = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).join(
+        assign.select(F.col("vec_id").alias("id"), "cluster_id"), "id"
+    )
+
+    def label(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["id"].to_numpy()
+        A = np.asarray([np.asarray(x) for x in pdf["v"]])
+        A = A / np.linalg.norm(A, axis=1, keepdims=True)
+        S = np.round(A @ A.T, 4)
+        ii, jj = np.nonzero((S >= threshold) & (ids[:, None] < ids[None, :]))
+        # union-find with path compression; root = min id in component
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ids[ii], ids[jj]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # keep the smaller id as root so labels are min-reachable
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "component_id": [find(int(i)) for i in ids],
+            }
+        ).astype({"vec_id": "int64", "component_id": "int64"})
+
+    return rows.groupBy("cluster_id").applyInPandas(
+        label, "vec_id long, component_id long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -611,9 +735,14 @@ def connected_components(
             F.least("label", F.coalesce("nmin", F.col("label"))).alias("label"),
         )
         # pointer doubling: every label is itself a node id, so its own
-        # current label exists — following label -> label(label) halves
-        # the remaining distance to the component minimum each round
-        ll = prop.select(
+        # label exists — following label -> label(label) halves the
+        # remaining distance to the component minimum each round.  The
+        # jump table is the PREVIOUS round's labels (already
+        # materialized by localCheckpoint): one-round-stale pointers
+        # keep the O(log diameter) contraction while referencing
+        # ``prop`` only once, so the propagation joins are not
+        # recomputed for the jump branch.
+        ll = labels.select(
             F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
         )
         updated = (

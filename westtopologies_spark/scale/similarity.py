@@ -366,6 +366,11 @@ def kmeans_assignments(
             .groupBy("cid")
             .agg(mean_v.alias("cent_v"))
             .withColumn("cent_n", _norm(F.col("cent_v")))
+            # materialize the k-row centroid table each round: it is
+            # referenced several times downstream (assignment scored +
+            # best + next iteration), and without truncation the
+            # re-computation of the unrolled lineage grows ~2^iters
+            .localCheckpoint()
         )
     sim = F.round(
         _dot(F.col("c_v"), F.col("cent_v")) / (F.col("c_n") * F.col("cent_n")), 6
