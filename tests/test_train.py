@@ -68,3 +68,15 @@ def test_trained_model_scores_with_m1(spark, geo_docs):
     out = predict_locations(docs, model, top_k=2).collect()
     assert len(out) == 2
     assert abs(sum(r["probability"] for r in out)) <= 1.0 + 1e-9
+
+
+def test_train_max_vocab_cap(geo_docs):
+    corpus = train.prepare_corpus(geo_docs)
+    model, word2id = train.train_location_model(
+        corpus, n_topics=4, n_regions=4, cell_deg=2.0, max_vocab=3
+    )
+    # open-vocabulary cap: only the top-3 words by (tf desc, word asc)
+    assert len(word2id) == 3
+    assert sorted(word2id.values()) == [0, 1, 2]
+    assert model.topic_word.shape == (4, 3)
+    assert np.allclose(model.topic_word.sum(axis=1), 1.0)
