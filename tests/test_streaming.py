@@ -470,3 +470,54 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path_factory):
     e = sorted(map(tuple, expect.collect()))
     assert len(e) > 10  # the interval actually matches pairs
     assert g == e
+
+
+@pytest.fixture(scope="module")
+def staged_keyed_events(spark, sf_dir, tmp_path_factory):
+    """Events with a conversation-root-style key (with_root_ids over a
+    synthetic reply forest), staged as ordered micro-batch files —
+    the keyed exact-W1 scale path (VERDICT r1 item 6)."""
+    from westtopologies_spark.ops.roles import with_root_ids
+
+    out = str(tmp_path_factory.mktemp("keyed_events_stream"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    # reply forest: chains of 10 events -> with_root_ids collapses each
+    # chain to its head, giving 30 conversation keys
+    nodes = ev.select(
+        F.col("event_id").alias("tweet_id"),
+        F.when(
+            F.col("event_id") % 10 == 0, F.lit(None)
+        ).otherwise(F.col("event_id") - 1).alias("parent_id"),
+    )
+    roots = with_root_ids(nodes, max_depth=16).select(
+        F.col("tweet_id").alias("event_id"), "root_id"
+    )
+    keyed = ev.join(roots, "event_id").select("event_id", "root_id", "ts", "value")
+    pdf = keyed.toPandas().sort_values("event_id")
+    for i, lo in enumerate(range(0, 300, 100)):
+        chunk = pdf[(pdf.event_id >= lo) & (pdf.event_id < lo + 100)]
+        path = os.path.join(out, f"part-{i}.parquet")
+        chunk.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        mtime = time.time() - 100 + i * 10
+        os.utime(path, (mtime, mtime))
+    return out, keyed
+
+
+def test_w1_exact_stream_keyed_matches_batch(spark, staged_keyed_events):
+    path, batch_df = staged_keyed_events
+    schema = "event_id long, root_id long, ts timestamp, value double"
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    got = _run_stream(
+        spark,
+        data_driven_window_rollup_stream(src, key_cols=["root_id"], interval_sec=60),
+        "w1_keyed_out",
+    )
+    expect = data_driven_windows(batch_df, key_cols=["root_id"], interval_sec=60)
+    g = sorted(map(tuple, got.select("window_start", "window_end", "n_events", "sum_value").collect()))
+    e = sorted(map(tuple, expect.select("window_start", "window_end", "n_events", "sum_value").collect()))
+    assert len(g) > 3
+    assert g == e
+    # state really is sharded: multiple distinct conversation keys emit
+    assert got.select("root_id").distinct().count() > 1
