@@ -129,6 +129,141 @@ def dereference(places: DataFrame, triples: DataFrame, place_col: str = "place")
     return places.join(F.broadcast(wide), place_col, "left")
 
 
+# ---------------------------------------------------------------------------
+# J5/J6 live-lookup mode (opt-in; VERDICT r1 item 9, SURVEY.md §4.2)
+# ---------------------------------------------------------------------------
+
+# per-executor LRU caches, keyed by operator instance; a Python worker
+# is reused across Arrow batches, so entries survive the whole task
+# and (with worker reuse) the whole job on that executor
+_LIVE_CACHE: dict[str, "OrderedDict"] = {}
+
+
+def _cached_lookup(lookup_fn, cache_key: str, uri: str, cache_size: int):
+    """LRU-cached endpoint call. ``lookup_fn(uri)`` returns the
+    triples for one URI as a list of (p, o, lang) tuples — in
+    production a SPARQL/HTTP client (the reference's per-message
+    endpoint call, LocationCrawlerBolt.java:139,185), in tests a
+    snapshot-backed closure. Errors return [] (the bolt catches and
+    continues)."""
+    from collections import OrderedDict
+
+    cache = _LIVE_CACHE.setdefault(cache_key, OrderedDict())
+    if uri in cache:
+        cache.move_to_end(uri)
+        return cache[uri]
+    try:
+        rows = list(lookup_fn(uri))
+    except Exception:
+        rows = []
+    cache[uri] = rows
+    if len(cache) > cache_size:
+        cache.popitem(last=False)
+    return rows
+
+
+def live_property_scan(
+    subjects: DataFrame,
+    lookup_fn,
+    subject_col: str = "dbpedia_uri",
+    cache_size: int = 10_000,
+) -> DataFrame:
+    """J5 live mode — per subject URI, query the endpoint for its
+    triples and keep URI-valued objects, grouped per place; output
+    identical to :func:`property_scan` on an equivalent snapshot
+    (parity-tested). Arrow-batched ``mapInPandas`` with a
+    per-executor LRU — one endpoint call per distinct URI per
+    executor, NOT per row."""
+    import pandas as pd
+
+    key = f"j5:{id(lookup_fn)}"
+
+    def scan(batches):
+        for pdf in batches:
+            out = []
+            for uri in pdf[subject_col]:
+                for p, o, _lang in _cached_lookup(lookup_fn, key, uri, cache_size):
+                    if o is not None and str(o).startswith("http"):
+                        out.append((uri, o, p))
+            if not out:
+                yield pd.DataFrame(columns=[subject_col, "place", "props"])
+                continue
+            df = pd.DataFrame(out, columns=[subject_col, "place", "_p"])
+            grouped = (
+                df.groupby([subject_col, "place"])["_p"]
+                .agg(lambda ps: sorted(set(ps)))
+                .reset_index()
+                .rename(columns={"_p": "props"})
+            )
+            yield grouped
+
+    return subjects.select(subject_col).distinct().mapInPandas(
+        scan, schema=f"{subject_col} string, place string, props array<string>"
+    )
+
+
+def live_dereference(
+    places: DataFrame,
+    lookup_fn,
+    place_col: str = "place",
+    cache_size: int = 10_000,
+) -> DataFrame:
+    """J6 live mode — dereference each location URI against the
+    endpoint (geo:lat / geo:long / English rdfs:label pivot), output
+    identical to :func:`dereference` on an equivalent snapshot
+    (parity-tested). Same per-executor LRU as :func:`live_property_scan`.
+    """
+    import pandas as pd
+
+    key = f"j6:{id(lookup_fn)}"
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in places.schema.fields
+    )
+
+    def deref(batches):
+        for pdf in batches:
+            lats, lons, labels = [], [], []
+            for uri in pdf[place_col]:
+                lat = lon = label = None
+                for p, o, lang in _cached_lookup(lookup_fn, key, uri, cache_size):
+                    # max() tie-break of the snapshot pivot == last in
+                    # sorted order; endpoint rows may repeat a property
+                    if p == GEO_LAT and (lat is None or o > lat):
+                        lat = o
+                    elif p == GEO_LONG and (lon is None or o > lon):
+                        lon = o
+                    elif p == RDFS_LABEL and lang == "en" and (label is None or o > label):
+                        label = o
+                lats.append(lat)
+                lons.append(lon)
+                labels.append(label)
+            out = pdf.copy()
+            out["lat"], out["lon"], out["label"] = lats, lons, labels
+            yield out
+
+    return places.mapInPandas(
+        deref, schema=f"{in_fields}, lat string, lon string, label string"
+    )
+
+
+def snapshot_lookup_fn(triples: DataFrame):
+    """Build a snapshot-backed ``lookup_fn`` (collects the triple
+    table to a plain dict — use for tests/small snapshots; production
+    passes a real SPARQL client closure)."""
+    local: dict[str, list] = {}
+    has_lang = "lang" in triples.columns
+    cols = ["s", "p", "o"] + (["lang"] if has_lang else [])
+    for r in triples.select(*cols).collect():
+        local.setdefault(r["s"], []).append(
+            (r["p"], r["o"], r["lang"] if has_lang else None)
+        )
+
+    def lookup(uri: str):
+        return local.get(uri, [])
+
+    return lookup
+
+
 def assemble_lod_output(df: DataFrame, item_col: str = "itinno:item_id") -> DataFrame:
     """P8+P9 — build the sink document:
     {itinno:item_id, ukob:explored_entities:[{uri,label,loc}]}
