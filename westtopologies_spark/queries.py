@@ -1299,7 +1299,7 @@ _TOP_PRIORITY = [
     "tp_chunk_overlap",
     "tp_pack_sequences",
     "gr_triangles",
-    "gr_pagerank",
+    "gr_neighbor_jaccard_capped",  # VERDICT r1 item 10: hard signal for the capped path
 ]
 
 # round-1 green rows (CORRECTNESS_r01.json) — deferred to the tail so a
