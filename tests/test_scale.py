@@ -51,6 +51,38 @@ def test_ngram_jaccard_exact_values(docs):
     assert pairs[(0, 1)] == round(6 / 8, 4)
 
 
+def test_overlap_coefficient_contained_doc(spark):
+    """A short doc pasted inside a much longer one scores overlap 1.0
+    while its Jaccard stays low — the containment case the overlap
+    coefficient exists for."""
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    rows = [(0, short), (1, filler + " " + short)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    over = {
+        (r["doc_a"], r["doc_b"]): r["overlap"]
+        for r in dedup.overlap_coefficient_pairs(docs, threshold=0.0).collect()
+    }
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert over[(0, 1)] == 1.0  # every shingle of doc 0 appears in doc 1
+    assert jac[(0, 1)] < 0.2  # symmetric Jaccard misses the containment
+
+
+def test_overlap_equals_jaccard_on_equal_sets(docs):
+    """For same-size shingle sets with intersection i: overlap =
+    i/sz, jaccard = i/(2*sz-i) — check the exact-dup and near-dup
+    pairs line up with that arithmetic."""
+    over = {
+        (r["doc_a"], r["doc_b"]): r["overlap"]
+        for r in dedup.overlap_coefficient_pairs(docs, threshold=0.0).collect()
+    }
+    assert over[(0, 4)] == 1.0
+    assert over[(0, 1)] == round(6 / 7, 4)  # 6 shared of 7 shingles each
+
+
 @pytest.mark.parametrize("threshold", [0.3, 0.6, 0.8])
 def test_prefix_jaccard_matches_bruteforce(docs, threshold):
     # the prefix filter must be lossless: identical pair set + values

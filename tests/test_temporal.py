@@ -47,6 +47,32 @@ def test_sessionize_gap_split(events):
     assert out[(2, 1)] == (1, 4.0)
 
 
+def test_sessionize_native_matches_islands(events):
+    """Built-in session_window and the islands formulation agree on
+    session boundaries, counts, and sums (session_end differs by
+    construction: native end = last event + gap)."""
+    islands = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in T.sessionize(events, gap_s=1800).collect()
+    }
+    native = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in T.sessionize_native(events, gap_s=1800).collect()
+    }
+    assert native == islands
+
+
+def test_sessionize_native_boundary_inclusive(spark):
+    """An event at EXACTLY last+gap extends the session (empirically
+    verified Spark semantics the oracle replays with a strict '>')."""
+    ev = _ev(spark, [(1, 1, 0, "a", 1.0), (2, 1, 1800, "a", 1.0)])
+    rows = T.sessionize_native(ev, gap_s=1800).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 2
+    # one second past the gap -> two sessions
+    ev2 = _ev(spark, [(1, 1, 0, "a", 1.0), (2, 1, 1801, "a", 1.0)])
+    assert T.sessionize_native(ev2, gap_s=1800).count() == 2
+
+
 def test_asof_join_picks_latest_at_or_before(spark):
     left = _ev(spark, [(10, 1, 100, "click", 0.0), (11, 1, 5, "click", 0.0)]).select(
         "event_id", "user_id", "ts"

@@ -67,6 +67,8 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "tp_mixture",
                        # old/new snapshot totals (1 row) joined onto PSI bins
                        "dv_psi_drift",
+                       # global avg balance (1 row) joined onto customers
+                       "sq_idle_rich_customers",
                        # node-count N (1 row) seeding the rank vector
                        "gr_pagerank",
                        # corpus token total (1 row) joined onto LM scores

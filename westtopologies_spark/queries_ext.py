@@ -70,6 +70,60 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.sessionize(_t(spark, sf_dir, "events"))
 
 
+def _session_window_sql() -> str:
+    # Spark's built-in session_window semantics, verified empirically:
+    # an event at EXACTLY last+gap still extends the session (boundary
+    # inclusive -> new session iff diff > gap, same islands predicate
+    # as ts_sessionize); session_end = last event + gap.
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             date_trunc('second', ts) AS tss,
+             {_SEC} AS sec
+      FROM events
+    ),
+    lagd AS (
+      SELECT *, lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+             AS prev_sec
+      FROM e
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_sec IS NULL
+                       OR sec - prev_sec > {T.SESSION_GAP_S}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM lagd
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY sec, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(tss) AS TIMESTAMP) AS session_start,
+           CAST(max(tss) + INTERVAL {T.SESSION_GAP_S} SECOND AS TIMESTAMP)
+             AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, grp
+    """
+
+
+@_register(
+    "ts_session_window",
+    _session_window_sql(),
+    doc="Gap sessionization via Spark's BUILT-IN session_window "
+    "operator (the watermark-composable streaming form of "
+    "ts_sessionize): partial-merged per partition, shuffled by "
+    "(key, merged window) — no global sort. Oracle replays the "
+    "equivalent gaps-and-islands fixpoint, cross-checking two "
+    "independent physical plans of the same semantics. "
+    "Scale extension.",
+)
+def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.sessionize_native(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------
@@ -1220,6 +1274,54 @@ def wn_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_register(
+    "wn_range_frame",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, {_SEC} AS sec FROM events
+    )
+    SELECT user_id, event_id, sec,
+           count(*) OVER w AS n_prev_hour,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_prev_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-framed sliding window: per event, count and exact "
+    "DECIMAL sum of the same user's events in the trailing hour "
+    "(value-based frame — peers with equal sort key share one frame, "
+    "so the result is deterministic under any tie order; a ROWS "
+    "frame would not be). One key-partitioned sort, no self-join: "
+    "the O(n^2)-candidate alternative (self range-join) is exactly "
+    "what this plan avoids at scale. Window extension.",
+)
+def wn_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_prev_hour"),
     )
 
 
@@ -2980,6 +3082,90 @@ def sq_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("customer",))
     return spark.sql(_CORR_SUBQ_SQL)
+
+
+@_register(
+    "sq_priority_late_ship",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: per-priority count of orders with at least "
+    "one lineitem shipped >60 days after the order date — EXISTS "
+    "decorrelated to a LEFT SEMI hash join on the order key (the "
+    "range predicate rides the join, each order counted once however "
+    "many lineitems qualify). Relational extension.",
+)
+def sq_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    qualified = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQ_CHURN_CUTOFF = "2000-01-01"
+
+
+@_register(
+    "sq_idle_rich_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{SQ_CHURN_CUTOFF}')
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape (churn variant): above-average-balance "
+    "customers with no RECENT order, grouped by nation — a global "
+    "scalar aggregate broadcast as a single-row join (audited "
+    "non-cartesian), then a LEFT ANTI join against the date-filtered "
+    "orders (the filter prunes the anti build side at the scan); "
+    "DECIMAL balance sum for order-independent reduction. "
+    "Relational extension.",
+)
+def sq_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(SQ_CHURN_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+    )
 
 
 # ---------------------------------------------------------------------------

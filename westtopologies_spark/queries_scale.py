@@ -188,6 +188,40 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, vocab_mode="char")
 
 
+def _overlap_coeff_sql() -> str:
+    return f"""
+    WITH {_TOKS_CHAR_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS overlap
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz), 4)
+          >= {C.OVERLAP_COEFF_THRESHOLD}
+    """
+
+
+@_register(
+    "dd_containment",
+    _overlap_coeff_sql(),
+    doc="Containment dedup (overlap coefficient |A∩B|/min(|A|,|B|) "
+    ">= 0.9): catches a document pasted inside a larger one — the "
+    "train/test-contamination screen symmetric Jaccard misses. Same "
+    "inverted-shingle-index candidate generation as dd_ngram_jaccard "
+    "(never all-pairs). Scale extension.",
+)
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.overlap_coefficient_pairs(docs, vocab_mode="char")
+
+
 @_register(
     "dd_ppjoin",
     _ngram_jaccard_sql(),

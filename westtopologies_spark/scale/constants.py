@@ -33,6 +33,12 @@ MINHASH_JACCARD_THRESHOLD = 0.5
 # --- n-gram Jaccard ------------------------------------------------------
 NGRAM_JACCARD_THRESHOLD = 0.8
 
+# --- overlap coefficient (containment) -----------------------------------
+# |A ∩ B| / min(|A|, |B|): detects a document CONTAINED in another
+# (train/test contamination, quote-heavy near-dups) that symmetric
+# Jaccard misses when the container is much larger
+OVERLAP_COEFF_THRESHOLD = 0.9
+
 # --- SimHash -------------------------------------------------------------
 SIMHASH_BITS = 32
 SIMHASH_A = 2654435761  # Knuth multiplicative constant

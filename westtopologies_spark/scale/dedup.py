@@ -366,6 +366,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def overlap_coefficient_pairs(
+    docs: DataFrame,
+    threshold: float = C.OVERLAP_COEFF_THRESHOLD,
+    deterministic_vocab: bool = False,
+    max_df: int | None = None,
+    vocab_mode: str | None = None,
+) -> DataFrame:
+    """All pairs with shingle OVERLAP COEFFICIENT
+    ``|A ∩ B| / min(|A|, |B|)`` >= threshold — the asymmetric
+    containment measure behind train/test-contamination screens: a
+    short document pasted verbatim inside a much longer one scores
+    ~1.0 here while its symmetric Jaccard can be arbitrarily small
+    (the union is dominated by the container).
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: candidates come
+    from the inverted shingle index (a pair is enumerated once per
+    SHARED shingle — never an all-pairs product), then one group per
+    pair computes the intersection size; ``max_df`` is the hot-key
+    guard for stop-shingles.  The reference has no dedup operator at
+    all; this extends its text pipeline for corpus prep.
+    """
+    shingles = doc_shingles(
+        doc_token_ids(
+            tokens_with_ids(
+                docs, deterministic_vocab=deterministic_vocab, vocab_mode=vocab_mode
+            )
+        )
+    ).persist()
+    index = shingles
+    if max_df is not None:
+        df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        index = shingles.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+    sa = index.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = index.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "overlap",
+            F.round(F.col("n_inter") / F.least("sz_a", "sz_b"), 4),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", "overlap")
+    )
+
+
 def prefix_jaccard_pairs(
     docs: DataFrame,
     threshold: float = C.NGRAM_JACCARD_THRESHOLD,

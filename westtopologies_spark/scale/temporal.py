@@ -72,6 +72,53 @@ def sessionize(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    gap_s: int = SESSION_GAP_S,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN
+    ``F.session_window`` — the operator the streaming path uses
+    (``session_window`` is watermark-composable; the islands
+    formulation in :func:`sessionize` is batch-only).  Exposing both
+    lets the catalog cross-check them: same gap semantics, two
+    independent physical plans.
+
+    Semantics (Spark): an event extends the current session iff its
+    timestamp is STRICTLY inside ``[start, last + gap)`` — an event
+    landing exactly at ``last + gap`` opens a new session;
+    ``session_end = last_event_ts + gap``.  Timestamps are truncated
+    to whole seconds first so the arithmetic is exact on both
+    engines.
+
+    Scale: session_window aggregation partial-merges per partition
+    then shuffles by (key, merged-window) — no global sort, state
+    bounded per key, identical to the streaming operator's plan.
+    """
+    tss = F.date_trunc("second", F.col(ts))
+    return (
+        events.groupBy(
+            F.col(key),
+            F.session_window(tss, f"{int(gap_s)} seconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # DECIMAL sum: exact, partition-order-independent
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
