@@ -41,10 +41,21 @@ def get_spark(
     # if set before the JVM launches — i.e. harmless no-op when a
     # session already exists.
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # Whole-stage codegen emits fresh classes per query; a long-lived
+    # session running the full 140-query catalog overflows the JVM's
+    # default 240m JIT code cache mid-suite, after which compilation
+    # stops and later queries run de-optimized (observed: a 2 s rollup
+    # measured at 12-25 s only when >100 queries preceded it). A real
+    # cluster hits the same wall on long-running executors; 512m is
+    # the standard remedy. Only effective before the JVM launches.
+    driver_java_opts = os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", driver_java_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
