@@ -258,27 +258,35 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 
 
 def jaccard_of_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs via the inverted
-    index: |A∩B| from a keyed join on shingle, sizes joined in."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        sa.join(sb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    Confirms by intersecting the two docs' shingle ARRAYS — one
+    groupBy of the (persisted) index into per-doc arrays, then two
+    hash joins keyed on doc_id and an O(|A|+|B|) ``array_intersect``
+    per candidate.  The previous formulation re-ran the full
+    inverted-index self-join (every co-occurring pair in the corpus)
+    just to score a small candidate set — exactly the quadratic work
+    prefix/LSH candidate generation exists to avoid; on a skewed
+    corpus the hot common shingles dominated that join regardless of
+    how few candidates survived.  Pairs with an empty intersection
+    are dropped (parity with the inverted-index formulation, which
+    never enumerates them).
+    """
+    arrs = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("_sh"))
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb"))
+    n_inter = F.size(F.array_intersect("_sha", "_shb"))
     return (
-        pairs.join(inter, ["doc_a", "doc_b"], "inner")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "sz": "sz_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "sz": "sz_b"}), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", n_inter)
+        .filter(F.col("n_inter") > 0)
         .select(
             "doc_a",
             "doc_b",
             F.round(
                 F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                / (F.size("_sha") + F.size("_shb") - F.col("n_inter")),
                 4,
             ).alias("jaccard"),
         )
