@@ -74,7 +74,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # corpus token total (1 row) joined onto LM scores
                        "tx_unigram_lm",
                        # label-count total (1 row) joined onto class counts
-                       "tp_class_weights"}
+                       "tp_class_weights",
+                       # corpus token total N (1 row) joined onto chi2 cells
+                       "tx_chi2_terms"}
 
 
 def audit(name: str, plan: str) -> list[str]:

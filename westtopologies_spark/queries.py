@@ -1233,6 +1233,11 @@ from . import queries_ext  # noqa: E402, F401
 # graph analytics over the reply-derived user graph
 from . import queries_graph  # noqa: E402, F401
 
+# round-2 batch: TPC-H Q7/Q10/Q14/Q19 shapes, GROUPING SETS, JL
+# projection, chi-square terms, feature hashing, keep-best dedup,
+# hourly top-k
+from . import queries_ext2  # noqa: E402, F401
+
 
 # ---------------------------------------------------------------------------
 # Catalog ordering: the driver's per-round correctness gate checks the

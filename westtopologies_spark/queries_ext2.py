@@ -1,0 +1,588 @@
+"""Second catalog-extension batch (round 2): classic star-join /
+predicate-pushdown SQL shapes the first batch did not cover (TPC-H
+Q7/Q10/Q14/Q19 analogues, explicit GROUPING SETS), plus
+training-pipeline operators over the documents/embeddings tables
+(Johnson-Lindenstrauss random projection, chi-square term-class
+association, feature hashing, prefix-canonical keep-best dedup,
+hourly top-k heavy hitters).
+
+Same oracle discipline as :mod:`.queries_ext`: money sums fold as
+DECIMAL before the final DOUBLE cast, double folds are left-fold
+identical on both engines, ``row_number``/``year`` results are cast
+to INT on the DuckDB side (they are BIGINT there, INT in Spark), and
+every computed column is aliased identically in both plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _register, _t
+from .queries_scale import _TOKS_CHAR_CTE
+from .scale import constants as C
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue by customer
+# ---------------------------------------------------------------------------
+
+_REV_DEC = "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))"
+
+
+@_register(
+    "sq_returned_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item report): 4-table star join "
+    "where the quarter predicate prunes the orders scan, the "
+    "returnflag predicate prunes lineitem, and the 25-row nation dim "
+    "broadcasts; top-20 is a TakeOrdered with a DECIMAL-exact sort "
+    "key. Relational extension.",
+)
+def sq_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bilateral volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+VOLUME_NATIONS = ("NATION_1", "NATION_2")
+
+
+@_register(
+    "sq_volume_shipping",
+    f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE (ns.n_name = '{VOLUME_NATIONS[0]}' AND nc.n_name = '{VOLUME_NATIONS[1]}')
+       OR (ns.n_name = '{VOLUME_NATIONS[1]}' AND nc.n_name = '{VOLUME_NATIONS[0]}')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (bilateral shipping volume): 6-table join "
+    "where BOTH nation dims broadcast and the disjunctive nation "
+    "pair predicate runs after them — Catalyst keeps the big "
+    "lineitem-orders join as the only shuffle pair. Relational "
+    "extension.",
+)
+def sq_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    ns = nat.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = VOLUME_NATIONS
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sq_promo_revenue",
+    f"""
+    SELECT CAST(round(
+             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN {_REV_DEC}
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum({_REV_DEC}) AS DOUBLE),
+             6) AS DOUBLE) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14 shape (promo revenue share): conditional "
+    "aggregation over a fact-dim join — both sums fold as exact "
+    "DECIMAL so the final ratio is order-independent; the month "
+    "predicate pushes into the lineitem scan and the part dim "
+    "broadcasts. Relational extension.",
+)
+def sq_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive brand/size/quantity bands
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sq_price_bands",
+    f"""
+    SELECT CAST(sum({_REV_DEC}) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 10)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 30)
+    """,
+    doc="TPC-H Q19 shape (disjunctive band predicates): OR-of-ANDs "
+    "across both join sides — Catalyst extracts the common "
+    "brand/size disjunction onto the part scan and the quantity "
+    "disjunction onto lineitem before the broadcast join, so neither "
+    "side scans full. Relational extension.",
+)
+def sq_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & (F.col("l_quantity") >= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS (arbitrary lattice, not the rollup/cube chain)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "gs_grouping_sets",
+    """
+    SELECT n.n_name, o.o_orderpriority,
+           CAST(grouping(n.n_name) * 2 + grouping(o.o_orderpriority) AS BIGINT)
+             AS lvl,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS ((nation), (priority), ()) — the "
+    "arbitrary-lattice surface rollup/cube cannot express (no "
+    "(nation, priority) cell): one Expand pass, 3 output grids, "
+    "map-side partial agg; nation broadcasts into the orders join. "
+    "Aggregation extension.",
+)
+def gs_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(c, c.c_custkey == o.o_custkey).join(
+        F.broadcast(n), n.n_nationkey == c.c_nationkey
+    )
+    joined.createOrReplaceTempView("_gs2_joined")
+    return joined.sparkSession.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               CAST(grouping(n_name) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS lvl,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM _gs2_joined
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# hourly top-k heavy hitters (windowed rank over time buckets)
+# ---------------------------------------------------------------------------
+
+TOPK_HOURLY_K = 3
+
+
+@_register(
+    "ts_topk_hourly",
+    f"""
+    WITH hourly AS (
+      SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+                  AS TIMESTAMP) AS bucket_hour,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket_hour, event_type, n_events, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY bucket_hour
+               ORDER BY n_events DESC, event_type ASC) AS INT) AS rnk
+      FROM hourly)
+    WHERE rnk <= {TOPK_HOURLY_K}
+    """,
+    doc="Hourly top-k heavy hitters: tumbling-hour rollup then a "
+    "rank-within-bucket window — the partial-agg shuffle reduces to "
+    "|hours|x|types| rows BEFORE the sort, so the window never sees "
+    "raw events; deterministic tiebreak on the type name. Temporal "
+    "extension (generalizes A6/A7's per-window counts to top-k).",
+)
+def ts_topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+            ).alias("bucket_hour"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("bucket_hour").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_HOURLY_K)
+        .select("bucket_hour", "event_type", "n_events", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix-canonical keep-best dedup (arg-max representative per group)
+# ---------------------------------------------------------------------------
+
+KEEP_BEST_PREFIX = 100
+
+
+@_register(
+    "dd_keep_best",
+    f"""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                    1, {KEEP_BEST_PREFIX}) AS prefix
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars, prefix,
+             CAST(row_number() OVER (
+               PARTITION BY prefix
+               ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rn,
+             count(*) OVER (PARTITION BY prefix) AS n_copies
+      FROM g
+    )
+    SELECT doc_id AS keep_id, n_chars AS keep_chars, n_copies
+    FROM r WHERE rn = 1 AND n_copies > 1
+    """,
+    doc="Keep-best canonicalization over prefix-duplicate groups: "
+    "group docs by their normalized leading "
+    f"{KEEP_BEST_PREFIX} chars and keep the LONGEST member "
+    "(tiebreak min id) — the 'retain the superset copy' policy exact "
+    "dedup's min-id rule gets wrong when crawls truncate; one keyed "
+    "window, no joins. Scale extension.",
+)
+def dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.regexp_replace(F.lower("text"), r"\s+", " "), 1, KEEP_BEST_PREFIX
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("prefix")
+    return (
+        docs.select("doc_id", "n_chars", prefix.alias("prefix"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("n_copies") > 1))
+        .select(
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "n_copies",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64 -> 16 dims)
+# ---------------------------------------------------------------------------
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+# deterministic +-1 projection matrix: parity of an integer hash of
+# (i, j) — odd modulus first so the multiplier parity does not leak
+_JL_A, _JL_B, _JL_M = 1_000_003, 7_919, 104_729
+
+
+def _jl_sign_sql(i: str, j: str) -> str:
+    return (
+        f"(CASE WHEN (({i} * {_JL_A} + {j} * {_JL_B}) % {_JL_M}) % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+@_register(
+    "emb_random_projection",
+    f"""
+    SELECT vec_id, CAST(j AS INT) AS dim,
+           round(list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(range(0, {JL_IN_DIM}),
+               i -> embedding[i + 1]::DOUBLE * {_jl_sign_sql('i', 'j')})),
+             (a, b) -> a + b) / {float(JL_OUT_DIM) ** 0.5}, 4) + 0.0 AS proj
+    FROM embeddings, range(0, {JL_OUT_DIM}) t(j)
+    """,
+    doc="Johnson-Lindenstrauss random projection 64->16 dims with a "
+    "deterministic +-1 sign matrix (integer-hash parity): a pure "
+    "per-row expression — no shuffle, no model state, the standard "
+    "cheap pre-reduction in front of ANN/clustering at corpus scale. "
+    "The left-fold sum is IEEE-identical on both engines. Embedding "
+    "extension.",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = float(JL_OUT_DIM) ** 0.5
+
+    def sign(i, j: int):
+        h = ((i * _JL_A + F.lit(j) * _JL_B) % _JL_M) % 2
+        return F.when(h == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def proj(j: int):
+        # `+ 0.0` canonicalizes IEEE negative zero: a tiny negative
+        # sum rounds to -0.0 in DuckDB but +0.0 in Spark, and the
+        # driver's value hash distinguishes them
+        return (
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(JL_IN_DIM - 1)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.element_at("embedding", i + 1).cast("double")
+                    * sign(i, j),
+                )
+                / scale,
+                4,
+            )
+            + 0.0
+        )
+
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.array(*[proj(j) for j in range(JL_OUT_DIM)])).alias(
+            "dim", "proj"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square term-class association (feature selection)
+# ---------------------------------------------------------------------------
+
+CHI2_MIN_COUNT = 50
+CHI2_TOP_K = 5
+
+
+@_register(
+    "tx_chi2_terms",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT lang, token, count(*) AS a FROM tok GROUP BY 1, 2),
+    tot_tok AS (SELECT token, sum(a) AS ta FROM cnt GROUP BY 1),
+    tot_lang AS (SELECT lang, sum(a) AS tl FROM cnt GROUP BY 1),
+    n AS (SELECT sum(a) AS nn FROM cnt),
+    scored AS (
+      SELECT cnt.lang, cnt.token,
+             round(CAST(nn AS DOUBLE)
+                   * pow(CAST(a * (nn - ta - tl + a) - (ta - a) * (tl - a)
+                              AS DOUBLE), 2)
+                   / (CAST(ta AS DOUBLE) * CAST(nn - ta AS DOUBLE)
+                      * CAST(tl AS DOUBLE) * CAST(nn - tl AS DOUBLE)),
+                   4) AS chi2
+      FROM cnt
+      JOIN tot_tok USING (token)
+      JOIN tot_lang USING (lang)
+      CROSS JOIN n
+      WHERE ta >= {CHI2_MIN_COUNT}
+    )
+    SELECT lang, token, chi2, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY chi2 DESC, token ASC) AS INT) AS rnk
+      FROM scored)
+    WHERE rnk <= {CHI2_TOP_K}
+    """,
+    doc="Chi-square term-class association (top-5 most "
+    "lang-discriminative tokens per language): the classic "
+    "feature-selection screen. Contingency cells stay exact BIGINT "
+    "until one final double expression per (lang, token); three "
+    "partial-agg shuffles (term counts, marginals) + a broadcast of "
+    "the tiny marginal tables; ranking sees |langs|x|vocab| rows, "
+    "never token instances. Text-analysis extension.",
+)
+def tx_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token"),
+    )
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("a"))
+    tot_tok = cnt.groupBy("token").agg(F.sum("a").alias("ta"))
+    tot_lang = cnt.groupBy("lang").agg(F.sum("a").alias("tl"))
+    n = cnt.agg(F.sum("a").alias("nn"))
+    a, ta, tl, nn = F.col("a"), F.col("ta"), F.col("tl"), F.col("nn")
+    d = nn - ta - tl + a
+    chi2 = F.round(
+        nn.cast("double")
+        * F.pow((a * d - (ta - a) * (tl - a)).cast("double"), 2)
+        / (
+            ta.cast("double")
+            * (nn - ta).cast("double")
+            * tl.cast("double")
+            * (nn - tl).cast("double")
+        ),
+        4,
+    )
+    scored = (
+        cnt.join(tot_tok, "token")
+        .join(F.broadcast(tot_lang), "lang")
+        .crossJoin(F.broadcast(n))
+        .filter(ta >= CHI2_MIN_COUNT)
+        .select("lang", "token", chi2.alias("chi2"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CHI2_TOP_K)
+        .select("lang", "token", "chi2", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (hashing trick) into fixed buckets
+# ---------------------------------------------------------------------------
+
+HASH_FEATURE_BUCKETS = 32
+
+
+@_register(
+    "tx_hash_features",
+    f"""
+    WITH {_TOKS_CHAR_CTE.strip()}
+    SELECT doc_id, CAST(tid % {HASH_FEATURE_BUCKETS} AS INT) AS bucket,
+           count(*) AS cnt
+    FROM tok_ids GROUP BY 1, 2
+    """,
+    doc="Feature hashing (hashing trick): every token folds into one "
+    f"of {HASH_FEATURE_BUCKETS} buckets via the shared "
+    "engine-independent char hash — the fixed-width sparse count "
+    "vector a downstream linear model trains on without any "
+    "vocabulary build or broadcast; pure map + one partial-agg "
+    "shuffle. Text-analysis extension.",
+)
+def tx_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import dedup
+
+    toks = dedup.tokens_with_ids(
+        _t(spark, sf_dir, "documents"), vocab_mode="char"
+    )
+    return (
+        toks.withColumn(
+            "bucket", F.pmod("tid", F.lit(HASH_FEATURE_BUCKETS)).cast("int")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -773,9 +773,16 @@ def connected_components(
     iterative-algorithm pitfall).  Driver only sees a per-round
     convergence count, never the data.
     """
+    # Materialize the (small) pair list ONCE before the symmetric
+    # union: both union branches reference ``pairs``, and without the
+    # checkpoint each branch re-evaluates the entire upstream
+    # candidate pipeline (shingle -> band -> confirm) inside the same
+    # job.
+    p0 = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        p0.union(p0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .persist()
     )
