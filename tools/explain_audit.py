@@ -76,7 +76,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # label-count total (1 row) joined onto class counts
                        "tp_class_weights",
                        # corpus token total N (1 row) joined onto chi2 cells
-                       "tx_chi2_terms"}
+                       "tx_chi2_terms",
+                       # train-split totals (T, V — 1 row) joined onto eval terms
+                       "tx_heldout_nll"}
 
 
 def audit(name: str, plan: str) -> list[str]:

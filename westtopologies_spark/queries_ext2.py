@@ -586,3 +586,154 @@ def tx_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleave: multi-dimensional clustering key
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # 10+10 bits -> 20-bit Morton key
+_Z_BUCKET_SHIFT = 14  # bucket = zkey >> 14: 64 coarse cells
+
+
+def _z_terms(x: str, y: str, shift_op) -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"({shift_op(x, b)} & 1) * {1 << (2 * b)}")
+        terms.append(f"({shift_op(y, b)} & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+@_register(
+    "dv_zorder_locality",
+    f"""
+    WITH k AS (
+      SELECT event_id,
+             CAST(user_id % {1 << _Z_BITS} AS BIGINT) AS x,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) % {1 << _Z_BITS} AS y
+      FROM events
+    ),
+    z AS (
+      SELECT event_id, x, y,
+             {_z_terms('x', 'y', lambda c, b: f'({c} >> {b})')} AS zkey
+      FROM k
+    )
+    SELECT CAST(zkey >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+           count(*) AS n_events,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering key: bit-interleave of "
+    "(user bucket, hour bucket) — sorting/range-partitioning the "
+    "table by zkey before writing makes every file's min/max "
+    "footer stats bound a tight rectangle in BOTH dimensions, so "
+    "2-D predicates (user range x time range) prune files that a "
+    "1-D sort can only prune on its leading column. The query "
+    "reports per-z-bucket bounding boxes — the pruning-efficacy "
+    "audit itself; pure expression, one partial-agg shuffle. "
+    "Layout extension (pairs with scale.layout.write_bucketed).",
+)
+def dv_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id",
+        (F.col("user_id") % (1 << _Z_BITS)).cast("bigint").alias("x"),
+        (
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint")
+            % (1 << _Z_BITS)
+        ).alias("y"),
+    )
+    zkey = F.expr(_z_terms("x", "y", lambda c, b: f"shiftright({c}, {b})"))
+    return (
+        k.withColumn("zkey", zkey)
+        .groupBy(
+            F.shiftright("zkey", _Z_BUCKET_SHIFT).cast("bigint").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# held-out LM evaluation: train/eval split, Laplace unigram NLL
+# ---------------------------------------------------------------------------
+
+HELDOUT_MOD = 10
+HELDOUT_TRAIN_LT = 8  # doc_id % 10 < 8 trains, >= 8 evaluates
+
+
+@_register(
+    "tx_heldout_nll",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+      FROM documents
+    ),
+    train AS (SELECT token FROM tok WHERE doc_id % {HELDOUT_MOD} < {HELDOUT_TRAIN_LT}),
+    c AS (SELECT token, count(*) AS cw FROM train GROUP BY 1),
+    tv AS (SELECT count(*) AS tt, count(DISTINCT token) AS vv FROM train),
+    held AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok
+      WHERE doc_id % {HELDOUT_MOD} >= {HELDOUT_TRAIN_LT} GROUP BY 1, 2
+    )
+    SELECT doc_id, sum(cnt) AS n_tokens,
+           round(CAST(sum(CAST(cnt * -ln((coalesce(cw, 0) + 1.0) / (tt + vv))
+                               AS DECIMAL(27,12))) AS DOUBLE)
+                 / sum(cnt), 6) AS mean_nll
+    FROM held LEFT JOIN c USING (token) CROSS JOIN tv
+    GROUP BY doc_id
+    """,
+    doc="Held-out language-model evaluation: Laplace-smoothed unigram "
+    "LM fit on the deterministic 80% train split, per-document mean "
+    "negative log-likelihood on the 20% eval split — the "
+    "contamination-free eval loop every data-curation run needs "
+    "(unlike tx_unigram_lm, which scores the training corpus "
+    "itself). OOV mass is handled by the +1 smoothing, per-term "
+    "products fold as DECIMAL(27,12) so the mean is "
+    "aggregation-order-independent. Text-analysis extension.",
+)
+def tx_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("token"),
+    )
+    train = tok.filter(
+        F.col("doc_id") % HELDOUT_MOD < HELDOUT_TRAIN_LT
+    ).select("token")
+    c = train.groupBy("token").agg(F.count(F.lit(1)).alias("cw"))
+    tv = train.agg(
+        F.count(F.lit(1)).alias("tt"),
+        F.countDistinct("token").alias("vv"),
+    )
+    held = (
+        tok.filter(F.col("doc_id") % HELDOUT_MOD >= HELDOUT_TRAIN_LT)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    term = (
+        F.col("cnt")
+        * -F.log(
+            (F.coalesce(F.col("cw"), F.lit(0)) + 1.0)
+            / (F.col("tt") + F.col("vv"))
+        )
+    ).cast("decimal(27,12)")
+    return (
+        held.join(c, "token", "left")
+        .crossJoin(F.broadcast(tv))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                F.sum(term).cast("double") / F.sum("cnt"), 6
+            ).alias("mean_nll"),
+        )
+    )
