@@ -701,19 +701,43 @@ def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _boilerplate_sql() -> str:
+    from .scale import constants as C
     from .scale import textstats as TX
 
     n, m = TX.BOILER_NGRAM, TX.BOILER_MIN_DOCS
+    # identical 8-byte gram key as the Spark side: char-hash each
+    # word, then fold n consecutive word hashes over the 2^31-1
+    # space — any collision merges the same grams on both engines
+    word_hash = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(range(1, length(w) + 1), i -> ord(w[i]))), "
+        f"(a, c) -> (a * {C.FP_MULT} + c) % {TX.BOILER_HASH_P})"
+    )
+    gram_fold = " % ".join(
+        [
+            "("
+            + "".join(
+                f"(" * (n - 1)
+                + f"tids[i]"
+                + "".join(
+                    f" * {C.FP_MULT} + tids[i + {k}])" for k in range(1, n)
+                )
+            )
+            + ")",
+            str(TX.BOILER_HASH_P),
+        ]
+    )
     return f"""
     WITH pos AS (
       SELECT doc_id,
-             unnest(CASE WHEN len(l) >= {n}
+             unnest(CASE WHEN len(tids) >= {n}
                          THEN list_transform(
-                                range(1, len(l) - {n - 2}),
-                                i -> array_to_string(
-                                       list_slice(l, i, i + {n - 1}), ' '))
-                         ELSE CAST([] AS VARCHAR[]) END) AS g
-      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+                                range(1, len(tids) - {n - 2}),
+                                i -> {gram_fold})
+                         ELSE CAST([] AS BIGINT[]) END) AS g
+      FROM (SELECT doc_id,
+                   list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+                                  w -> {word_hash}) AS tids
             FROM documents)
     ),
     boiler AS (

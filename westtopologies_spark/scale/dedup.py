@@ -72,13 +72,18 @@ def distributed_rank(
     )
 
 
-def char_hash_tid(token: Column) -> Column:
+def char_hash_tid(token: Column, p: int = C.SHINGLE_P) -> Column:
     """Deterministic token id as a rolling polynomial hash over the
     token's code points: ``fold(chars, 0, (a, c) -> (a*31 + ord(c))
-    mod SHINGLE_P)``. A pure per-row expression — no vocabulary
+    mod p)``. A pure per-row expression — no vocabulary
     build, no shuffle, no broadcast — yet engine-independent (DuckDB:
     ``list_reduce`` over ``ord(token[i])``), so it is BOTH the scale
-    path and oracle-checkable. Empty tokens hash to 0."""
+    path and oracle-checkable. Empty tokens hash to 0.
+
+    ``p`` must satisfy ``p * FP_MULT + 255 < 2^63`` (no wraparound:
+    DuckDB raises on BIGINT overflow instead of wrapping like the
+    JVM, so overflow would break engine parity, not just quality).
+    """
     chars = F.when(
         F.length(token) > 0,
         F.transform(
@@ -89,7 +94,7 @@ def char_hash_tid(token: Column) -> Column:
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * C.FP_MULT + c) % C.SHINGLE_P,
+        lambda acc, c: (acc * C.FP_MULT + c) % p,
     )
 
 

@@ -242,6 +242,9 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
 
 BOILER_NGRAM = 3
 BOILER_MIN_DOCS = 2
+# 2^31-1 (Mersenne prime): gram-key space for boilerplate document
+# frequency — fold stays < 2^36 + 2^31 (no BIGINT overflow in DuckDB)
+BOILER_HASH_P = 2_147_483_647
 
 
 def boilerplate_coverage(
@@ -259,16 +262,45 @@ def boilerplate_coverage(
     a precomputed broadcast/bucketed table, same shape as the
     incremental-dedup index; here the exploded stream is persisted so
     the tokenize pass runs once for build and probe).
+
+    The shuffled gram key is the 8-byte polynomial FOLD of the words'
+    char hashes, not the joined string (~8x less shuffle volume and a
+    long-vs-long group compare), over a 2^31-1 space — wide enough
+    that document-frequency counts are not inflated by bucket
+    collisions at bench scale (SHINGLE_P's ~1e6 space would alias
+    ~2.4 grams/bucket here and mark phantom boilerplate). The DuckDB
+    oracle computes the identical fold, so any residual collision
+    merges the same grams on both engines — parity is exact by
+    construction, not probabilistic.
     """
+    from .dedup import char_hash_tid
+
     words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-    grams = F.when(
-        F.size(words) >= n,
+    # project the char-hash array into a COLUMN before the gram
+    # lambdas index it — element_at over the raw transform expression
+    # would re-run the char fold per gram position (the round-1 PMI
+    # lesson, BASELINE.md)
+    hashed = docs.select(
+        "doc_id",
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
+            words, lambda w: char_hash_tid(w, p=BOILER_HASH_P)
+        ).alias("tids"),
+    )
+
+    def gram_at(ts, i):
+        acc = F.element_at(ts, i).cast("long")
+        for k in range(1, n):
+            acc = acc * C.FP_MULT + F.element_at(ts, i + k)
+        return acc % BOILER_HASH_P
+
+    grams = F.when(
+        F.size("tids") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tids") - (n - 1)),
+            lambda i: gram_at(F.col("tids"), i),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos = docs.select("doc_id", F.explode(grams).alias("g")).persist()
+    ).otherwise(F.array().cast("array<long>"))
+    pos = hashed.select("doc_id", F.explode(grams).alias("g")).persist()
     boiler = (
         pos.distinct()
         .groupBy("g")
