@@ -521,3 +521,102 @@ def test_w1_exact_stream_keyed_matches_batch(spark, staged_keyed_events):
     assert g == e
     # state really is sharded: multiple distinct conversation keys emit
     assert got.select("root_id").distinct().count() > 1
+
+
+@pytest.mark.parametrize("variant", ["gaws", "tws"])
+def test_windowed_topk_stream_matches_batch(
+    spark, sf_dir, tmp_path_factory, variant
+):
+    """Streaming top-k (per-window count state + event-time timers)
+    == batch rank for every window the watermark closed before end
+    of stream. ``gaws`` = applyInPandasWithState (runs everywhere);
+    ``tws`` = transformWithStateInPandas (needs protobuf+RocksDB)."""
+    if variant == "tws":
+        pytest.importorskip("google.protobuf.descriptor")
+        from westtopologies_spark.streaming.stateful import (
+            windowed_topk_stream,
+        )
+    else:
+        from westtopologies_spark.streaming.stateful import (
+            windowed_topk_stream_gaws as windowed_topk_stream,
+        )
+
+    out = str(tmp_path_factory.mktemp("topk_stream"))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    pdf = (
+        ev.select("event_id", "ts", "event_type")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    # 3 time-ordered files -> watermark advances across micro-batches
+    for i in range(3):
+        chunk = pdf.iloc[i * 1000 : (i + 1) * 1000]
+        path = os.path.join(out, f"part-{i}.parquet")
+        chunk.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        mtime = time.time() - 100 + i * 10
+        os.utime(path, (mtime, mtime))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if variant == "tws":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        schema = "event_id long, ts timestamp, event_type string"
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        got = _run_stream(
+            spark,
+            windowed_topk_stream(src, interval_sec=3600, k=3),
+            "topk_stream_out",
+        ).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    assert len(got) > 0
+    # batch reference: hourly counts + rank, restricted to the hours
+    # the stream actually closed (the final watermark never passes
+    # the last in-flight window in an availableNow replay)
+    from pyspark.sql import Window as W
+
+    batch = (
+        ev.filter(F.col("event_id") < 3000)
+        .groupBy(
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("window_start").orderBy(
+                    F.desc("n_events"), F.asc("event_type")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    closed = {r.window_start for r in got}
+    expect = [
+        r
+        for r in batch.collect()
+        if r.window_start in closed
+    ]
+    g = sorted((r.window_start, r.event_type, r.n_events, r.rnk) for r in got)
+    e = sorted(
+        (r.window_start, r.event_type, r.n_events, r.rnk) for r in expect
+    )
+    assert g == e

@@ -385,3 +385,173 @@ def stream_stream_interval_join(
         "purchase_id",
         "purchase_ts",
     )
+
+
+TOPK_OUT_SCHEMA = (
+    "window_start timestamp, event_type string, n_events long, rnk int"
+)
+
+
+def windowed_topk_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    interval_sec: int = 3600,
+    k: int = 3,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming per-window top-k heavy hitters via
+    ``transformWithStateInPandas`` with MAP STATE and EVENT-TIME
+    TIMERS — the batch ``ts_topk_hourly`` shape, expressed as a
+    stream.  Plain streaming aggregation cannot produce this in
+    append mode: ranking is not incremental (a late row can reorder
+    the whole window), so the rank must run exactly once, when the
+    watermark proves the window complete.
+
+    Mechanics: rows are keyed by their tumbling window start; each
+    key holds a MapState of type -> count (state size = |distinct
+    types| per open window, NOT rows); the first row of a window
+    registers an event-time timer at window_end, and
+    ``handleExpiredTimer`` fires once the watermark passes it —
+    emitting the top-k (count desc, type asc) and clearing the map.
+    State is bounded by (windows in flight) x (distinct types);
+    the watermark is the eviction proof.  Keys shard across
+    executors, so thousands of concurrent windows scale out.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "cnt long"
+            )
+            self._armed = handle.getValueState("armed", "armed boolean")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if not self._armed.exists():
+                # window_end timer: key[0] is the window start (epoch
+                # micros inside pandas Timestamps; timers take ms)
+                end_ms = int(pd.Timestamp(key[0]).value // 1_000_000) + (
+                    interval_sec * 1000
+                )
+                self._handle.registerTimer(end_ms)
+                self._armed.update((True,))
+            for pdf in rows:
+                for t, c in pdf.groupby(type_col).size().items():
+                    prev = (
+                        self._counts.getValue((t,))[0]
+                        if self._counts.containsKey((t,))
+                        else 0
+                    )
+                    self._counts.updateValue((t,), (prev + int(c),))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            items = [
+                (kk[0], vv[0]) for kk, vv in self._counts.iterator()
+            ]
+            items.sort(key=lambda x: (-x[1], x[0]))
+            out = [
+                (pd.Timestamp(key[0]), t, c, i + 1)
+                for i, (t, c) in enumerate(items[:k])
+            ]
+            self._counts.clear()
+            self._armed.clear()
+            yield pd.DataFrame(
+                out,
+                columns=["window_start", "event_type", "n_events", "rnk"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    win_start = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec) * interval_sec)
+        .cast("long")
+    )
+    # watermark rides the DERIVED window_start column (the grouping
+    # key), so it survives the projection into the stateful operator;
+    # a timer at window_end then fires exactly when an event from a
+    # LATER window (plus the allowed delay) has been seen
+    return (
+        events.select(win_start.alias("window_start"), F.col(type_col))
+        .withWatermark("window_start", watermark)
+        .groupBy("window_start")
+        .transformWithStateInPandas(
+            TopKProcessor(), TOPK_OUT_SCHEMA, "append", "EventTime"
+        )
+    )
+
+
+def windowed_topk_stream_gaws(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    interval_sec: int = 3600,
+    k: int = 3,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Dependency-free equivalent of :func:`windowed_topk_stream` on
+    ``applyInPandasWithState`` + ``EventTimeTimeout`` (no protobuf /
+    RocksDB requirement): state per window key is the (types, counts)
+    pair of parallel arrays, the timeout timestamp is the window end,
+    and the rank is emitted exactly once — when the watermark crosses
+    it and Spark calls the function with ``state.hasTimedOut``.
+    Same bounded-state argument as the TWS variant."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = "types array<string>, counts array<long>"
+    out_cols = ["window_start", "event_type", "n_events", "rnk"]
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            types, counts = state.get
+            items = sorted(zip(types, counts), key=lambda x: (-x[1], x[0]))
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    (pd.Timestamp(key[0]), t, int(c), i + 1)
+                    for i, (t, c) in enumerate(items[:k])
+                ],
+                columns=out_cols,
+            )
+            return
+        if state.exists:
+            types, counts = state.get
+            acc = dict(zip(types, (int(c) for c in counts)))
+        else:
+            acc = {}
+            # arm the window-close timeout once: watermark >= end
+            end_ms = int(pd.Timestamp(key[0]).value // 1_000_000) + (
+                interval_sec * 1000
+            )
+            state.setTimeoutTimestamp(end_ms)
+        for pdf in pdfs:
+            for t, c in pdf.groupby(type_col).size().items():
+                acc[t] = acc.get(t, 0) + int(c)
+        state.update((list(acc.keys()), list(acc.values())))
+        yield pd.DataFrame([], columns=out_cols)
+
+    win_start = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / interval_sec) * interval_sec)
+        .cast("long")
+    )
+    # watermark on the DERIVED window_start (the grouping key): it
+    # survives the projection, and a timeout at window_end fires
+    # exactly when an event from a later window (plus delay) arrives
+    return (
+        events.select(win_start.alias("window_start"), F.col(type_col))
+        .withWatermark("window_start", watermark)
+        .groupBy("window_start")
+        .applyInPandasWithState(
+            fn,
+            "window_start timestamp, event_type string, n_events long, rnk int",
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
