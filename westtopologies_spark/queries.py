@@ -1307,36 +1307,51 @@ _TOP_PRIORITY = [
     "gr_neighbor_jaccard_capped",  # VERDICT r1 item 10: hard signal for the capped path
 ]
 
-# round-1 green rows (CORRECTNESS_r01.json) — deferred to the tail so a
-# capped driver run spends its budget on still-unchecked queries first.
-_ROUND1_GREEN_DEFERRED = [
-    "dd_minhash_lsh",
-    "dd_exact",
-    "dd_ngram_jaccard",
-    "dd_ppjoin",
-    "dd_simhash",
-    "dd_embedding_neardup",
-    "ann_bruteforce_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "tx_quality_score",
-    "tx_token_count",
-    "tx_fingerprint",
-    "mm_metadata",
-    "mm_byte_histogram",
-    "emb_kmeans",
-    "emb_quantize",
-    "dd_minhash_audit",
-]
+# (the former hand-maintained _ROUND1_GREEN_DEFERRED list is
+# subsumed by the self-rotating order below: any query present in a
+# committed CORRECTNESS_r*.json sorts after the never-checked ones)
+
+
+def _hard_signal_rounds() -> dict[str, int]:
+    """How many driver rounds have hard-checked each query, read from
+    the CORRECTNESS_r*.json artifacts the driver commits into the
+    repo root.  Tolerant of absence (round 1, fresh clones)."""
+    import glob
+    import json
+    import os
+
+    counts: dict[str, int] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                counts[name] = counts.get(name, 0) + 1
+    return counts
 
 
 def _ordered() -> list[QuerySpec]:
+    """Catalog order = the driver's per-round 50-query hard-signal
+    window, SELF-ROTATING: the always-pinned core (_TOP_PRIORITY —
+    every SURVEY §2 operator plus family representatives) leads, and
+    everything else sorts by how few driver rounds have already
+    checked it (never-checked first; ties keep registration order).
+    Each new CORRECTNESS_r{N}.json the driver commits therefore
+    pushes freshly-checked queries toward the tail automatically —
+    over successive rounds the whole catalog accumulates hard-signal
+    rows with no manual re-rotation (the round-1 lesson: 84 of 134
+    queries had no driver row because the order was static)."""
     by_name = {spec.name: spec for spec in _CATALOG}
     top = [by_name[n] for n in _TOP_PRIORITY if n in by_name]
-    tail = [by_name[n] for n in _ROUND1_GREEN_DEFERRED if n in by_name]
-    placed = set(_TOP_PRIORITY) | set(_ROUND1_GREEN_DEFERRED)
-    middle = [spec for spec in _CATALOG if spec.name not in placed]
-    return top + middle + tail
+    checked = _hard_signal_rounds()
+    rest = [spec for spec in _CATALOG if spec.name not in set(_TOP_PRIORITY)]
+    order = {spec.name: i for i, spec in enumerate(_CATALOG)}
+    rest.sort(key=lambda s: (checked.get(s.name, 0), order[s.name]))
+    return top + rest
 
 
 def catalog() -> list[QuerySpec]:
