@@ -737,3 +737,129 @@ def tx_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: nation market share within a region
+# ---------------------------------------------------------------------------
+
+MARKET_NATION = "NATION_3"
+MARKET_REGION = "ASIA"
+
+
+@_register(
+    "sq_market_share",
+    f"""
+    WITH flows AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REV_DEC} AS rev,
+             ns.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE r.r_name = '{MARKET_REGION}' AND p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(round(
+             CAST(sum(CASE WHEN supp_nation = '{MARKET_NATION}'
+                      THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM flows GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape (national market share): 7-table join tree — "
+    "region->nation->customer chains as stacked broadcasts, part "
+    "prunes lineitem through the join, and the share ratio folds "
+    "both sums as exact DECIMAL per year. The deepest join tree in "
+    "the catalog; Catalyst orders it without hints. Relational "
+    "extension.",
+)
+def sq_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == MARKET_REGION)
+    nc = nat.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_region"),
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    nation_rev = F.when(
+        F.col("supp_nation") == MARKET_NATION, F.col("rev")
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("nc_region"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(nation_rev).cast("double")
+                / F.sum("rev").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# seasonality profile: day-of-week x hour-of-day activity matrix
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ts_seasonality",
+    """
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           count(*) AS n_events,
+           CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*), 6) AS DOUBLE) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Seasonality profile: (ISO weekday x hour-of-day) activity "
+    "matrix with exact-DECIMAL mean value — the periodic-load "
+    "fingerprint behind capacity planning and anomaly baselines; "
+    "one partial-agg shuffle to a 7x24-bounded result. Temporal "
+    "extension.",
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # Spark weekday(): 0=Mon..6=Sun; +1 == DuckDB isodow (Mon=1..Sun=7)
+    return ev.groupBy(
+        F.expr("CAST(weekday(ts) + 1 AS INT)").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("avg_value"),
+    )
