@@ -72,6 +72,50 @@ def get_spark(
     return spark
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to the session's Python workers.
+
+    Pickled Arrow-UDF closures (``applyInPandas`` window scans, the
+    stateful processors) reference module-level helpers by module
+    path; a caller-owned session whose driver cwd is NOT the repo
+    root (the correctness driver, a notebook, spark-submit from
+    elsewhere) spawns workers that cannot import
+    ``westtopologies_spark`` and every such query dies at unpickle.
+    ``addPyFile`` is the runtime-settable fix: zip the package once
+    per session and distribute it — exactly what a real cluster
+    deployment does with ``--py-files``.
+    """
+    sid = id(spark)
+    if sid in _SHIPPED_SESSIONS:
+        return
+    _SHIPPED_SESSIONS.add(sid)
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        # no-op when workers can already import us (repo on their path)
+        zip_base = os.path.join(
+            tempfile.gettempdir(), "westtopologies_spark_pyfiles"
+        )
+        zip_path = zip_base + ".zip"
+        if not os.path.exists(zip_path):
+            tmp = tempfile.mkdtemp()
+            shutil.copytree(
+                pkg_dir,
+                os.path.join(tmp, "westtopologies_spark"),
+                ignore=shutil.ignore_patterns("__pycache__"),
+            )
+            shutil.make_archive(zip_base, "zip", tmp)
+            shutil.rmtree(tmp)
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # pragma: no cover - sealed-down session
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver parquet table, normalizing timestamp encodings.
 
@@ -87,6 +131,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import types as T
 
     path = os.path.join(sf_dir, f"{name}.parquet")
+    ensure_workers_can_import(spark)
     # Self-defend when running under a caller-owned session (the
     # driver's): both configs are runtime-settable and required for
     # oracle parity (UTC == DuckDB's naive timestamps).
