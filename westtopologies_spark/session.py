@@ -72,7 +72,7 @@ def get_spark(
     return spark
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set = set()
 
 
 def ensure_workers_can_import(spark: SparkSession) -> None:
@@ -88,7 +88,10 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     per session and distribute it — exactly what a real cluster
     deployment does with ``--py-files``.
     """
-    sid = id(spark)
+    try:
+        sid = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - connect-only sessions
+        sid = id(spark)
     if sid in _SHIPPED_SESSIONS:
         return
     _SHIPPED_SESSIONS.add(sid)
