@@ -100,9 +100,21 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        # no-op when workers can already import us (repo on their path)
+        # the zip name carries a source fingerprint: workers PREPEND
+        # addPyFile paths to sys.path, so a stale cached zip would
+        # silently shadow newer package code in every UDF
+        stamp = 0
+        for root, dirs, files in os.walk(pkg_dir):
+            dirs.sort()
+            for fname in sorted(files):
+                if fname.endswith(".py"):
+                    st = os.stat(os.path.join(root, fname))
+                    stamp = (
+                        stamp * 1000003 ^ st.st_mtime_ns ^ (st.st_size << 17)
+                    ) & 0xFFFFFFFFFFFFFFFF
         zip_base = os.path.join(
-            tempfile.gettempdir(), "westtopologies_spark_pyfiles"
+            tempfile.gettempdir(),
+            f"westtopologies_spark_pyfiles_{stamp:x}",
         )
         zip_path = zip_base + ".zip"
         if not os.path.exists(zip_path):
