@@ -863,3 +863,111 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal perceptual-hash signatures + band-candidate degree
+# ---------------------------------------------------------------------------
+
+
+def _phash_sql() -> str:
+    from .scale import multimodal as MM
+
+    nb, bands = MM.PHASH_BITS, MM.PHASH_BANDS
+    w = nb // bands
+    lsum = "list_reduce(list_prepend(0::BIGINT, {v}), (a, b) -> a + b)"
+    blk = (
+        f"codes[CAST((j * L) // {nb} AS BIGINT) + 1 : "
+        f"CAST(((j + 1) * L) // {nb} AS BIGINT)]"
+    )
+    blen = f"(((j + 1) * L) // {nb} - (j * L) // {nb})"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> ascii(ch)) AS codes
+      FROM documents
+    ),
+    meta AS (
+      SELECT doc_id, codes, len(codes) AS L,
+             {lsum.format(v='codes')} AS total
+      FROM base
+    ),
+    bits AS (
+      SELECT doc_id,
+             list_transform(range(0, {nb}), j ->
+               CASE WHEN {blen} > 0
+                     AND {lsum.format(v=blk)} * L >= total * {blen}
+                    THEN 1 ELSE 0 END) AS bits
+      FROM meta
+    ),
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, {bands}), b ->
+               list_reduce(list_prepend(0::BIGINT,
+                 bits[b * {w} + 1 : (b + 1) * {w}]),
+                 (a, x) -> a * 2 + x)) AS bands
+      FROM bits
+    ),
+    bandrows AS (
+      SELECT doc_id, j AS b, bands[j + 1] AS v
+      FROM sigs, range(0, {bands}) t(j)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_id, count(DISTINCT b.doc_id) AS n_band_matches
+      FROM bandrows a JOIN bandrows b
+        ON a.b = b.b AND a.v = b.v AND a.doc_id != b.doc_id
+      GROUP BY 1
+    )
+    SELECT s.doc_id,
+           array_to_string(list_transform(s.bands,
+             x -> CAST(x AS VARCHAR)), '-') AS sig,
+           coalesce(c.n_band_matches, 0) AS n_band_matches
+    FROM sigs s LEFT JOIN cand c ON c.doc_id = s.doc_id
+    """
+
+
+@_register(
+    "mm_phash",
+    _phash_sql(),
+    doc="Multimodal perceptual block-hash dedup front-end: a 64-bit "
+    "aHash-analog signature per payload (integer cross-multiply mean "
+    "compare — exact arithmetic end to end), packed into 8 LSH "
+    "bands, plus each doc's band-collision degree (count of other "
+    "docs sharing any band) — the candidate-generation statistic of "
+    "image dedup, computed without ever comparing payloads pairwise; "
+    "the codec decode is the container-stubbed step, everything "
+    "Spark-side is the production shape. Multimodal extension.",
+)
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import multimodal as MM
+
+    b = MM.as_binary_docs(_t(spark, sf_dir, "documents"))
+    sigs = MM.block_hash_signatures(b).persist()
+    bandrows = sigs.select(
+        "doc_id", F.posexplode("bands").alias("b", "v")
+    )
+    other = bandrows.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("b").alias("bb"),
+        F.col("v").alias("vb"),
+    )
+    cand = (
+        bandrows.join(
+            other,
+            (F.col("b") == F.col("bb"))
+            & (F.col("v") == F.col("vb"))
+            & (F.col("doc_id") != F.col("doc_b")),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("doc_b").alias("n_band_matches"))
+    )
+    return (
+        sigs.join(cand, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "-", F.transform("bands", lambda x: x.cast("string"))
+            ).alias("sig"),
+            F.coalesce("n_band_matches", F.lit(0)).alias("n_band_matches"),
+        )
+    )

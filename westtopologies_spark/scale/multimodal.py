@@ -181,3 +181,63 @@ def tile_plan(
         .otherwise(F.lit("square"))
         .alias("aspect_bucket"),
     )
+
+
+PHASH_BITS = 64
+PHASH_BANDS = 8
+
+
+def block_hash_signatures(bdocs: DataFrame) -> DataFrame:
+    """Perceptual block-hash (aHash analog) over each payload:
+    partition the decoded code-point stream into 64 equal blocks,
+    bit_i = (mean of block i >= global mean), packed MSB-first into
+    8 band bytes — (doc_id, bands: array<int>).
+
+    This is the production image-dedup shape with the pixel decode
+    swapped for the deterministic payload decode (the container has
+    no codecs): compute a compact visual signature in the scan
+    stage, then find near-dups by LSH-banding the signature —
+    never by comparing payloads pairwise.  The mean comparison is an
+    integer cross-multiply (block_sum * L >= total * block_len), so
+    the signature is exact integer arithmetic end to end and
+    oracle-reproducible.
+    """
+    codes = F.transform(
+        F.split(F.decode(F.col("content"), "UTF-8"), ""),
+        lambda ch: F.ascii(ch),
+    )
+    base = bdocs.select("doc_id", codes.alias("codes"))
+    L = F.size("codes")
+    total = F.aggregate(
+        "codes", F.lit(0).cast("long"), lambda a, c: a + c
+    )
+    nb = PHASH_BITS
+
+    def bit_at(j):
+        start = F.floor((j.cast("long") * L) / nb).cast("int") + 1
+        end = F.floor(((j.cast("long") + 1) * L) / nb).cast("int")
+        blen = end - start + 1
+        bsum = F.aggregate(
+            F.slice("codes", start, blen),
+            F.lit(0).cast("long"),
+            lambda a, c: a + c,
+        )
+        return F.when(
+            (blen > 0) & (bsum * L >= F.col("_total") * blen), 1
+        ).otherwise(0)
+
+    withbits = base.withColumn("_total", total).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)), bit_at
+        ).alias("bits"),
+    )
+    band = lambda b: F.aggregate(  # noqa: E731 - MSB-first byte pack
+        F.slice("bits", b * (nb // PHASH_BANDS) + 1, nb // PHASH_BANDS),
+        F.lit(0),
+        lambda a, x: a * 2 + x,
+    )
+    return withbits.select(
+        "doc_id",
+        F.array(*[band(b) for b in range(PHASH_BANDS)]).alias("bands"),
+    )
