@@ -2124,16 +2124,29 @@ def ag_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
       SELECT doc_id,
-             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
-             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-               AS n_sentences,
-             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+               AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+               AS n_syllables
       FROM documents
+    ),
+    -- exact BIGINT rational, one shared double expression, explicit
+    -- half-up: builtin round() diverges between engines at 4-dp
+    -- boundaries
+    x AS (
+      SELECT *,
+             10.0 * (206835 * n_sentences * n_words
+                     - 1015 * n_words * n_words
+                     - 84600 * n_syllables * n_sentences)
+                  / (n_sentences * n_words) AS sc
+      FROM c WHERE n_words > 0
     )
     SELECT doc_id, n_words, n_sentences, n_syllables,
-           round(206.835 - 1.015 * n_words / n_sentences
-                 - 84.6 * n_syllables / n_words, 4) AS flesch
-    FROM c WHERE n_words > 0
+           (CASE WHEN sc >= 0 THEN floor(sc + 0.5)
+                 ELSE -floor(-sc + 0.5) END) / 10000.0 AS flesch
+    FROM x
     """,
     doc="Flesch-style readability from three integer regexp counts "
     "(words, sentence enders, vowel groups): the fast prose-vs-"

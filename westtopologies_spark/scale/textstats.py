@@ -532,24 +532,41 @@ def readability(docs: DataFrame) -> DataFrame:
 
     The classic fast quality gate for prose vs. listings/tables/code.
     Pure regexp counts + one float expression — codegen'd, zero
-    shuffle, identical arithmetic in the oracle."""
-    lower = F.lower(F.col("text"))
-    n_words = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-    n_sent = F.greatest(
-        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    shuffle, identical arithmetic in the oracle.
+
+    Rounding is boundary-proof: the score is assembled as one exact
+    BIGINT rational (N / (1000*s*w)), scaled to 4 dp in a single
+    shared double expression, and half-up-rounded with an explicit
+    floor — the builtin ``round()`` differs between engines exactly
+    at 4-dp boundaries (Spark re-expands the double via BigDecimal,
+    DuckDB scales it), which flipped 5/5000 rows at sf0.1."""
+    w = F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast(
+        "long"
     )
-    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
-    return docs.filter(n_words > 0).select(
+    s = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    y = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    base = docs.filter(w > 0).select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_sent.alias("n_sentences"),
-        n_syll.alias("n_syllables"),
-        F.round(
-            F.lit(206.835)
-            - F.lit(1.015) * n_words / n_sent
-            - F.lit(84.6) * n_syll / n_words,
-            4,
-        ).alias("flesch"),
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+    )
+    wc, sc, yc = F.col("n_words"), F.col("n_sentences"), F.col("n_syllables")
+    num = 206835 * sc * wc - 1015 * wc * wc - 84600 * yc * sc
+    x = F.lit(10.0) * num / (sc * wc)  # score * 1e4, bit-identical
+    half_up = F.when(x >= 0, F.floor(x + 0.5)).otherwise(
+        -F.floor(-x + 0.5)
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (half_up / 10000.0).alias("flesch"),
     )
 
 
