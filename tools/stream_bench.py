@@ -30,11 +30,31 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("stream-bench")
 
-    # stage the batch table as a one-file-per-trigger parquet stream dir
+    # stage the batch table as a TIME-ORDERED parquet stream dir (8
+    # chunks, increasing mtimes): a real stream arrives roughly in
+    # event-time order — random-order replay makes the watermark jump
+    # to max after the first micro-batch, so every later row is late
+    # (dropped by the aligned path, and the rank-on-close operator
+    # never sees a window go silent, so nothing ever closes)
     batch = load_table(spark, sf_dir, "events")
-    n_events = batch.count()
     stage = os.path.join("/tmp", f"stream_bench_{os.getpid()}")
-    batch.repartition(8).write.mode("overwrite").parquet(stage)
+    os.makedirs(stage, exist_ok=True)
+    pdf_all = batch.toPandas().sort_values("ts").reset_index(drop=True)
+    n_events = len(pdf_all)
+    n_chunks = 8
+    per = (n_events + n_chunks - 1) // n_chunks
+    now = time.time()
+    for i in range(n_chunks):
+        chunk = pdf_all.iloc[i * per : (i + 1) * per]
+        p = os.path.join(stage, f"part-{i:02d}.parquet")
+        chunk.to_parquet(
+            p,
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(p, (now - 100 + i, now - 100 + i))
+    del pdf_all
 
     from pyspark.sql import functions as F
 
@@ -83,6 +103,32 @@ def main() -> None:
     elapsed_keyed = time.time() - t1
     n_keyed = spark.sql("SELECT count(*) FROM stream_bench_keyed_out").collect()[0][0]
 
+    # windowed top-k: per-hour heavy-hitter rank emitted at window
+    # close (applyInPandasWithState + EventTimeTimeout) — the custom
+    # rank-on-close operator, state bounded by open windows x types
+    from westtopologies_spark.streaming.stateful import (
+        windowed_topk_stream_gaws,
+    )
+
+    src3 = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    t2 = time.time()
+    q3 = (
+        windowed_topk_stream_gaws(src3, interval_sec=3600, k=3)
+        .writeStream.format("memory")
+        .queryName("stream_bench_topk_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(600)
+    elapsed_topk = time.time() - t2
+    n_topk = spark.sql("SELECT count(*) FROM stream_bench_topk_out").collect()[0][0]
+
     print(
         json.dumps(
             {
@@ -96,6 +142,9 @@ def main() -> None:
                 "keyed_exact_elapsed_sec": round(elapsed_keyed, 2),
                 "keyed_exact_n_windows": int(n_keyed),
                 "keyed_exact_n_keys": 64,
+                "topk_events_per_sec": round(n_events / elapsed_topk, 1),
+                "topk_elapsed_sec": round(elapsed_topk, 2),
+                "topk_rows_emitted": int(n_topk),
                 "sf": sf,
             }
         )
