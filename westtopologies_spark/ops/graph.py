@@ -261,3 +261,60 @@ def kcore_peel(
         e.select(F.col("v").alias("user_id"))
     )
     return sym.groupBy("user_id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+LPA_ROUNDS = 4
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation communities over the undirected
+    reply graph: every node simultaneously adopts the MODE of its
+    neighbors' labels (ties -> smallest label), for a fixed number of
+    rounds — deterministic, so the DuckDB oracle replays the exact
+    same trace with unrolled CTE rounds.
+
+    Distinct from connected components: LPA finds densely-connected
+    COMMUNITIES (labels stop flowing across sparse cuts), components
+    only reachability. Feeds the role kernel's ``community_col`` so
+    tercile levels and role rules evaluate per community
+    (``ops.roles.tercile_levels``), the per-window vectorization
+    pattern at corpus scale.
+
+    Shape per round: one hash join (labels onto the symmetric edge
+    list) + one count + one per-node rank window — all keyed by node,
+    no global sort, no driver data. Fixed ``rounds`` bounds the plan;
+    unrolled like :func:`pagerank` (4 rounds of narrow 2-col frames
+    needs no checkpoint).
+
+    Returns (user_id, community_id, community_size).
+    """
+    # persist: the symmetric list is referenced by every unrolled
+    # round's subtree (plus the seed) — without the pin each round
+    # re-derives the reply join
+    sym = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .union(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    labels = sym.select("node").distinct().withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(rounds):
+        nl = (
+            sym.withColumnRenamed("node", "_n")
+            .join(labels, F.col("nbr") == F.col("node"))
+            .select(F.col("_n").alias("node"), "label")
+        )
+        cnt = nl.groupBy("node", "label").agg(F.count(F.lit(1)).alias("_c"))
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("user_id"),
+        F.col("label").alias("community_id"),
+        "community_size",
+    )

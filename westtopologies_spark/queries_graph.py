@@ -248,3 +248,58 @@ def _kcore_sql() -> str:
 )
 def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.kcore_peel(G.user_edges(_event_edges(spark, sf_dir)))
+
+
+def _lpa_sql() -> str:
+    rounds = G.LPA_ROUNDS
+    parts = [
+        _TW_CTE
+        + _UEDGES_CTE
+        + """,
+    sym AS (
+      SELECT u AS node, v AS nbr FROM uedges
+      UNION ALL SELECT v AS node, u AS nbr FROM uedges
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM sym)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+    n{i} AS (
+      SELECT s.node, l.label, count(*) AS c
+      FROM sym s JOIN l{i} l ON s.nbr = l.node
+      GROUP BY 1, 2
+    ),
+    l{i + 1} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM n{i})
+      WHERE rn = 1
+    )"""
+        )
+    return (
+        "".join(parts)
+        + f""",
+    sizes AS (SELECT label, count(*) AS community_size
+              FROM l{rounds} GROUP BY 1)
+    SELECT l.node AS user_id, l.label AS community_id, s.community_size
+    FROM l{rounds} l JOIN sizes s ON s.label = l.label
+    """
+    )
+
+
+@_register(
+    "gr_label_propagation",
+    _lpa_sql(),
+    doc="Synchronous label-propagation communities (4 unrolled "
+    "rounds, mode-of-neighbors with min-label tie-break — fully "
+    "deterministic, so the oracle replays the identical trace): "
+    "labels stop flowing across sparse cuts, unlike connected "
+    "components' pure reachability. Feeds the role kernel's "
+    "community_col for per-community tercile levels. Per round one "
+    "keyed join + count + rank window. Graph-analytics extension.",
+)
+def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.label_propagation(G.user_edges(_event_edges(spark, sf_dir)))
