@@ -206,7 +206,10 @@ def block_hash_signatures(bdocs: DataFrame) -> DataFrame:
         F.split(F.decode(F.col("content"), "UTF-8"), ""),
         lambda ch: F.ascii(ch),
     )
-    base = bdocs.select("doc_id", codes.alias("codes"))
+    # persist: CollapseProject would otherwise inline the per-char
+    # split into the total AND all 64 block-sum expressions — 65
+    # re-tokenizations per row (the round-1 PMI lesson)
+    base = bdocs.select("doc_id", codes.alias("codes")).persist()
     L = F.size("codes")
     total = F.aggregate(
         "codes", F.lit(0).cast("long"), lambda a, c: a + c
