@@ -971,3 +971,126 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_band_matches", F.lit(0)).alias("n_band_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: changelog -> final table state
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dv_cdc_apply",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM log
+    )
+    SELECT user_id,
+           CAST(round(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE)
+             AS last_value,
+           ts AS last_ts, n_ops
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    """,
+    doc="CDC apply (changelog -> final state): the events stream read "
+    "as an upsert/delete log (errors are tombstones); one keyed "
+    "window picks each key's latest op by (ts, seq), keys whose last "
+    "op is a delete drop out — the MERGE/compaction kernel of every "
+    "lakehouse table format, as a pure window (no join against a "
+    "base: the log IS the table, the incremental variant is "
+    "dv_incremental_rollup's partial-merge shape). Versioning "
+    "extension.",
+)
+def dv_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.round(F.col("value").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_ops",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding (overlapping) window rollup
+# ---------------------------------------------------------------------------
+
+SLIDE_LEN_S = 1800  # 30-minute window ...
+SLIDE_STEP_S = 600  # ... sliding every 10 minutes
+
+
+@_register(
+    "ts_sliding_rollup",
+    f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(18,2)) AS v,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    hits AS (
+      SELECT event_type, v, sec,
+             (sec // {SLIDE_STEP_S} - k) * {SLIDE_STEP_S} AS win_start_s
+      FROM e, range(0, {SLIDE_LEN_S // SLIDE_STEP_S}) t(k)
+      WHERE (sec // {SLIDE_STEP_S} - k) * {SLIDE_STEP_S} <= sec
+        AND sec < (sec // {SLIDE_STEP_S} - k) * {SLIDE_STEP_S} + {SLIDE_LEN_S}
+    )
+    SELECT CAST(to_timestamp(win_start_s) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+    FROM hits GROUP BY 1, 2
+    """,
+    doc="Sliding-window rollup (30-min window, 10-min slide): Spark's "
+    "built-in window(slideDuration) Expand — each event lands in "
+    "exactly 3 overlapping windows, expanded BEFORE the partial agg "
+    "so the shuffle carries aggregates, not replicated events; the "
+    "oracle replays the expansion with an explicit 3-row range join. "
+    "The reference's tumbling W1 cannot express overlap at all. "
+    "Temporal extension.",
+)
+def ts_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(
+                "ts", f"{SLIDE_LEN_S} seconds", f"{SLIDE_STEP_S} seconds"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
