@@ -1094,3 +1094,101 @@ def ts_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# grid-cell spatial proximity join
+# ---------------------------------------------------------------------------
+
+GEO_RADIUS = 2.0  # degrees; also the grid cell size
+
+
+@_register(
+    "j12_geo_cell_join",
+    f"""
+    WITH pts AS (
+      SELECT event_id, (value % 180) - 90 AS lat,
+             (CAST(user_id AS DOUBLE) % 360) - 180 AS lon
+      FROM events WHERE event_id % 7 = 0
+    ),
+    cells AS (
+      SELECT *, CAST(floor(lat / {GEO_RADIUS}) AS BIGINT) AS cy,
+             CAST(floor(lon / {GEO_RADIUS}) AS BIGINT) AS cx
+      FROM pts
+    ),
+    probe AS (
+      SELECT event_id, lat, lon, cy + dy AS ny, cx + dx AS nx
+      FROM cells, range(-1, 2) a(dy), range(-1, 2) b(dx)
+    )
+    SELECT p.event_id AS id_a, c.event_id AS id_b,
+           sqrt((p.lat - c.lat) * (p.lat - c.lat)
+                + (p.lon - c.lon) * (p.lon - c.lon)) AS dist
+    FROM probe p JOIN cells c ON p.ny = c.cy AND p.nx = c.cx
+     AND p.event_id < c.event_id
+    WHERE (p.lat - c.lat) * (p.lat - c.lat)
+          + (p.lon - c.lon) * (p.lon - c.lon)
+          <= {GEO_RADIUS} * {GEO_RADIUS}
+    """,
+    doc="Grid-cell spatial proximity join (all point pairs within "
+    f"{GEO_RADIUS} deg): each left point probes its 3x3 neighbor "
+    "cells against right points' HOME cell — an equi-join on cell "
+    "ids, never an all-pairs product, the grid-file pattern every "
+    "distributed spatial join uses (cell size = radius guarantees "
+    "no missed pair). Coordinates derive deterministically from "
+    "events per the p9/p10 convention; the distance is emitted "
+    "un-rounded because every op is IEEE-identical cross-engine. "
+    "Extends the reference's coordinate pipeline "
+    "(LocationCrawlerBolt) with the proximity-join shape it lacked. "
+    "Join extension.",
+)
+def j12_geo_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = GEO_RADIUS
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    pts = ev.select(
+        "event_id",
+        ((F.col("value") % 180) - 90).alias("lat"),
+        ((F.col("user_id").cast("double") % 360) - 180).alias("lon"),
+    )
+    cells = pts.select(
+        "*",
+        F.floor(F.col("lat") / r).cast("bigint").alias("cy"),
+        F.floor(F.col("lon") / r).cast("bigint").alias("cx"),
+    )
+    probe = (
+        cells.select(
+            F.col("event_id").alias("id_a"),
+            F.col("lat").alias("lat_a"),
+            F.col("lon").alias("lon_a"),
+            "cy",
+            "cx",
+        )
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "id_a",
+            "lat_a",
+            "lon_a",
+            (F.col("cy") + F.col("dy")).alias("ny"),
+            (F.col("cx") + F.col("dx")).alias("nx"),
+        )
+    )
+    home = cells.select(
+        F.col("event_id").alias("id_b"),
+        F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        F.col("cy").alias("hcy"),
+        F.col("cx").alias("hcx"),
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    d2 = dlat * dlat + dlon * dlon
+    return (
+        probe.join(
+            home,
+            (F.col("ny") == F.col("hcy"))
+            & (F.col("nx") == F.col("hcx"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(d2 <= r * r)
+        .select("id_a", "id_b", F.sqrt(d2).alias("dist"))
+    )
