@@ -620,3 +620,55 @@ def test_windowed_topk_stream_matches_batch(
         (r.window_start, r.event_type, r.n_events, r.rnk) for r in expect
     )
     assert g == e
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path_factory):
+    """W3 delivery semantics, demonstrated: a checkpointed query
+    stopped and RESTARTED over a grown source directory emits each
+    input row exactly once into a transactional file sink — replays
+    resume from the committed offset instead of reprocessing (the
+    reference's ack-on-receipt at-least-once cannot give this)."""
+    base = tmp_path_factory.mktemp("ckpt_restart")
+    src_dir, out_dir, ckpt = (
+        str(base / "src"),
+        str(base / "out"),
+        str(base / "ckpt"),
+    )
+    os.makedirs(src_dir)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    pdf = ev.select("event_id", "ts", "value").toPandas().sort_values("event_id")
+
+    def add_chunk(i: int, lo: int, hi: int) -> None:
+        chunk = pdf[(pdf.event_id >= lo) & (pdf.event_id < hi)]
+        p = os.path.join(src_dir, f"part-{i}.parquet")
+        chunk.to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    def run_once() -> None:
+        schema = "event_id long, ts timestamp, value double"
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two chunks committed
+    add_chunk(0, 0, 100)
+    add_chunk(1, 100, 200)
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 200
+    # run 2 (restart from checkpoint): one NEW chunk appears; the two
+    # already-committed chunks must not be re-emitted
+    add_chunk(2, 200, 300)
+    run_once()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 300  # exactly once: no dup of chunks 0-1
+    ids = sorted(r.event_id for r in out.select("event_id").collect())
+    assert ids == sorted(r.event_id for r in ev.select("event_id").collect())
