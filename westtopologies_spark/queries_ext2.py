@@ -1192,3 +1192,82 @@ def j12_geo_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d2 <= r * r)
         .select("id_a", "id_b", F.sqrt(d2).alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS trend fit (slope/intercept per key)
+# ---------------------------------------------------------------------------
+
+LINFIT_EPOCH0 = 820_454_400  # 1996-01-01; x in MINUTES keeps x^2 sums < 2^53
+
+
+@_register(
+    "ag_linfit",
+    f"""
+    WITH pts AS (
+      SELECT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) - {LINFIT_EPOCH0}) // 60 AS x,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * yc) AS BIGINT) AS sxy,
+             CAST(sum(yc) AS BIGINT) AS sy
+      FROM pts GROUP BY 1 HAVING count(*) >= 3
+    )
+    SELECT user_id, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0 AS slope,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) / 100.0 AS intercept
+    FROM s
+    """,
+    doc="Grouped OLS trend (value-over-time slope + intercept per "
+    "user, units value/minute): the per-key drift detector behind "
+    "engagement decay and quality-trend monitors. The four "
+    "sufficient statistics fold as exact BIGINT in ONE partial-agg "
+    "pass (x in minutes since 1996, y in half-up cents keep every "
+    "sum below 2^53, so the int->double casts are EXACT on both "
+    "engines); the closed-form normal equations then run as one "
+    "shared double expression — emitted un-rounded, bit-identical "
+    "cross-engine. Aggregate-statistics extension.",
+)
+def ag_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # Spark integer `/` is double division; floor to mirror DuckDB //
+    x = F.floor((F.unix_timestamp("ts") - LINFIT_EPOCH0) / 60).cast("bigint")
+    yc = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    pts = ev.select("user_id", x.alias("x"), yc.alias("yc"))
+    s = (
+        pts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+            F.sum("yc").alias("sy"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope_c = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "user_id",
+        "n",
+        (slope_c / 100.0).alias("slope"),
+        (((syd - slope_c * sxd) / nd) / 100.0).alias("intercept"),
+    )
