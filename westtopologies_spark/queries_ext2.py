@@ -4,7 +4,10 @@ Q7/Q10/Q14/Q19 analogues, explicit GROUPING SETS), plus
 training-pipeline operators over the documents/embeddings tables
 (Johnson-Lindenstrauss random projection, chi-square term-class
 association, feature hashing, prefix-canonical keep-best dedup,
-hourly top-k heavy hitters).
+hourly top-k heavy hitters), then the later round-2 batches:
+Q8 market share, seasonality, Z-order locality, held-out LM eval,
+perceptual-hash multimodal dedup, CDC apply, sliding windows,
+grid-cell spatial join, grouped OLS trend, and exact ROC-AUC.
 
 Same oracle discipline as :mod:`.queries_ext`: money sums fold as
 DECIMAL before the final DOUBLE cast, double folds are left-fold
@@ -1270,4 +1273,79 @@ def ag_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (slope_c / 100.0).alias("slope"),
         (((syd - slope_c * sxd) / nd) / 100.0).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact ROC-AUC via rank statistics (Mann-Whitney U with mid-ranks)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ag_auc",
+    """
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    ranked AS (
+      SELECT label,
+             rank() OVER (ORDER BY score) AS r,
+             count(*) OVER (PARTITION BY score) AS c
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN label = 1 THEN 2 * r + c - 1 ELSE 0 END)
+                  AS BIGINT) AS u2,
+             CAST(sum(label) AS BIGINT) AS np,
+             CAST(sum(1 - label) AS BIGINT) AS nn
+      FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           (CAST(u2 AS DOUBLE) / 2.0
+            - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+           / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) AS auc
+    FROM agg
+    """,
+    doc="Exact ROC-AUC of a score against a binary label "
+    "(doc length predicting lang='en') via the Mann-Whitney "
+    "rank-sum with tie mid-ranks — the distributed-eval-metric "
+    "pattern: 2*midrank = 2*rank + tiecount - 1 stays integer, so "
+    "the statistic folds exactly and one shared double expression "
+    "emits the AUC un-rounded. One global sort of the (bounded) "
+    "eval set — at corpus scale the eval sample is the input, never "
+    "the corpus. Aggregate-statistics extension.",
+)
+def ag_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    wr = Window.orderBy("score")
+    wc = Window.partitionBy("score")
+    ranked = scored.select(
+        "label",
+        F.rank().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wc).alias("c"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(F.col("label") == 1, 2 * F.col("r") + F.col("c") - 1)
+            .otherwise(0)
+            .cast("bigint")
+        ).alias("u2"),
+        F.sum("label").cast("bigint").alias("np"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("nn"),
+    )
+    npd = F.col("np").cast("double")
+    nnd = F.col("nn").cast("double")
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        (
+            (F.col("u2").cast("double") / 2.0 - npd * (npd + 1.0) / 2.0)
+            / (npd * nnd)
+        ).alias("auc"),
     )
