@@ -78,7 +78,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # corpus token total N (1 row) joined onto chi2 cells
                        "tx_chi2_terms",
                        # train-split totals (T, V — 1 row) joined onto eval terms
-                       "tx_heldout_nll"}
+                       "tx_heldout_nll",
+                       # positive-count total (1 row) joined onto sweep points
+                       "ag_pr_curve"}
 
 
 def audit(name: str, plan: str) -> list[str]:

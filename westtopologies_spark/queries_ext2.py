@@ -1349,3 +1349,72 @@ def ag_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (npd * nnd)
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# precision/recall threshold sweep (PR curve points)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ag_pr_curve",
+    """
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    by_score AS (
+      SELECT score, CAST(sum(label) AS BIGINT) AS pos,
+             count(*) AS n
+      FROM scored GROUP BY 1
+    ),
+    sweep AS (
+      SELECT score,
+             CAST(sum(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+             CAST(sum(n) OVER (ORDER BY score DESC) AS BIGINT) AS predicted
+      FROM by_score
+    ),
+    tot AS (SELECT CAST(sum(label) AS BIGINT) AS all_pos FROM scored)
+    SELECT score AS threshold, tp, predicted,
+           CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE) AS precision,
+           CAST(tp AS DOUBLE) / CAST(all_pos AS DOUBLE) AS recall
+    FROM sweep CROSS JOIN tot
+    """,
+    doc="Precision/recall threshold sweep (PR-curve points for "
+    "score >= t at every distinct score): pre-aggregate per score "
+    "FIRST so the cumulative window runs over |distinct scores| "
+    "rows, not documents — the eval-metric companion to ag_auc, "
+    "same exact-integer discipline, ratios un-rounded. "
+    "Aggregate-statistics extension.",
+)
+def ag_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = by_score.select(
+        "score",
+        F.sum("pos").over(w).cast("bigint").alias("tp"),
+        F.sum("n").over(w).cast("bigint").alias("predicted"),
+    )
+    tot = scored.agg(F.sum("label").cast("bigint").alias("all_pos"))
+    return sweep.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        "tp",
+        "predicted",
+        (F.col("tp").cast("double") / F.col("predicted").cast("double")).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / F.col("all_pos").cast("double")).alias(
+            "recall"
+        ),
+    )
