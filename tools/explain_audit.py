@@ -80,7 +80,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # train-split totals (T, V — 1 row) joined onto eval terms
                        "tx_heldout_nll",
                        # positive-count total (1 row) joined onto sweep points
-                       "ag_pr_curve"}
+                       "ag_pr_curve",
+                       # sample-size totals (1 row) joined onto CDF gaps
+                       "ag_ks_test"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -1418,3 +1418,85 @@ def ag_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov-Smirnov distance
+# ---------------------------------------------------------------------------
+
+KS_TYPE_A = "click"
+KS_TYPE_B = "purchase"
+
+
+@_register(
+    "ag_ks_test",
+    f"""
+    WITH pts AS (
+      SELECT value,
+             CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS b
+      FROM events
+      WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+    ),
+    by_val AS (
+      SELECT value, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+      FROM pts GROUP BY 1
+    ),
+    cum AS (
+      SELECT CAST(sum(na) OVER (ORDER BY value) AS BIGINT) AS ca,
+             CAST(sum(nb) OVER (ORDER BY value) AS BIGINT) AS cb
+      FROM by_val
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+      FROM pts
+    )
+    SELECT n1, n2,
+           CAST(max(abs(ca * n2 - cb * n1)) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+    FROM cum CROSS JOIN tot
+    GROUP BY n1, n2
+    """,
+    doc="Two-sample Kolmogorov-Smirnov distance between the value "
+    "distributions of two event types: the nonparametric drift "
+    "metric next to dv_psi_drift's binned PSI (no bin choice to "
+    "get wrong). The empirical-CDF gap folds as the exact integer "
+    "|ca*n2 - cb*n1| — max over |distinct values| pre-aggregated "
+    "rows, never raw events — and one shared double division emits "
+    "D un-rounded. Aggregate-statistics extension.",
+)
+def ag_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    pts = ev.select(
+        "value",
+        F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0).alias("b"),
+    )
+    by_val = pts.groupBy("value").agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = by_val.select(
+        F.sum("na").over(w).cast("bigint").alias("ca"),
+        F.sum("nb").over(w).cast("bigint").alias("cb"),
+    )
+    tot = pts.agg(
+        F.sum("a").cast("bigint").alias("n1"),
+        F.sum("b").cast("bigint").alias("n2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            (
+                F.max(F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")))
+                .cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_d")
+        )
+    )
