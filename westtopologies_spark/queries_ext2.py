@@ -1500,3 +1500,151 @@ def ag_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_d")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE-style keyword extraction (degree-scored stopword-delimited phrases)
+# ---------------------------------------------------------------------------
+
+RAKE_TOP_K = 10
+RAKE_MIN_LEN = 2
+
+
+def _rake_sql() -> str:
+    from .ops.text import EN_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+             generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1)
+               AS pos
+      FROM documents
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END AS stop
+      FROM tok
+    ),
+    islands0 AS (
+      SELECT doc_id, w, pos, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM flagged
+    ),
+    islands AS (
+      SELECT doc_id, w, pos, pid FROM islands0 WHERE stop = 0
+    ),
+    phrase_occ AS (
+      SELECT doc_id, pid,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM islands GROUP BY 1, 2
+    ),
+    word_stats AS (
+      SELECT i.w,
+             CAST(sum(p.plen) AS BIGINT) AS deg,
+             count(*) AS freq
+      FROM islands i
+      JOIN phrase_occ p ON p.doc_id = i.doc_id AND p.pid = i.pid
+      GROUP BY 1
+    ),
+    uniq AS (
+      SELECT phrase, CAST(max(plen) AS BIGINT) AS plen,
+             count(*) AS n_occurrences
+      FROM phrase_occ GROUP BY 1 HAVING max(plen) >= {RAKE_MIN_LEN}
+    ),
+    scored AS (
+      SELECT u.phrase, u.plen, u.n_occurrences,
+             CAST(sum(ws.deg) AS BIGINT) AS degree_score
+      FROM uniq u,
+           unnest(string_split(u.phrase, ' ')) AS t(pw)
+      JOIN word_stats ws ON ws.w = t.pw
+      GROUP BY 1, 2, 3
+    )
+    SELECT phrase, plen, n_occurrences, degree_score, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY degree_score DESC, n_occurrences DESC, phrase ASC)
+             AS INT) AS rnk
+      FROM scored)
+    WHERE rnk <= {RAKE_TOP_K}
+    """
+
+
+@_register(
+    "tx_rake_keywords",
+    _rake_sql(),
+    doc="RAKE-style keyword extraction: candidate phrases are maximal "
+    "stopword-delimited word runs (gaps-and-islands per doc), each "
+    "word's degree = total length of phrases containing it, and a "
+    "phrase's score = sum of its words' degrees — the all-INTEGER "
+    "degree variant, so scoring is exact and order-free (the "
+    "classic deg/freq ratio would sum doubles in engine-dependent "
+    "order). Top-10 phrases with deterministic tiebreaks. The "
+    "unsupervised labeling pass next to tf-idf and chi2. "
+    "Text-analysis extension.",
+)
+def tx_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.text import EN_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    flagged = tok.withColumn(
+        "stop", F.when(F.col("w").isin(*EN_STOPWORDS), 1).otherwise(0)
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        flagged.withColumn("pid", F.sum("stop").over(wp))
+        .filter(F.col("stop") == 0)
+        .select("doc_id", "w", "pos", "pid")
+        .persist()
+    )
+    phrase_occ = islands.groupBy("doc_id", "pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    ).persist()
+    word_stats = (
+        islands.join(phrase_occ, ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(
+            F.sum("plen").cast("bigint").alias("deg"),
+            F.count(F.lit(1)).alias("freq"),
+        )
+    )
+    uniq = (
+        phrase_occ.groupBy("phrase")
+        .agg(
+            F.max("plen").cast("bigint").alias("plen"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("plen") >= RAKE_MIN_LEN)
+    )
+    scored = (
+        uniq.select(
+            "phrase",
+            "plen",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("pw"),
+        )
+        .join(word_stats, F.col("pw") == F.col("w"))
+        .groupBy("phrase", "plen", "n_occurrences")
+        .agg(F.sum("deg").cast("bigint").alias("degree_score"))
+    )
+    wr = Window.orderBy(
+        F.desc("degree_score"), F.desc("n_occurrences"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= RAKE_TOP_K)
+        .select("phrase", "plen", "n_occurrences", "degree_score", "rnk")
+    )
