@@ -1648,3 +1648,42 @@ def tx_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RAKE_TOP_K)
         .select("phrase", "plen", "n_occurrences", "degree_score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sq_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1)
+    GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape (customer distribution): LEFT OUTER join so "
+    "zero-order customers survive into the c_count=0 bucket, then a "
+    "second aggregation over the first — the double-agg pattern "
+    "whose outer join cannot be reordered away; the join-side "
+    "predicate rides the ON clause (a WHERE would silently turn the "
+    "outer join inner). Relational extension.",
+)
+def sq_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
