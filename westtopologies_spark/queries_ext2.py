@@ -1687,3 +1687,86 @@ def sq_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+# ---------------------------------------------------------------------------
+# calibration bins (reliability diagram)
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+@_register(
+    "ag_calibration",
+    f"""
+    WITH scored AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM documents
+    ),
+    ranked AS (
+      SELECT label,
+             CAST(rank() OVER (ORDER BY score) AS BIGINT) - 1 AS r0,
+             count(*) OVER () AS n
+      FROM scored
+    ),
+    binned AS (
+      SELECT CAST(least(r0 * {CALIB_BINS} // (n - 1), {CALIB_BINS - 1})
+                  AS INT) AS bin,
+             r0, label, n
+      FROM ranked
+    )
+    SELECT bin, count(*) AS n_docs,
+           CAST(sum(r0) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * CAST(max(n) - 1 AS DOUBLE))
+             AS mean_pred,
+           CAST(sum(label) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS actual_rate
+    FROM binned GROUP BY 1
+    """,
+    doc="Calibration bins (reliability diagram): the score's "
+    "percent-rank is the 'predicted probability', decile-binned; "
+    "each bin reports mean prediction vs actual positive rate — the "
+    "third standard eval metric next to ag_auc/ag_pr_curve. "
+    "percent_rank = (rank-1)/(N-1) stays a rational of integers, so "
+    "mean_pred folds as an exact BIGINT rank sum and one shared "
+    "double division emits it un-rounded. Aggregate-statistics "
+    "extension.",
+)
+def ag_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+    wr = Window.orderBy("score")
+    wn = Window.partitionBy()
+    ranked = scored.select(
+        "label",
+        (F.rank().over(wr).cast("bigint") - 1).alias("r0"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    binned = ranked.select(
+        F.least(
+            F.floor(F.col("r0") * CALIB_BINS / (F.col("n") - 1)),
+            F.lit(CALIB_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        "r0",
+        "label",
+        "n",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("r0").cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * (F.max("n") - 1).cast("double")
+            )
+        ).alias("mean_pred"),
+        (
+            F.sum("label").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("actual_rate"),
+    )
