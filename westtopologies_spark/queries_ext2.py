@@ -1770,3 +1770,74 @@ def ag_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("label").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("actual_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lag-1 autocorrelation of the hourly event-count series
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ts_autocorr",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.n AS x, b.n AS y
+      FROM hourly a JOIN hourly b ON b.h = a.h + 1
+    ),
+    s AS (
+      SELECT count(*) AS np,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT np AS n_pairs,
+           (CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / sqrt((CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(np AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS lag1_corr
+    FROM s
+    """,
+    doc="Lag-1 autocorrelation of the hourly event-count series (the "
+    "seasonality/burstiness diagnostic feeding anomaly baselines): "
+    "consecutive-hour pairs come from an equi self-join on h+1 over "
+    "the pre-aggregated hourly table — never raw events; all six "
+    "sufficient statistics fold as exact BIGINT and one shared "
+    "double expression (IEEE sqrt included) emits r un-rounded. "
+    "Temporal extension.",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = hourly.select(F.col("h").alias("ha"), F.col("n").alias("x"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("n").alias("y"))
+    pairs = a.join(b, F.col("hb") == F.col("ha") + 1)
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    npd = F.col("np").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    return s.select(
+        F.col("np").alias("n_pairs"),
+        (
+            (npd * sxyd - sxd * syd)
+            / F.sqrt((npd * sxxd - sxd * sxd) * (npd * syyd - syd * syd))
+        ).alias("lag1_corr"),
+    )
