@@ -1841,3 +1841,63 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((npd * sxxd - sxd * sxd) * (npd * syyd - syd * syd))
         ).alias("lag1_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#5"
+
+
+@_register(
+    "sq_small_quantity_revenue",
+    f"""
+    WITH part_avg AS (
+      SELECT l_partkey, 0.2 * (CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                               / count(*)) AS qty_thresh
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}' AND l.l_quantity < a.qty_thresh
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated per-PART average decorrelates into one aggregate "
+    "over the fact table joined back on the part key — Catalyst "
+    "runs it as two scans of lineitem with the brand filter pushed "
+    "to the probe side. The threshold average is exact (integer "
+    "quantity sum / count, one shared double expression), so the "
+    "strict < cut is engine-identical even when 0.2*avg lands "
+    "exactly on an integer quantity. Relational extension.",
+)
+def sq_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
