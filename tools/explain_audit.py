@@ -82,7 +82,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # positive-count total (1 row) joined onto sweep points
                        "ag_pr_curve",
                        # sample-size totals (1 row) joined onto CDF gaps
-                       "ag_ks_test"}
+                       "ag_ks_test",
+                       # grand total N (1 row) joined onto contingency cells
+                       "ag_chisq_cells"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -1901,3 +1901,65 @@ def sq_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence cells (categorical x categorical contingency)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ag_chisq_cells",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM obs)
+    SELECT obs.event_type, obs.dow, o AS observed,
+           CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)
+             AS expected,
+           CAST(o * nn - r * c AS DOUBLE) * CAST(o * nn - r * c AS DOUBLE)
+             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) * CAST(nn AS DOUBLE))
+             AS contrib
+    FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n
+    """,
+    doc="Chi-square independence cells for the event_type x weekday "
+    "contingency table (is activity mix day-dependent?): observed "
+    "count, expected under independence, and the per-cell chi2 "
+    "contribution (o*N - r*c stays exact BIGINT; each output is one "
+    "shared double expression, un-rounded). Emitting CELLS instead "
+    "of the summed statistic keeps every value free of cross-row "
+    "double summation — the reader sums 35 exact-by-construction "
+    "numbers. Aggregate-statistics extension.",
+)
+def ag_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.expr("CAST(weekday(ts) + 1 AS INT)").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c"))
+    n = obs.agg(F.sum("o").cast("bigint").alias("nn"))
+    diff = (F.col("o") * F.col("nn") - F.col("r") * F.col("c")).cast("double")
+    rd, cd, nd = (
+        F.col("r").cast("double"),
+        F.col("c").cast("double"),
+        F.col("nn").cast("double"),
+    )
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "dow",
+            F.col("o").alias("observed"),
+            (rd * cd / nd).alias("expected"),
+            (diff * diff / (rd * cd * nd)).alias("contrib"),
+        )
+    )
