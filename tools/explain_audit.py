@@ -84,7 +84,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # sample-size totals (1 row) joined onto CDF gaps
                        "ag_ks_test",
                        # grand total N (1 row) joined onto contingency cells
-                       "ag_chisq_cells"}
+                       "ag_chisq_cells",
+                       # series totals (1 row) joined onto the hourly scan
+                       "ts_cusum_changepoint"}
 
 
 def audit(name: str, plan: str) -> list[str]:

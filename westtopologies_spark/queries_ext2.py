@@ -1963,3 +1963,74 @@ def ag_chisq_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             (diff * diff / (rd * cd * nd)).alias("contrib"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over the hourly series
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ts_cusum_changepoint",
+    """
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS nh, CAST(sum(n) AS BIGINT) AS t FROM hourly
+    ),
+    cusum AS (
+      SELECT h,
+             CAST(nh AS BIGINT)
+               * CAST(sum(n) OVER (ORDER BY h) AS BIGINT)
+               - CAST(row_number() OVER (ORDER BY h) AS BIGINT) * t
+               AS c_scaled,
+             nh, t
+      FROM hourly CROSS JOIN tot
+    )
+    SELECT h AS changepoint_hour, abs(c_scaled) AS max_cusum_scaled,
+           nh AS n_hours, t AS n_events
+    FROM cusum
+    ORDER BY abs(c_scaled) DESC, h ASC LIMIT 1
+    """,
+    doc="CUSUM changepoint scan over the hourly event-count series: "
+    "the hour maximizing |cumulative deviation from the global "
+    "mean| — the standard level-shift detector. Scaling by the "
+    "hour count turns the running deviation into the exact BIGINT "
+    "N*cumsum(k) - k*T (no mean division anywhere), so the scan, "
+    "the max, and the argmax tiebreak are all integer-deterministic; "
+    "the window runs over pre-aggregated hours, never raw events. "
+    "Temporal extension.",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hourly.agg(
+        F.count(F.lit(1)).alias("nh"), F.sum("n").cast("bigint").alias("t")
+    )
+    w = Window.orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy("h")
+    cusum = hourly.crossJoin(F.broadcast(tot)).select(
+        "h",
+        (
+            F.col("nh").cast("bigint") * F.sum("n").over(w).cast("bigint")
+            - F.row_number().over(wr).cast("bigint") * F.col("t")
+        ).alias("c_scaled"),
+        "nh",
+        "t",
+    )
+    return (
+        cusum.orderBy(F.abs(F.col("c_scaled")).desc(), F.asc("h"))
+        .limit(1)
+        .select(
+            F.col("h").alias("changepoint_hour"),
+            F.abs(F.col("c_scaled")).alias("max_cusum_scaled"),
+            F.col("nh").alias("n_hours"),
+            F.col("t").alias("n_events"),
+        )
+    )
