@@ -799,3 +799,27 @@ def _minhash_audit_sql() -> str:
 def dd_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.minhash_estimate_audit(docs, vocab_mode="char")
+
+
+@_register(
+    "dd_shingle_skew_profile",
+    f"""
+    WITH {_TOKS_CHAR_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1)
+    SELECT df, count(*) AS n_shingles FROM df GROUP BY 1
+    """,
+    doc="Shingle document-frequency histogram (how many shingles "
+    "occur in exactly df docs): the skew profile that sizes every "
+    "inverted-index join in the dedup family — the heavy tail IS "
+    "the hot-key risk max_df pruning and AQE skew-split guard "
+    "against, measured rather than assumed. Two partial-agg "
+    "shuffles, output bounded by max(df). Scale extension.",
+)
+def dd_shingle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    shingles = dedup.doc_shingles(
+        dedup.doc_token_ids(dedup.tokens_with_ids(docs, vocab_mode="char"))
+    )
+    df = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return df.groupBy("df").agg(F.count(F.lit(1)).alias("n_shingles"))
