@@ -193,13 +193,13 @@ def test_block_hash_identical_payloads_share_signature(spark):
         for r in block_hash_signatures(as_binary_docs(docs)).collect()
     }
     assert sigs[1] == sigs[2]  # identical payloads -> identical signature
-    assert len(sigs[1]) == 8
-    assert all(0 <= b <= 255 for b in sigs[1])
+    assert len(sigs[1]) == 4
+    assert all(0 <= b <= 0xFFFF for b in sigs[1])
 
 
 def test_block_hash_constant_payload_all_ones(spark):
     """A constant byte stream has every block mean == global mean, so
-    the >= comparison sets every bit: all bands 255."""
+    the >= comparison sets every bit: all bands 0xFFFF."""
     from westtopologies_spark.scale.multimodal import (
         as_binary_docs,
         block_hash_signatures,
@@ -209,7 +209,7 @@ def test_block_hash_constant_payload_all_ones(spark):
         [(1, "a" * 256, "s")], "doc_id long, text string, source string"
     )
     (row,) = block_hash_signatures(as_binary_docs(docs)).collect()
-    assert tuple(row.bands) == (255,) * 8
+    assert tuple(row.bands) == (0xFFFF,) * 4
 
 
 # ---------------------------------------------------------------------------
