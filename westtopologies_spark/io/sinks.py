@@ -17,23 +17,31 @@ def to_kafka_json(
     topic: str,
     checkpoint: str,
     key_col: str | None = None,
+    sink_format: str = "kafka",
+    extra_options: dict[str, str] | None = None,
 ):
     """S5 — serialize all non-key columns to one JSON value and
     publish; exactly-once per sink via checkpointing (strictly
     stronger than the reference's ack-on-receipt, SURVEY.md §2.10 W3).
+
+    ``sink_format`` lets the broker-less contract test drive THIS
+    function through writeStream against the protocol-level fake
+    (:mod:`.kafka_testing`); production leaves it at ``"kafka"``.
     """
     payload_cols = [c for c in df.columns if c != key_col]
     out = df.select(
         *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
         F.to_json(F.struct(*payload_cols)).alias("value"),
     )
-    return (
-        out.writeStream.format("kafka")
+    writer = (
+        out.writeStream.format(sink_format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    for k, v in (extra_options or {}).items():
+        writer = writer.option(k, v)
+    return writer.start()
 
 
 def to_json_files(df: DataFrame, path: str, checkpoint: str):

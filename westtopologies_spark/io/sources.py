@@ -23,6 +23,8 @@ def kafka_json_stream(
     schema: T.StructType,
     starting_offsets: str = "latest",
     max_offsets_per_trigger: int | None = 200,
+    source_format: str = "kafka",
+    extra_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """S1+S3+S4 — Kafka JSON source with the reference's envelope.
 
@@ -31,15 +33,23 @@ def kafka_json_stream(
     Malformed JSON yields a NULL ``message`` (the reference logs and
     emits null, JacksonScheme.java:30-38) — we keep the row so
     downstream delete-filters see it, plus `_raw` for passthrough.
+
+    ``source_format`` lets the broker-less contract test
+    (tests/test_kafka_contract.py, backed by
+    :mod:`.kafka_testing`'s protocol-level fake) run THIS function
+    through readStream unchanged — only the DataSource name differs
+    from production.
     """
     reader = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(source_format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in (extra_options or {}).items():
+        reader = reader.option(k, v)
     return parse_kafka_envelope(reader.load(), schema)
 
 

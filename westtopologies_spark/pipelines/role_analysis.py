@@ -118,6 +118,11 @@ def windowed_edge_sets_stream(
         F.col("id_str").cast("long").alias("tweet_id"),
         F.col("parent_id_str").cast("long").alias("parent_id"),
         F.col("user.id_str").cast("long").alias("author_id"),
+        # P11 username cleanup (StormCommunityFactory#cleanUserName)
+        # rides the edge so the sink can emit `id \t username \t role`
+        F.regexp_replace(F.col("user.screen_name"), r"\s", "").alias(
+            "author_screen_name"
+        ),
     )
     return (
         edges.withWatermark("ts", watermark)
@@ -125,9 +130,11 @@ def windowed_edge_sets_stream(
         # window tracking attaches to it (getField would detach it)
         .groupBy(F.window("ts", window).alias("w"))
         .agg(
-            F.collect_list(F.struct("tweet_id", "parent_id", "author_id")).alias(
-                "edges"
-            )
+            F.collect_list(
+                F.struct(
+                    "tweet_id", "parent_id", "author_id", "author_screen_name"
+                )
+            ).alias("edges")
         )
         .select(F.col("w.start").alias("window_start"), "edges")
     )
@@ -140,9 +147,10 @@ def roles_for_closed_windows(
     -> per-user roles. Re-uses the batch kernel with
     ``community_col`` so a micro-batch containing several closed
     windows is still ONE distributed plan."""
-    nodes = closed.select(
-        "window_start", F.explode("edges").alias("e")
-    ).select("window_start", "e.tweet_id", "e.parent_id", "e.author_id")
+    exploded = closed.select("window_start", F.explode("edges").alias("e"))
+    nodes = exploded.select(
+        "window_start", "e.tweet_id", "e.parent_id", "e.author_id"
+    )
     dummies = (
         nodes.filter(F.col("parent_id").isNotNull())
         .join(
@@ -158,4 +166,39 @@ def roles_for_closed_windows(
     feats = role_features(all_nodes, community_col="window_start")
     leveled = tercile_levels(feats, community_col="window_start")
     roles = assign_roles(leveled, bug_compatible=bug_compatible)
-    return roles.select("window_start", "user_id", "post_count", "role")
+    roles = roles.select("window_start", "user_id", "post_count", "role")
+    # attach usernames when the edge struct carries them (the
+    # streaming path does; min() = deterministic pick of the cleaned
+    # screen name the reference reads off the user's posts)
+    if "author_screen_name" in [
+        f.name for f in exploded.schema["e"].dataType.fields
+    ]:
+        names = (
+            exploded.select(
+                "window_start",
+                F.col("e.author_id").alias("user_id"),
+                F.col("e.author_screen_name").alias("username"),
+            )
+            .filter(F.col("username").isNotNull())
+            .groupBy("window_start", "user_id")
+            .agg(F.min("username").alias("username"))
+        )
+        roles = roles.join(names, ["window_start", "user_id"], "left")
+    return roles
+
+
+def role_file_lines(roles: DataFrame) -> DataFrame:
+    """S6 sink parity (RoleAnalysisBolt.java:111-120): the bolt writes
+    one file per closed window, each user a line
+    ``id \\t username \\t role``.  Returns (window_start, value) so the
+    file sink partitions by window — one directory per window, the
+    Spark analog of the per-window file."""
+    return roles.select(
+        "window_start",
+        F.concat_ws(
+            "\t",
+            F.col("user_id").cast("string"),
+            F.coalesce("username", F.lit("")),
+            "role",
+        ).alias("value"),
+    )
