@@ -154,6 +154,22 @@ def test_embedding_neardup_pairs(vectors):
     assert list(pairs) == [(0, 1)] and pairs[(0, 1)] > 0.99
 
 
+def test_embedding_neardup_pruned_is_lossless(spark, sf_dir):
+    """Triangle-inequality cluster-pair pruning must change NOTHING:
+    the pruned-exact catalog path == the all-pairs kernel, pair for
+    pair, cosine for cosine (the prune is provably conservative)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs(emb).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_neardup_pairs_pruned(emb).collect()
+    }
+    assert pruned == exact and len(exact) > 0
+
+
 def test_ann_lsh_same_bucket_for_parallel_vectors(vectors):
     buckets = {
         r["vec_id"]: r["bucket"]
