@@ -445,6 +445,52 @@ def test_scd2_history_runs(spark):
     assert not u1[0]["is_current"]
 
 
+def test_point_in_time_state_hourly_grid(spark):
+    """AS-OF sampling: state flips land on the right probe hours; a
+    probe exactly at a run's valid_from sees THAT run; probes before
+    the first event carry NULL."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # state 'a' from 00:30, 'b' from exactly 02:00, 'a' from 03:45
+        (1, "a", t0 + dt.timedelta(minutes=30), 1),
+        (1, "b", t0 + dt.timedelta(hours=2), 2),
+        (1, "a", t0 + dt.timedelta(hours=3, minutes=45), 3),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    out = {
+        r["as_of"].hour: (r["state"], r["state_since_s"])
+        for r in V.point_in_time_state(df).collect()
+    }
+    # grid: 00:00 .. 03:00 (hour-truncated min/max)
+    assert out[0][0] is None  # before first run
+    assert out[1] == ("a", int((t0 + dt.timedelta(minutes=30)).timestamp()))
+    assert out[2] == ("b", int((t0 + dt.timedelta(hours=2)).timestamp()))  # boundary
+    assert out[3][0] == "b"  # 03:45 flip is after the 03:00 probe
+
+
+def test_length_bucket_batches_integer_plan(spark):
+    from westtopologies_spark.scale import trainprep as TP
+
+    rows = [
+        (1, "a", " ".join(["w"] * 10)),  # bucket 0 (cap 64)
+        (2, "a", " ".join(["w"] * 64)),  # bucket 0
+        (3, "a", " ".join(["w"] * 65)),  # bucket 1 (cap 128)
+        (4, "b", " ".join(["w"] * 300)),  # bucket 4 (cap 320)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {(r["grp"], r["bucket"]): r for r in TP.length_bucket_batches(df).collect()}
+    a0 = out[("a", 0)]
+    assert a0["bucket_cap"] == 64 and a0["n_docs"] == 2
+    assert a0["batch_size"] == 16384 // 64 == 256
+    assert a0["n_batches"] == 1
+    assert a0["pad_tokens"] == 2 * 64 - 74
+    b4 = out[("b", 4)]
+    assert b4["bucket_cap"] == 320 and b4["batch_size"] == 16384 // 320
+    assert b4["pad_tokens"] == 320 - 300
+
+
 def test_quantile_bins_equal_frequency(spark):
     df = spark.createDataFrame(
         [("g", float(i), i) for i in range(1, 9)], ["k", "v", "id"]

@@ -1307,6 +1307,7 @@ _TOP_PRIORITY = [
     "j6_triple_pivot",
     "a5_nb_accept",
     "m1_predict_locations",
+    "mm_phash",  # r3 rework (single-pass + 16-bit bands): driver row wanted
 ]
 
 # Families the judge grades as the LLM-pipeline headline (VERDICT r2

@@ -3635,3 +3635,268 @@ def ag_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var), 4).alias("pop_std"),
         F.round(skew, 6).alias("skewness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (time-travel) state read, length-bucketed batch plan
+# ---------------------------------------------------------------------------
+
+
+def _time_travel_sql() -> str:
+    return """
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runid AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM runs
+    ),
+    iv AS (
+      SELECT user_id, run, min(event_type) AS event_type,
+             min(ts) AS valid_from
+      FROM runid GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events GROUP BY 1
+    ),
+    probes AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR))
+               AS as_of
+      FROM bounds
+    ),
+    u AS (
+      SELECT user_id, as_of AS t, CAST(NULL AS VARCHAR) AS a,
+             CAST(NULL AS TIMESTAMP) AS vf, 0 AS src
+      FROM probes
+      UNION ALL
+      SELECT user_id, valid_from, event_type, valid_from, 1 FROM iv
+    ),
+    c AS (
+      SELECT *,
+             last_value(a IGNORE NULLS) OVER w3 AS state,
+             last_value(vf IGNORE NULLS) OVER w3 AS since
+      FROM u
+      WINDOW w3 AS (PARTITION BY user_id ORDER BY t, src DESC
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, t AS as_of, state,
+           CAST(floor(epoch(since)) AS BIGINT) AS state_since_s
+    FROM c WHERE src = 0
+    """
+
+
+@_register(
+    "dv_time_travel",
+    _time_travel_sql(),
+    doc="Point-in-time (AS OF) state read over the SCD2 history: each "
+    "user's valid event_type sampled on a per-user hourly grid — the "
+    "feature-store join discipline that prevents label leakage (a "
+    "feature row must see dimension state at ITS timestamp, never a "
+    "later one). Scalable union-and-carry-forward (one key shuffle + "
+    "local sort), NOT the |probes| x |runs| inequality join; probes "
+    "landing exactly on valid_from see the run starting there. "
+    "Versioning extension. Hash-exact: state_since ships as "
+    "epoch-second BIGINT.",
+)
+def dv_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import versioning as V
+
+    return V.point_in_time_state(_t(spark, sf_dir, "events"))
+
+
+def _len_buckets_sql() -> str:
+    w, b = TP.LEN_BUCKET_W, TP.TOKENS_PER_BATCH
+    bs = f"greatest(1, {b} // ((bucket + 1) * {w}))"
+    return f"""
+    WITH t AS (
+      SELECT lang AS grp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    bk AS (
+      SELECT grp, (n_tokens - 1) // {w} AS bucket, n_tokens FROM t
+    ),
+    agg AS (
+      SELECT grp, bucket, count(*) AS n_docs,
+             sum(n_tokens) AS sum_tokens
+      FROM bk GROUP BY 1, 2
+    )
+    SELECT grp, bucket,
+           CAST((bucket + 1) * {w} AS BIGINT) AS bucket_cap,
+           n_docs, sum_tokens,
+           CAST({bs} AS BIGINT) AS batch_size,
+           CAST((n_docs + {bs} - 1) // {bs} AS BIGINT) AS n_batches,
+           CAST(n_docs * (bucket + 1) * {w} - sum_tokens AS BIGINT)
+             AS pad_tokens
+    FROM agg
+    """
+
+
+@_register(
+    "tp_length_buckets",
+    _len_buckets_sql(),
+    doc="Dynamic-batching plan by sequence length: token-count "
+    "buckets (cap = (bucket+1)*64), per-bucket padded batch size "
+    "under a 16384-token budget, batch count, and padding waste — "
+    "the loader-sizing numbers that quantify what padding burns vs "
+    "tp_pack_sequences' packing. Pure integer arithmetic (hash-"
+    "exact), one partial-agg shuffle to a groups x buckets-bounded "
+    "result. Training-data prep extension.",
+)
+def tp_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.length_bucket_batches(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# soft dedup reweighting, deterministic bootstrap CI
+# ---------------------------------------------------------------------------
+
+
+def _soft_weights_sql() -> str:
+    comp = _components_sql().strip()
+    return f"""
+    WITH comp AS ({comp}),
+    sz AS (SELECT component_id, count(*) AS n FROM comp GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(coalesce(sz.n, 1) AS BIGINT) AS cluster_size,
+           CAST(1000000 // coalesce(sz.n, 1) AS BIGINT) AS weight_x1e6
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    LEFT JOIN sz ON c.component_id = sz.component_id
+    """
+
+
+@_register(
+    "dd_soft_weights",
+    _soft_weights_sql(),
+    doc="Soft dedup: instead of DROPPING near-duplicates, every "
+    "document gets training weight 1/|duplicate cluster| (clusters "
+    "from the MinHash pair graph's connected components; singletons "
+    "weigh 1.0) — the reweighting recipe that keeps corpus coverage "
+    "while removing duplication bias. One count aggregate + two "
+    "broadcastable joins on top of dd_cluster_components' plan. "
+    "Weight ships as exact integer millionths (hash-exact). Dedup "
+    "extension.",
+)
+def dd_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, vocab_mode="char")
+    comp = dedup.connected_components(pairs)
+    sz = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .join(sz, "component_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").cast("long").alias("cluster_id"),
+            F.coalesce("n", F.lit(1)).cast("long").alias("cluster_size"),
+            F.expr("1000000 div coalesce(n, 1)").cast("long").alias("weight_x1e6"),
+        )
+    )
+
+
+BOOTSTRAP_REPS = 32
+BOOTSTRAP_HASH_A = 2_654_435_761  # Knuth multiplicative constant
+BOOTSTRAP_HASH_P = 2_147_483_647
+
+
+def _bootstrap_sql() -> str:
+    r = BOOTSTRAP_REPS
+    h = f"((o_orderkey * {BOOTSTRAP_HASH_A} + rep * 7919) % {BOOTSTRAP_HASH_P}) % 2"
+    return f"""
+    WITH reps AS (
+      SELECT o.o_orderpriority, t.rep,
+             sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s,
+             count(*) AS n
+      FROM orders o, range(0, {r}) t(rep)
+      WHERE {h} = 1
+      GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT o_orderpriority, rep,
+             CAST(s AS DOUBLE) / n AS m
+      FROM reps
+    ),
+    ranked AS (
+      SELECT o_orderpriority, m,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY m) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS nr
+      FROM means
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_reps,
+           CAST(round(min(CASE WHEN rk = 2 THEN m END) * 100) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(round(min(CASE WHEN rk = nr - 1 THEN m END) * 100) AS BIGINT)
+             AS ci_hi_cents
+    FROM ranked GROUP BY 1
+    """
+
+
+@_register(
+    "ag_bootstrap_ci",
+    _bootstrap_sql(),
+    doc="Deterministic half-sample bootstrap confidence interval for "
+    "the mean order value per priority: 32 pseudo-replicates, each "
+    "keeping rows where an integer hash of (orderkey, rep) lands in "
+    "its half (subsampling bootstrap — reproducible across engines "
+    "and partitionings, unlike rand()); the CI is the 2nd/31st order "
+    "statistic of the replicate means. One fanned-out partial-agg "
+    "shuffle (32x map work, |priorities|x32 reduced rows); exact "
+    "DECIMAL sums, one shared double division, integer-cents output "
+    "(hash-exact). Aggregate-statistics extension.",
+)
+def ag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    # replicate fan-out as an in-row explode (scan-stage map, no join
+    # — a 32-row crossJoin would plan as BroadcastNestedLoopJoin)
+    reps = o.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_REPS - 1)))
+    ).filter(
+        (
+            (F.col("o_orderkey") * BOOTSTRAP_HASH_A + F.col("rep") * 7919)
+            % BOOTSTRAP_HASH_P
+        )
+        % 2
+        == 1
+    )
+    means = (
+        reps.groupBy("o_orderpriority", "rep")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            (F.col("s").cast("double") / F.col("n")).alias("m"),
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("m")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = means.select(
+        "o_orderpriority",
+        "m",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("nr"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.round(F.min(F.when(F.col("rk") == 2, F.col("m"))) * 100)
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.round(F.min(F.when(F.col("rk") == F.col("nr") - 1, F.col("m"))) * 100)
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )

@@ -105,6 +105,53 @@ def pack_sequences(
     )
 
 
+LEN_BUCKET_W = 64  # tokens per length-bucket
+TOKENS_PER_BATCH = 16384  # padded-token budget per GPU batch
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    bucket_w: int = LEN_BUCKET_W,
+    budget: int = TOKENS_PER_BATCH,
+    group: str = "lang",
+) -> DataFrame:
+    """Dynamic-batching plan by sequence length: docs are bucketed by
+    token count (bucket cap = (bucket+1)*bucket_w), each bucket packs
+    ``budget // cap`` sequences per padded batch, and the plan reports
+    per (group, bucket): doc count, token sum, batch size, batch
+    count, and the padding waste (docs*cap - tokens) — the numbers a
+    trainer needs to size length-bucketed loaders and to see how much
+    compute padding burns versus :func:`pack_sequences`-style packing.
+
+    Pure integer arithmetic end to end (hash-exact), one partial-agg
+    shuffle to a |groups| x |buckets|-bounded result; the per-row
+    bucket expression runs in the scan stage.
+    """
+    toks = F.size(F.split(F.col("text"), " "))
+    b = docs.select(
+        F.col(group).alias("grp"), toks.alias("n_tokens")
+    ).withColumn("bucket", F.expr(f"(n_tokens - 1) div {int(bucket_w)}"))
+    agg = b.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    cap = (F.col("bucket") + 1) * bucket_w
+    batch_size = F.greatest(F.lit(1), F.expr(f"{int(budget)} div ((bucket + 1) * {int(bucket_w)})"))
+    return agg.select(
+        "grp",
+        "bucket",
+        cap.cast("long").alias("bucket_cap"),
+        "n_docs",
+        "sum_tokens",
+        batch_size.cast("long").alias("batch_size"),
+        F.expr(
+            f"(n_docs + greatest(1, {int(budget)} div ((bucket + 1) * {int(bucket_w)})) - 1) "
+            f"div greatest(1, {int(budget)} div ((bucket + 1) * {int(bucket_w)}))"
+        ).cast("long").alias("n_batches"),
+        (F.col("n_docs") * cap - F.col("sum_tokens")).cast("long").alias("pad_tokens"),
+    )
+
+
 def sample_hash_col(id_col: str = "doc_id") -> F.Column:
     """Deterministic per-row sampling hash in [0, 1000): pure int64
     arithmetic (same expression is emitted into the oracle SQL), so

@@ -93,6 +93,75 @@ def scd2_history(
     )
 
 
+def point_in_time_state(
+    df: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts: str = "ts",
+    seq: str = "event_id",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-travel / point-in-time read over the SCD2 history: sample
+    each key's valid ``attr`` on a per-key hourly grid — the
+    feature-store "AS OF" join that prevents label leakage (a feature
+    row must see the dimension state at ITS timestamp, never a later
+    one).  Output: (key, as_of, state, state_since_s); ``state`` is
+    NULL before the key's first run.
+
+    Plan is the scalable union-and-carry-forward (same family as
+    :func:`..temporal.asof_join`): history runs and probe timestamps
+    union on (key, t), one hash shuffle on ``key``, and
+    ``last(..., ignorenulls)`` carries the latest run forward —
+    O(n log n) per key versus the |probes| x |runs| candidate blow-up
+    of the naive inequality join.  A probe landing exactly on
+    ``valid_from`` sees the run that starts there (history rows sort
+    before probes on ties).  ``state_since_s`` ships as epoch-second
+    BIGINT (hash-exact discipline).
+    """
+    hist = scd2_history(df, key=key, attr=attr, ts=ts, seq=seq)
+    bounds = df.groupBy(key).agg(
+        F.date_trunc("hour", F.min(ts)).alias("t0"),
+        F.date_trunc("hour", F.max(ts)).alias("t1"),
+    )
+    probes = bounds.select(
+        key,
+        F.explode(
+            F.sequence("t0", "t1", F.expr(f"INTERVAL {step}"))
+        ).alias("t"),
+    )
+    p = probes.select(
+        key,
+        "t",
+        F.lit(None).cast("string").alias("_attr"),
+        F.lit(None).cast("timestamp").alias("_vf"),
+        F.lit(0).alias("_src"),
+    )
+    h = hist.select(
+        key,
+        F.col("valid_from").alias("t"),
+        F.col(attr).alias("_attr"),
+        F.col("valid_from").alias("_vf"),
+        F.lit(1).alias("_src"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("t"), F.desc("_src"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = p.unionByName(h)
+    return (
+        u.withColumn("state", F.last("_attr", ignorenulls=True).over(w))
+        .withColumn("_since", F.last("_vf", ignorenulls=True).over(w))
+        .filter(F.col("_src") == 0)
+        .select(
+            key,
+            F.col("t").alias("as_of"),
+            "state",
+            F.unix_timestamp("_since").alias("state_since_s"),
+        )
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
     """Change set between two snapshots keyed by ``key``: one row per
     changed key with op in {insert, delete, update} and the old/new
