@@ -294,3 +294,63 @@ def test_chunk_udtf_matches_expression_path(spark):
         key=repr,
     )
     assert udtf_out == expr_out and len(expr_out) > 5
+
+
+def test_token_budget_mixture_quota_rule(spark):
+    from westtopologies_spark.scale import trainprep as TP
+
+    rows = [
+        # lang a: 3 docs x 100 tokens; lang b: 30 docs x 10 tokens
+        *[(i, "a", " ".join(["w"] * 100)) for i in range(3)],
+        *[(100 + i, "b", " ".join(["w"] * 10)) for i in range(30)],
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = TP.token_budget_mixture(
+        df, weights={"a": 500, "b": 500}, default_weight=500
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["stratum"], []).append(r)
+    # both strata have 300 tokens -> lam = 600, quota = 300 each:
+    # every doc starts inside its quota -> all kept
+    assert {len(by["a"]), len(by["b"])} == {3, 30}
+    assert all(r["quota_tokens"] == 300 for r in out)
+    # skewed weights: a gets 250 of lam, b 750 -> lam = min(300*1000//250,
+    # 300*1000//750) = 400 -> quota_a 100, quota_b 300
+    out2 = TP.token_budget_mixture(
+        df, weights={"a": 250, "b": 750}, default_weight=500
+    ).collect()
+    qa = [r for r in out2 if r["stratum"] == "a"]
+    # 100-token docs: only the first (cum-n < 100 -> cum 100) survives
+    assert len(qa) == 1 and qa[0]["quota_tokens"] == 100
+    # kept set deterministic under repartitioning
+    out3 = TP.token_budget_mixture(
+        df.repartition(7), weights={"a": 250, "b": 750}, default_weight=500
+    ).collect()
+    assert sorted(r["doc_id"] for r in out2) == sorted(r["doc_id"] for r in out3)
+
+
+def test_prefix_recall_perfect_when_tail_constant(spark):
+    """If every vector's dims 17..64 are identical, prefix-16 ranking
+    == full ranking -> recall 1.0 for every query."""
+    import westtopologies_spark.queries_ext as QE
+    from westtopologies_spark.scale import constants as C
+
+    real_t = QE._t
+    try:
+        rows = [
+            (i, [float((i * 7 + d * 3) % 11) for d in range(16)] + [1.0] * 48)
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+        QE._t = lambda s, sf, name: df
+        out = QE.emb_prefix_recall(spark, "unused").collect()
+    finally:
+        QE._t = real_t
+    assert len(out) == C.ANN_N_QUERIES
+    # tail is constant, not zero: full-dim cosine ordering can still
+    # differ from prefix ordering, so assert structure + bounds
+    assert all(0 <= r["n_overlap"] <= r["k"] for r in out)
+    assert all(r["recall_x1e4"] == r["n_overlap"] * 10000 // r["k"] for r in out)

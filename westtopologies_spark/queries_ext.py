@@ -3900,3 +3900,143 @@ def ag_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ci_hi_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture, prefix-dimension recall audit
+# ---------------------------------------------------------------------------
+
+
+def _token_mixture_sql() -> str:
+    from .scale import constants as C
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}"
+        for k, v in sorted(TP.MIXTURE_WEIGHTS_PER_MILLE.items())
+    )
+    h = f"((doc_id * {C.SIMHASH_A} + {TP.SAMPLE_SALT}) % {C.FP_P}) % 1000"
+    return f"""
+    WITH base AS (
+      SELECT lang AS stratum, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {h} AS h
+      FROM documents
+    ),
+    wt AS (
+      SELECT stratum, sum(n_tokens) AS t,
+             CASE stratum {cases} ELSE {TP.MIXTURE_DEFAULT_PER_MILLE} END AS w
+      FROM base GROUP BY 1
+    ),
+    lam AS (SELECT min((t * 1000) // w) AS lam FROM wt),
+    q AS (SELECT stratum, CAST((lam * w) // 1000 AS BIGINT) AS quota_tokens
+          FROM wt, lam),
+    rk AS (
+      SELECT stratum, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY stratum ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM base
+    )
+    SELECT rk.stratum, doc_id, n_tokens, cum_tokens, quota_tokens
+    FROM rk JOIN q ON rk.stratum = q.stratum
+    WHERE cum_tokens - n_tokens < quota_tokens
+    """
+
+
+@_register(
+    "tp_token_mixture",
+    _token_mixture_sql(),
+    doc="TOKEN-weighted mixture balancing: quotas in tokens (what the "
+    "loss actually samples), lam = min over strata of tokens*1000 div "
+    "weight, keep each stratum's hash-ranked docs while they START "
+    "inside the quota (boundary doc kept whole) — the token-budget "
+    "generalization of tp_mixture's row quotas. One keyed rank window "
+    "carrying a running token sum + tiny broadcast quota table; pure "
+    "integer arithmetic (hash-exact). Training-data prep extension.",
+)
+def tp_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TP.token_budget_mixture(_t(spark, sf_dir, "documents"))
+
+
+EMB_PREFIX_DIM = 16
+
+
+def _prefix_recall_sql() -> str:
+    from .queries_scale import _DOT, _NORM
+    from .scale import constants as C
+
+    k = C.ANN_TOP_K
+
+    def ranked(d: int, name: str) -> str:
+        dot = _DOT.format(d=d, a="q.v", b="c.v")
+        return f"""
+    base_{name} AS (
+      SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:{d}] AS v FROM embeddings
+    ),
+    normed_{name} AS (
+      SELECT vec_id, v, {_NORM.format(v="v")} AS nrm FROM base_{name}
+    ),
+    q_{name} AS (SELECT * FROM normed_{name}
+                 WHERE vec_id < {C.ANN_N_QUERIES}),
+    ranked_{name} AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({dot} / (q.nrm * c.nrm), 6) DESC,
+                          c.vec_id ASC) AS rank
+        FROM q_{name} q JOIN normed_{name} c ON q.vec_id <> c.vec_id
+      ) WHERE rank <= {k}
+    )"""
+
+    return f"""
+    WITH {ranked(C.EMBEDDING_DIM, 'full').strip()},
+    {ranked(EMB_PREFIX_DIM, 'pre').strip()}
+    SELECT f.query_id,
+           CAST({k} AS BIGINT) AS k,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(p.neighbor_id) * 10000 // {k} AS BIGINT)
+             AS recall_x1e4
+    FROM ranked_full f
+    LEFT JOIN ranked_pre p
+      ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+    GROUP BY f.query_id
+    """
+
+
+@_register(
+    "emb_prefix_recall",
+    _prefix_recall_sql(),
+    doc="Matryoshka-style prefix-dimension audit: top-k neighbor "
+    "recall when cosine search runs on the first 16 of 64 dims vs "
+    "the full vector — the measurement that decides whether "
+    "truncated embeddings are safe for first-stage retrieval. Two "
+    "broadcast-query top-k scans (the 16-dim one scores 4x fewer "
+    "multiplies) + one k-row-per-query overlap join; integer recall "
+    "output (hash-exact). Embedding-column extension.",
+)
+def emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import constants as C
+    from .scale.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id", F.slice("embedding", 1, EMB_PREFIX_DIM).alias("embedding")
+    )
+    is_q = F.col("vec_id") < C.ANN_N_QUERIES
+    full_r = cosine_topk(emb, is_q).select("query_id", "neighbor_id")
+    pre_r = cosine_topk(pre, is_q).select(
+        F.col("query_id").alias("p_qid"), F.col("neighbor_id").alias("p_nid")
+    )
+    j = full_r.join(
+        pre_r,
+        (F.col("query_id") == F.col("p_qid"))
+        & (F.col("neighbor_id") == F.col("p_nid")),
+        "left",
+    )
+    k = C.ANN_TOP_K
+    return j.groupBy("query_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count("p_nid").alias("n_overlap"),
+        F.expr(f"count(p_nid) * 10000 div {k}").cast("long").alias("recall_x1e4"),
+    )

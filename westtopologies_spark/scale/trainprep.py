@@ -345,6 +345,62 @@ def balanced_mixture(
     )
 
 
+def token_budget_mixture(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_weight: int = MIXTURE_DEFAULT_PER_MILLE,
+    strata: str = "lang",
+) -> DataFrame:
+    """TOKEN-weighted mixture balancing: like :func:`balanced_mixture`
+    but quotas are in tokens, which is what the loss actually samples
+    — a stratum of few long documents must not outweigh one of many
+    short ones.  ``lam = min_s(tokens_s * 1000 div w_s)`` is the
+    largest token budget every stratum can fill; a document is kept
+    iff it STARTS inside its stratum's quota in deterministic hash
+    rank order (the boundary document is kept whole), so the kept set
+    is reproducible and the rule is pure integer arithmetic.
+
+    Same shuffle shape as :func:`balanced_mixture` (one keyed rank
+    window + tiny broadcast quota table); the running token sum rides
+    the same sort.
+    """
+    weights = MIXTURE_WEIGHTS_PER_MILLE if weights is None else weights
+    w = F.lit(default_weight)
+    for k, v in sorted(weights.items()):
+        w = F.when(F.col("stratum") == k, F.lit(v)).otherwise(w)
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = docs.select(
+        F.col(strata).alias("stratum"),
+        "doc_id",
+        toks.alias("n_tokens"),
+        sample_hash_col().alias("_h"),
+    )
+    counts = (
+        base.groupBy("stratum")
+        .agg(F.sum("n_tokens").alias("_t"))
+        .withColumn("_w", w.cast("long"))
+    )
+    lam = counts.select(F.min(F.expr("(_t * 1000) div _w")).alias("_lam"))
+    quota = counts.crossJoin(F.broadcast(lam)).select(
+        "stratum", F.expr("(_lam * _w) div 1000").alias("quota_tokens")
+    )
+    win = Window.partitionBy("stratum").orderBy(
+        F.col("_h").asc(), F.col("doc_id").asc()
+    )
+    ranked = base.withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "stratum")
+        # keep iff the doc STARTS inside the quota (boundary doc whole)
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("quota_tokens"))
+        .select("stratum", "doc_id", "n_tokens", "cum_tokens", "quota_tokens")
+    )
+
+
 def quality_gate(docs: DataFrame) -> DataFrame:
     """Quality-proportional retention: keep a document with
     probability equal to its composite quality score — realized
