@@ -263,3 +263,41 @@ def test_heldout_nll_hand_computed(spark):
     assert out[8].n_tokens == 2
     # catalog output is the hash-exact scaled BIGINT (VERDICT r2 #3)
     assert out[8].mean_nll_x1e6 == round(round(expect, 6) * 1e6)
+
+
+def test_modularity_stats_two_cliques(spark):
+    """Two triangles + one bridge edge: the per-community integer
+    sufficient statistics of Newman modularity match hand values."""
+    import westtopologies_spark.queries_graph as QG
+    from pyspark.sql import functions as F
+    from westtopologies_spark.ops import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "u long, v long",
+    )
+    lab = G.label_propagation(edges).select("user_id", "community_id")
+    # reproduce the gr_modularity aggregation on the toy graph
+    sym = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    la = lab.select(F.col("user_id").alias("u"), F.col("community_id").alias("ca"))
+    lb = lab.select(F.col("user_id").alias("v"), F.col("community_id").alias("cb"))
+    ec = (
+        edges.join(la, "u").join(lb, "v")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community_id"))
+        .agg(F.count(F.lit(1)).alias("in_edges"))
+    )
+    dc = (
+        lab.join(deg, lab.user_id == deg.node)
+        .groupBy("community_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("degree_sum"))
+    )
+    out = {r["community_id"]: r for r in dc.join(ec, "community_id", "left").collect()}
+    # community {1,2,3}: 3 internal edges; degrees 2,2,3 -> sum 7
+    # community {4,5,6}: 3 internal edges; degrees 3,2,2 -> sum 7
+    assert len(out) == 2
+    for r in out.values():
+        assert r["n_nodes"] == 3 and r["in_edges"] == 3 and r["degree_sum"] == 7

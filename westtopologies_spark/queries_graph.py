@@ -250,7 +250,9 @@ def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.kcore_peel(G.user_edges(_event_edges(spark, sf_dir)))
 
 
-def _lpa_sql() -> str:
+def _lpa_cte_chain() -> str:
+    """The CTE chain up to the converged label table ``l{rounds}``
+    (shared by gr_label_propagation and gr_modularity)."""
     rounds = G.LPA_ROUNDS
     parts = [
         _TW_CTE
@@ -279,8 +281,13 @@ def _lpa_sql() -> str:
       WHERE rn = 1
     )"""
         )
+    return "".join(parts)
+
+
+def _lpa_sql() -> str:
+    rounds = G.LPA_ROUNDS
     return (
-        "".join(parts)
+        _lpa_cte_chain()
         + f""",
     sizes AS (SELECT label, count(*) AS community_size
               FROM l{rounds} GROUP BY 1)
@@ -303,3 +310,89 @@ def _lpa_sql() -> str:
 )
 def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.label_propagation(G.user_edges(_event_edges(spark, sf_dir)))
+
+
+def _modularity_sql() -> str:
+    rounds = G.LPA_ROUNDS
+    return (
+        _lpa_cte_chain()
+        + f""",
+    lab AS (SELECT node AS user_id, label AS community_id FROM l{rounds}),
+    mrow AS (SELECT count(*) AS m FROM uedges),
+    deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+    ec AS (
+      SELECT la.community_id, count(*) AS in_edges
+      FROM uedges e
+      JOIN lab la ON la.user_id = e.u
+      JOIN lab lb ON lb.user_id = e.v
+      WHERE la.community_id = lb.community_id
+      GROUP BY 1
+    ),
+    dc AS (
+      SELECT l.community_id, count(*) AS n_nodes,
+             CAST(sum(d.d) AS BIGINT) AS degree_sum
+      FROM lab l JOIN deg d ON d.node = l.user_id
+      GROUP BY 1
+    )
+    SELECT dc.community_id, n_nodes,
+           CAST(coalesce(ec.in_edges, 0) AS BIGINT) AS in_edges,
+           degree_sum, CAST(m AS BIGINT) AS m
+    FROM dc LEFT JOIN ec ON dc.community_id = ec.community_id
+    CROSS JOIN mrow
+    """
+    )
+
+
+@_register(
+    "gr_modularity",
+    _modularity_sql(),
+    doc="Community-quality profile for the LPA partition: per "
+    "community its node count, internal edge count and degree sum "
+    "alongside the global edge count m — the exact integer "
+    "sufficient statistics of Newman modularity (Q = sum_c(in_c/m - "
+    "(d_c/2m)^2); kept as integers rather than a pre-divided double "
+    "so the output is hash-exact and Q is reconstructible at any "
+    "precision). Plan: the LPA trace + one degree aggregate, one "
+    "label-pair join, and a 1-row broadcast m. Graph-analytics "
+    "extension.",
+)
+def gr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = G.user_edges(_event_edges(spark, sf_dir))
+    lab = G.label_propagation(edges).select("user_id", "community_id")
+    sym = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    m_row = edges.agg(F.count(F.lit(1)).alias("m"))
+    la = lab.select(
+        F.col("user_id").alias("u"), F.col("community_id").alias("ca")
+    )
+    lb = lab.select(
+        F.col("user_id").alias("v"), F.col("community_id").alias("cb")
+    )
+    ec = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community_id"))
+        .agg(F.count(F.lit(1)).alias("in_edges"))
+    )
+    dc = (
+        lab.join(deg, lab.user_id == deg.node)
+        .groupBy("community_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    return (
+        dc.join(ec, "community_id", "left")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "community_id",
+            "n_nodes",
+            F.coalesce("in_edges", F.lit(0)).cast("long").alias("in_edges"),
+            "degree_sum",
+            F.col("m").cast("long").alias("m"),
+        )
+    )
