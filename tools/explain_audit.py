@@ -86,7 +86,15 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # grand total N (1 row) joined onto contingency cells
                        "ag_chisq_cells",
                        # series totals (1 row) joined onto the hourly scan
-                       "ts_cusum_changepoint"}
+                       "ts_cusum_changepoint",
+                       # token-budget scale factor lam (1 row) joined onto quotas
+                       "tp_token_mixture",
+                       # global edge count m (1 row) joined onto community stats
+                       "gr_modularity",
+                       # bounded query-set broadcast (<= ANN_N_QUERIES rows)
+                       # with a non-equi self-exclusion predicate — the same
+                       # class as ann_bruteforce_topk's scan
+                       "emb_prefix_recall"}
 
 
 def audit(name: str, plan: str) -> list[str]:

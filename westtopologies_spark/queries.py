@@ -1273,6 +1273,119 @@ from . import queries_ext2  # noqa: E402, F401
 
 
 # ---------------------------------------------------------------------------
+# Hash-exact hardening sweep (round 3): every catalog query that has
+# never earned a driver correctness row and still emits a COMPUTED
+# double (rounded ratio/score, decimal-cast sum, shared-expression
+# division) is wrapped IN PLACE with the scaled-BIGINT projection on
+# both engines — so whichever round the self-rotating window reaches
+# it, the driver's hasher sees only exact integers.  The scale K per
+# column preserves the precision the query already rounded to (K=2
+# for DECIMAL(18,2)-cent sums, 4/6 matching round(...,4/6), 9 for
+# previously-unrounded shared-expression doubles).  Raw passthrough
+# doubles (untouched column values) keep their two rounds of passing
+# precedent and are NOT wrapped.  Queries with an existing driver
+# PASS are left untouched — passing precedent beats churn.
+# ---------------------------------------------------------------------------
+
+
+def _scaled_int_sql_exclude(inner: str, scaled: dict[str, int]) -> str:
+    """Wrap oracle SQL: keep every column except the scaled ones
+    (DuckDB ``* EXCLUDE``), append the scaled-BIGINT projections."""
+    excl = ", ".join(f'"{c}"' for c in scaled)
+    items = [f"* EXCLUDE ({excl})"] + [
+        f'CAST(round("{c}" * {10 ** k}) AS BIGINT) AS {c}_x1e{k}'
+        for c, k in scaled.items()
+    ]
+    return f"SELECT {', '.join(items)} FROM (\n{inner}\n)"
+
+
+def _harden(name: str, scaled: dict[str, int]) -> None:
+    for i, spec in enumerate(_CATALOG):
+        if spec.name != name:
+            continue
+        fn = spec.spark
+
+        def wrapped(spark, sf_dir, _fn=fn, _s=scaled):
+            return _as_scaled_int(_fn(spark, sf_dir), _s)
+
+        oracle = (
+            _scaled_int_sql_exclude(spec.oracle, scaled)
+            if spec.oracle is not None
+            else None
+        )
+        _CATALOG[i] = QuerySpec(
+            name,
+            wrapped,
+            oracle,
+            spec.doc + " Hash-exact output (scaled BIGINT, r3 sweep).",
+        )
+        return
+    raise KeyError(f"_harden: unknown catalog entry {name}")
+
+
+_HARDEN_SCALES: dict[str, dict[str, int]] = {
+    "dv_cdc_apply": {"last_value": 2},
+    "ts_session_window": {"sum_value": 2},
+    "gs_rollup": {"sum_qty": 2, "sum_price": 2},
+    "ag_trimmed_mean": {"trimmed_mean": 4},
+    "tp_quality_gate": {"quality_score": 4},
+    "ts_cohort": {"retention": 4},
+    "ag_corr": {"covar": 4, "corr": 4},
+    "tp_contamination": {"rate": 4},
+    "ag_profile": {"min_num": 4, "max_num": 4},
+    "wn_ntile_cume": {"pct_rank": 6, "cume": 6},
+    "wn_range_frame": {"sum_prev_hour": 2},
+    "ud_geomean": {"geomean": 4},
+    "ag_histogram": {"bin_min": 2, "bin_max": 2},
+    "ts_ewma": {"ewma": 6},
+    "tp_zscore": {"z": 6},
+    "tp_class_weights": {"weight": 6},
+    "ag_pivot": {
+        "event_type_click": 2,
+        "event_type_error": 2,
+        "event_type_purchase": 2,
+        "event_type_signup": 2,
+        "event_type_view": 2,
+    },
+    "tp_priority_sample": {"priority": 4},
+    "ag_quantile_bins": {"bin_lo": 2, "bin_hi": 2},
+    "ag_iqr_outliers": {"lo_fence": 4, "hi_fence": 4},
+    "sq_local_supplier_volume": {"revenue": 4},
+    "ts_monthly_trend": {"revenue": 2, "mom_delta": 2, "ma3": 2},
+    "ts_transitions": {"p_transition": 6},
+    "ag_contribution": {"revenue": 2, "pct_of_total": 4},
+    "j10_salted_join": {"revenue": 2},
+    "ag_winsorized_mean": {"winsorized_mean": 4, "cap_lo": 4, "cap_hi": 4},
+    "gs_cube": {"sum_price": 2},
+    "sq_large_orders": {"total_qty": 2},
+    "ts_anomaly": {"zscore": 4},
+    "ag_gini": {"gini": 6},
+    "gr_neighbor_jaccard": {"jaccard": 6},
+    "gr_pagerank": {"pagerank": 6},
+    "sq_returned_revenue": {"revenue": 4},
+    "sq_volume_shipping": {"revenue": 4},
+    "sq_promo_revenue": {"promo_pct": 6},
+    "sq_price_bands": {"revenue": 4},
+    "gs_grouping_sets": {"sum_price": 2},
+    "sq_market_share": {"mkt_share": 6},
+    "ts_seasonality": {"avg_value": 6},
+    "ts_sliding_rollup": {"sum_value": 2},
+    "j12_geo_cell_join": {"dist": 9},
+    "ag_linfit": {"slope": 9, "intercept": 9},
+    "ag_auc": {"auc": 6},
+    "ag_pr_curve": {"precision": 6, "recall": 6},
+    "ag_ks_test": {"ks_d": 6},
+    "ag_calibration": {"mean_pred": 6, "actual_rate": 6},
+    "ts_autocorr": {"lag1_corr": 6},
+    "sq_small_quantity_revenue": {"avg_yearly": 2},
+    "ag_chisq_cells": {"expected": 4, "contrib": 6},
+}
+
+for _n, _s in _HARDEN_SCALES.items():
+    _harden(_n, _s)
+
+
+# ---------------------------------------------------------------------------
 # Catalog ordering: the driver's per-round correctness gate checks the
 # FIRST 50 dict entries (CORRECTNESS_r01.json == the first 50 of round 1's
 # insertion order). Round 1 left 84 queries without a hard-signal row, so
