@@ -1,0 +1,71 @@
+"""Driver-contract regression tests for ``__spark_entry__``:
+the exact invariants the per-round driver relies on (smoke-run
+entry(), queries()/oracle_sql() key discipline, stable entry schema,
+and the hash-exact output discipline for window-eligible queries)."""
+
+from __future__ import annotations
+
+import importlib
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    sys.path.insert(0, REPO)
+    return importlib.import_module("__spark_entry__")
+
+
+def test_entry_runs_with_stable_schema(spark, entry_mod):
+    df = entry_mod.entry(spark)
+    assert df.columns == [
+        "window_start",
+        "event_type",
+        "n_events",
+        "n_users",
+        "sum_value",
+    ]
+    assert len(df.take(5)) > 0
+
+
+def test_oracle_keys_subset_of_queries(entry_mod):
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    # rows-only entries are the documented model/sketch exceptions
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {
+        "m1_predict_locations",
+        "ag_approx_percentiles",
+        "ag_hll_distinct",
+    }
+
+
+def test_window_queries_have_no_unprecedented_double_outputs(spark, entry_mod):
+    """Hash-exact discipline (ORACLE_DISCIPLINE.md round-3 sweep):
+    a correctness-window query may only emit double columns if it
+    already has a driver value-hash PASS on record (precedent) or is
+    rows-only by design — a NEVER-driver-checked window entrant with
+    a double output would re-expose the ts_sessionize failure class."""
+    import glob
+    import json
+
+    passed = set()
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(p)).items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                passed.add(name)
+    qs = list(entry_mod.queries().items())[:50]
+    offenders = []
+    for name, fn in qs:
+        if name in passed:
+            continue
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if "double" in t or "float" in t:
+                offenders.append(f"{name}.{f.name}:{t}")
+    assert not offenders, offenders

@@ -1324,6 +1324,9 @@ def _harden(name: str, scaled: dict[str, int]) -> None:
 
 
 _HARDEN_SCALES: dict[str, dict[str, int]] = {
+    # raw passthrough, but never driver-checked and window-eligible —
+    # zero-doubt beats the passthrough precedent for window entrants
+    "dv_latest_per_key": {"value": 2},
     "dv_cdc_apply": {"last_value": 2},
     "ts_session_window": {"sum_value": 2},
     "gs_rollup": {"sum_qty": 2, "sum_price": 2},
