@@ -94,7 +94,10 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # bounded query-set broadcast (<= ANN_N_QUERIES rows)
                        # with a non-equi self-exclusion predicate — the same
                        # class as ann_bruteforce_topk's scan
-                       "emb_prefix_recall"}
+                       "emb_prefix_recall",
+                       # composes the brute-force plan above -> same bounded
+                       # query-set broadcast on its exact side
+                       "ann_recall_audit"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -4040,3 +4040,69 @@ def emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("p_nid").alias("n_overlap"),
         F.expr(f"count(p_nid) * 10000 div {k}").cast("long").alias("recall_x1e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap distribution
+# ---------------------------------------------------------------------------
+
+GAP_BUCKET_S = 60
+GAP_BUCKET_CAP = 120
+
+
+def _inter_event_sql() -> str:
+    w, cap = GAP_BUCKET_S, GAP_BUCKET_CAP
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_type, event_id, ts, {_SEC} AS sec FROM events
+    ),
+    lagd AS (
+      SELECT event_type,
+             sec - lag(sec) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS gap_s
+      FROM e
+    )
+    SELECT event_type,
+           CAST(least(gap_s // {w}, {cap}) AS BIGINT) AS gap_bucket_min,
+           count(*) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM lagd WHERE gap_s IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+@_register(
+    "ts_inter_event",
+    _inter_event_sql(),
+    doc="Inter-arrival gap distribution per event type: consecutive "
+    "same-user same-type gaps bucketed per minute (capped at 2 h) — "
+    "the burstiness/dead-air profile behind session-gap and "
+    "watermark tuning (the 30-min session gap and 10-min watermark "
+    "defaults are readable straight off this histogram). One keyed "
+    "lag window + a partial-agg'd count; pure integer arithmetic "
+    "(hash-exact). Temporal extension.",
+)
+def ts_inter_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    gap = (sec - F.lag(sec).over(w)).alias("gap_s")
+    lagd = ev.select("event_type", gap)
+    return (
+        lagd.filter(F.col("gap_s").isNotNull())
+        .groupBy(
+            "event_type",
+            F.least(
+                F.expr(f"gap_s div {GAP_BUCKET_S}"), F.lit(GAP_BUCKET_CAP)
+            )
+            .cast("long")
+            .alias("gap_bucket_min"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+    )

@@ -833,3 +833,118 @@ def dd_shingle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return df.groupBy("df").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+
+def _ann_recall_sql() -> str:
+    k = C.ANN_TOP_K
+    return f"""
+    WITH exact_r AS ({_ann_bruteforce_sql()}),
+    lsh_r AS ({_ann_lsh_sql()})
+    SELECT e.query_id,
+           CAST({k} AS BIGINT) AS k,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(l.neighbor_id) * 10000 // {k} AS BIGINT)
+             AS recall_x1e4
+    FROM exact_r e
+    LEFT JOIN lsh_r l
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@_register(
+    "ann_recall_audit",
+    _ann_recall_sql(),
+    doc="ANN recall@k audit: per query, how many of the exact "
+    "brute-force top-k the sign-LSH bucketed search returned — the "
+    "measurement that decides whether single-probe LSH is usable or "
+    "needs multi-probe/IVF. Composes the two existing search plans "
+    "plus one k-row-per-query overlap join; integer recall output "
+    "(hash-exact). At corpus scale the exact side runs on a sampled "
+    "query set exactly as here (N_QUERIES rows broadcast). Scale "
+    "extension.",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_N_QUERIES)
+    exact = similarity.cosine_topk(emb, q).select("query_id", "neighbor_id")
+    lsh = similarity.ann_lsh_topk(emb, q).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    j = exact.join(
+        lsh,
+        (F.col("query_id") == F.col("l_qid"))
+        & (F.col("neighbor_id") == F.col("l_nid")),
+        "left",
+    )
+    k = C.ANN_TOP_K
+    return j.groupBy("query_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count("l_nid").alias("n_overlap"),
+        F.expr(f"count(l_nid) * 10000 div {k}").cast("long").alias("recall_x1e4"),
+    )
+
+
+def _dedup_funnel_sql() -> str:
+    return f"""
+    WITH pairs AS ({_minhash_sql()}),
+    groups AS (
+      SELECT count(*) AS n_copies
+      FROM documents
+      GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')
+    )
+    SELECT 'corpus_docs' AS stage, count(*) AS n FROM documents
+    UNION ALL
+    SELECT 'exact_dup_groups', count(*) FROM groups WHERE n_copies > 1
+    UNION ALL
+    SELECT 'exact_extra_copies',
+           coalesce(sum(n_copies - 1), 0) FROM groups WHERE n_copies > 1
+    UNION ALL
+    SELECT 'neardup_pairs', count(*) FROM pairs
+    UNION ALL
+    SELECT 'neardup_docs', count(DISTINCT doc_id) FROM (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION ALL SELECT doc_b FROM pairs)
+    """
+
+
+@_register(
+    "dd_funnel_report",
+    _dedup_funnel_sql(),
+    doc="Dedup-pipeline observability: one row per funnel stage — "
+    "corpus size, exact-duplicate groups and removable extra copies, "
+    "confirmed MinHash near-dup pairs, and distinct documents touched "
+    "by near-dup pairs — the per-build report a curation pipeline "
+    "publishes so dedup drift is visible build over build. Each stage "
+    "is an independent partial-agg'd count over plans the catalog "
+    "already exercises; pure integers (hash-exact). Scale extension.",
+)
+def dd_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    groups = dedup.exact_duplicate_groups(docs)
+    dup_groups = groups.filter(F.col("n_copies") > 1)
+    pairs = dedup.minhash_lsh_dedup(docs, vocab_mode="char")
+
+    def row(stage: str, df_agg) -> DataFrame:
+        return df_agg.select(
+            F.lit(stage).alias("stage"), F.col("n").cast("long").alias("n")
+        )
+
+    corpus = row("corpus_docs", docs.agg(F.count(F.lit(1)).alias("n")))
+    g1 = row(
+        "exact_dup_groups", dup_groups.agg(F.count(F.lit(1)).alias("n"))
+    )
+    g2 = row(
+        "exact_extra_copies",
+        dup_groups.agg(
+            F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("n")
+        ),
+    )
+    p1 = row("neardup_pairs", pairs.agg(F.count(F.lit(1)).alias("n")))
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    p2 = row(
+        "neardup_docs", nodes.agg(F.countDistinct("doc_id").alias("n"))
+    )
+    return corpus.unionByName(g1).unionByName(g2).unionByName(p1).unionByName(p2)
