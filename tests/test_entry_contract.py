@@ -69,3 +69,27 @@ def test_window_queries_have_no_unprecedented_double_outputs(spark, entry_mod):
             if "double" in t or "float" in t:
                 offenders.append(f"{name}.{f.name}:{t}")
     assert not offenders, offenders
+
+
+def test_submodule_first_import_order():
+    """Importing a catalog submodule BEFORE the root queries module
+    must still yield the full hardened catalog (regression: the
+    hash-exact sweep used to run at module scope and saw a partial
+    _CATALOG under this circular-import order)."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import westtopologies_spark.queries_ext\n"
+        "import westtopologies_spark.queries as q\n"
+        "specs = q._ordered()\n"
+        "assert len(specs) >= 181, len(specs)\n"
+        "assert any('_x1e' in (s.oracle or '')\n"
+        "           for s in specs if s.name == 'ag_pivot')\n"
+        "print('ok')\n" % REPO
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ok" in r.stdout

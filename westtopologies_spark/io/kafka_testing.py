@@ -134,7 +134,15 @@ class _StreamWriter(DataSourceStreamWriter):
                 for col in ("key", "value"):
                     v = rec.get(col)
                     if isinstance(v, (bytes, bytearray)):
-                        rec[col] = bytes(v).decode("utf-8")
+                        # the real sink takes arbitrary BINARY; keep
+                        # non-UTF-8 payloads byte-faithful via the
+                        # reversible latin-1 mapping instead of
+                        # crashing on strict utf-8 (CODE-REVIEW r3)
+                        try:
+                            rec[col] = bytes(v).decode("utf-8")
+                        except UnicodeDecodeError:
+                            rec[col] = bytes(v).decode("latin-1")
+                            rec[f"_{col}_encoding"] = "latin-1"
                 rec.setdefault("topic", self.topic)
                 f.write(json.dumps(rec) + "\n")
                 n += 1

@@ -192,13 +192,18 @@ def role_file_lines(roles: DataFrame) -> DataFrame:
     one file per closed window, each user a line
     ``id \\t username \\t role``.  Returns (window_start, value) so the
     file sink partitions by window — one directory per window, the
-    Spark analog of the per-window file."""
+    Spark analog of the per-window file.  Edge sets built without
+    screen names (roles_for_closed_windows only attaches ``username``
+    when the struct carries it) emit an empty username field, like
+    the reference does for unobserved users."""
+    username = (
+        F.coalesce("username", F.lit(""))
+        if "username" in roles.columns
+        else F.lit("")
+    )
     return roles.select(
         "window_start",
         F.concat_ws(
-            "\t",
-            F.col("user_id").cast("string"),
-            F.coalesce("username", F.lit("")),
-            "role",
+            "\t", F.col("user_id").cast("string"), username, "role"
         ).alias("value"),
     )

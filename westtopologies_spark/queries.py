@@ -1384,8 +1384,19 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "ag_chisq_cells": {"expected": 4, "contrib": 6},
 }
 
-for _n, _s in _HARDEN_SCALES.items():
-    _harden(_n, _s)
+# Applied LAZILY (first catalog access), not at module scope: if a
+# caller imports a submodule like queries_ext FIRST, Python re-enters
+# this module before that submodule finished registering its entries
+# (circular import), and an eager sweep would see a partial _CATALOG.
+_HARDENED = False
+
+
+def _apply_hardening() -> None:
+    global _HARDENED
+    if not _HARDENED:
+        for _n, _s in _HARDEN_SCALES.items():
+            _harden(_n, _s)
+        _HARDENED = True
 
 
 # ---------------------------------------------------------------------------
@@ -1468,6 +1479,7 @@ def _ordered() -> list[QuerySpec]:
     over successive rounds the whole catalog accumulates hard-signal
     rows with no manual re-rotation (the round-1 lesson: 84 of 134
     queries had no driver row because the order was static)."""
+    _apply_hardening()
     by_name = {spec.name: spec for spec in _CATALOG}
     top = [by_name[n] for n in _TOP_PRIORITY if n in by_name]
     checked = _hard_signal_rounds()

@@ -4017,28 +4017,15 @@ def _prefix_recall_sql() -> str:
 )
 def emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import constants as C
-    from .scale.similarity import cosine_topk
+    from .scale.similarity import cosine_topk, recall_overlap
 
     emb = _t(spark, sf_dir, "embeddings")
     pre = emb.select(
         "vec_id", F.slice("embedding", 1, EMB_PREFIX_DIM).alias("embedding")
     )
     is_q = F.col("vec_id") < C.ANN_N_QUERIES
-    full_r = cosine_topk(emb, is_q).select("query_id", "neighbor_id")
-    pre_r = cosine_topk(pre, is_q).select(
-        F.col("query_id").alias("p_qid"), F.col("neighbor_id").alias("p_nid")
-    )
-    j = full_r.join(
-        pre_r,
-        (F.col("query_id") == F.col("p_qid"))
-        & (F.col("neighbor_id") == F.col("p_nid")),
-        "left",
-    )
-    k = C.ANN_TOP_K
-    return j.groupBy("query_id").agg(
-        F.lit(k).cast("long").alias("k"),
-        F.count("p_nid").alias("n_overlap"),
-        F.expr(f"count(p_nid) * 10000 div {k}").cast("long").alias("recall_x1e4"),
+    return recall_overlap(
+        cosine_topk(emb, is_q), cosine_topk(pre, is_q), C.ANN_TOP_K
     )
 
 

@@ -1255,6 +1255,11 @@ LINFIT_EPOCH0 = 820_454_400  # 1996-01-01; x in MINUTES keeps x^2 sums < 2^53
               * CAST(sx AS DOUBLE))
            / CAST(n AS DOUBLE) / 100.0 AS intercept
     FROM s
+    -- zero-x-variance guard (exact integers): keeps the normal
+    -- equations total — a key whose events all share one minute
+    -- bucket would make slope 0/0 = NaN, which the r3 scaled-BIGINT
+    -- wrap turns into an engine-divergent cast (CODE-REVIEW r3)
+    WHERE n * sxx - sx * sx <> 0
     """,
     doc="Grouped OLS trend (value-over-time slope + intercept per "
     "user, units value/minute): the per-key drift detector behind "
@@ -1282,6 +1287,11 @@ def ag_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("yc").alias("sy"),
         )
         .filter(F.col("n") >= 3)
+        # zero-x-variance guard, exact integer arithmetic (same
+        # predicate as the oracle) — keeps slope/intercept NaN-free
+        .filter(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0
+        )
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")

@@ -867,21 +867,10 @@ def _ann_recall_sql() -> str:
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < C.ANN_N_QUERIES)
-    exact = similarity.cosine_topk(emb, q).select("query_id", "neighbor_id")
-    lsh = similarity.ann_lsh_topk(emb, q).select(
-        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
-    )
-    j = exact.join(
-        lsh,
-        (F.col("query_id") == F.col("l_qid"))
-        & (F.col("neighbor_id") == F.col("l_nid")),
-        "left",
-    )
-    k = C.ANN_TOP_K
-    return j.groupBy("query_id").agg(
-        F.lit(k).cast("long").alias("k"),
-        F.count("l_nid").alias("n_overlap"),
-        F.expr(f"count(l_nid) * 10000 div {k}").cast("long").alias("recall_x1e4"),
+    return similarity.recall_overlap(
+        similarity.cosine_topk(emb, q),
+        similarity.ann_lsh_topk(emb, q),
+        C.ANN_TOP_K,
     )
 
 

@@ -699,6 +699,10 @@ def embedding_neardup_pairs_pruned(
             }
         )
 
+    # persist: blocks feed the stats pair-prune AND both grid sides.
+    # Storage memory is LRU-evictable, so repeated runs in a long
+    # session self-bound (same caching pattern as kmeans_assignments'
+    # corpus persist).
     blocks = rows.groupBy("cluster_id").applyInPandas(
         to_block,
         "cluster_id long, ids array<long>, vecs array<array<double>>, "

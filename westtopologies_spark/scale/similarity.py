@@ -44,6 +44,33 @@ def _normed(emb: DataFrame, vec_col: str, id_col: str, prefix: str) -> DataFrame
     )
 
 
+def recall_overlap(
+    exact_topk: DataFrame, approx_topk: DataFrame, k: int
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact ground truth: (query_id, k, n_overlap, recall_x1e4) — one
+    k-row-per-query left join + count, recall as an exact scaled
+    BIGINT.  Shared by the prefix-truncation audit
+    (``emb_prefix_recall``) and the LSH audit (``ann_recall_audit``);
+    both sides must carry (query_id, neighbor_id)."""
+    approx = approx_topk.select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    j = exact_topk.select("query_id", "neighbor_id").join(
+        approx,
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count("a_nid").alias("n_overlap"),
+        F.expr(f"count(a_nid) * 10000 div {int(k)}")
+        .cast("long")
+        .alias("recall_x1e4"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame | Column,

@@ -131,24 +131,43 @@ def length_bucket_batches(
     b = docs.select(
         F.col(group).alias("grp"), toks.alias("n_tokens")
     ).withColumn("bucket", F.expr(f"(n_tokens - 1) div {int(bucket_w)}"))
-    agg = b.groupBy("grp", "bucket").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("sum_tokens"),
+    agg = (
+        b.groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        # derive each sizing column from the previous one so the rule
+        # lives in exactly one expression (CODE-REVIEW r3)
+        .withColumn(
+            "bucket_cap", ((F.col("bucket") + 1) * bucket_w).cast("long")
+        )
+        .withColumn(
+            "batch_size",
+            F.greatest(
+                F.lit(1), F.expr(f"{int(budget)} div bucket_cap")
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_batches",
+            F.expr("(n_docs + batch_size - 1) div batch_size").cast("long"),
+        )
+        .withColumn(
+            "pad_tokens",
+            (F.col("n_docs") * F.col("bucket_cap") - F.col("sum_tokens")).cast(
+                "long"
+            ),
+        )
     )
-    cap = (F.col("bucket") + 1) * bucket_w
-    batch_size = F.greatest(F.lit(1), F.expr(f"{int(budget)} div ((bucket + 1) * {int(bucket_w)})"))
     return agg.select(
         "grp",
         "bucket",
-        cap.cast("long").alias("bucket_cap"),
+        "bucket_cap",
         "n_docs",
         "sum_tokens",
-        batch_size.cast("long").alias("batch_size"),
-        F.expr(
-            f"(n_docs + greatest(1, {int(budget)} div ((bucket + 1) * {int(bucket_w)})) - 1) "
-            f"div greatest(1, {int(budget)} div ((bucket + 1) * {int(bucket_w)}))"
-        ).cast("long").alias("n_batches"),
-        (F.col("n_docs") * cap - F.col("sum_tokens")).cast("long").alias("pad_tokens"),
+        "batch_size",
+        "n_batches",
+        "pad_tokens",
     )
 
 
