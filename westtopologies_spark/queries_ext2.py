@@ -2065,3 +2065,139 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting
+# ---------------------------------------------------------------------------
+
+WAIT_LATE_DAYS = 60
+
+
+@_register(
+    "sq_waiting_suppliers",
+    f"""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate
+                       + INTERVAL {WAIT_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supp,
+             count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+               AS n_late,
+             min(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+      FROM lo GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+    FROM per_order p JOIN supplier s ON s.s_suppkey = p.late_supp
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (waiting suppliers): the classic "
+    "double-correlated EXISTS / NOT EXISTS pair — 'another supplier "
+    "participated in the order, but no other supplier was late' — "
+    "decorrelated into ONE grouped pass over (order, supplier, "
+    "late?) tuples: per-order distinct-supplier and distinct-late "
+    "counts replace both correlated subqueries, so lineitem is "
+    "scanned once and shuffled once on l_orderkey instead of three "
+    "self-joins. 'Late' = shipped more than 60 days after the order "
+    "date (the synthetic schema has no receipt/commit dates). "
+    "Deterministic top-20 via the (numwait DESC, s_suppkey) total "
+    "order. Relational extension.",
+)
+def sq_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAIT_LATE_DAYS} DAYS"
+    )
+    per_order = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(late, F.col("l_suppkey")).alias("_late_supp"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("_late_supp").alias("n_late"),
+            F.min("_late_supp").alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier(s) by quarterly shipped revenue
+# ---------------------------------------------------------------------------
+
+TOPSUPP_Q_START = "1997-01-01"
+TOPSUPP_Q_END = "1997-04-01"
+
+
+@_register(
+    "sq_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{TOPSUPP_Q_START}'
+        AND l_shipdate < TIMESTAMP '{TOPSUPP_Q_END}'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(total_rev * 10000 AS BIGINT) AS total_rev_x1e4
+    FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): revenue per supplier over one "
+    "shipped quarter, then argmax-over-aggregate — the scalar max "
+    "broadcasts back onto the aggregate (Catalyst plans the "
+    "correlated '= (SELECT max ...)' as a 1-row broadcast join, no "
+    "second lineitem scan). Revenue folds as exact DECIMAL so the "
+    "max-equality comparison cannot flip on fp association; output "
+    "ships as scaled BIGINT. Ties all surface (spec-faithful). "
+    "Relational extension.",
+)
+def sq_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= TOPSUPP_Q_START)
+        & (F.col("l_shipdate") < TOPSUPP_Q_END)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev_expr = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(rev_expr).alias("total_rev"))
+    # one tiny shuffle to a scalar, broadcast back: the aggregate is
+    # reused (no re-scan) because `rev` feeds both sides of the join
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev") * 10000).cast("long").alias("total_rev_x1e4"),
+        )
+    )
