@@ -301,3 +301,77 @@ def test_modularity_stats_two_cliques(spark):
     assert len(out) == 2
     for r in out.values():
         assert r["n_nodes"] == 3 and r["in_edges"] == 3 and r["degree_sum"] == 7
+
+
+def test_waiting_suppliers_decorrelation_equivalent(spark):
+    """sq_waiting_suppliers replaces Q21's correlated EXISTS /
+    NOT-EXISTS pair with one grouped pass; verify the rewrite against
+    a literal exists-form computation on a constructed forest of
+    orders covering every qualification case:
+
+    - o1: two suppliers, only s1 late  -> counts for s1
+    - o2: two suppliers, both late     -> excluded (other late supplier)
+    - o3: single supplier, late        -> excluded (no other supplier)
+    - o4: two suppliers, none late     -> excluded (no late lineitem)
+    - o5: status 'O'                   -> excluded (status filter)
+    """
+    import datetime as dt
+
+    from westtopologies_spark.queries_ext2 import sq_waiting_suppliers
+
+    d0 = dt.datetime(1997, 1, 1)
+    late = d0 + dt.timedelta(days=90)
+    ontime = d0 + dt.timedelta(days=10)
+    orders = spark.createDataFrame(
+        [(1, "F", d0), (2, "F", d0), (3, "F", d0), (4, "F", d0), (5, "O", d0)],
+        ["o_orderkey", "o_orderstatus", "o_orderdate"],
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 101, late), (1, 102, ontime),
+            (2, 101, late), (2, 102, late),
+            (3, 101, late),
+            (4, 101, ontime), (4, 102, ontime),
+            (5, 101, late), (5, 102, ontime),
+        ],
+        ["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    supplier = spark.createDataFrame(
+        [(101, "s101"), (102, "s102")], ["s_suppkey", "s_name"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        orders.write.parquet(f"{tmp}/orders.parquet")
+        li.write.parquet(f"{tmp}/lineitem.parquet")
+        supplier.write.parquet(f"{tmp}/supplier.parquet")
+        got = {
+            (r.s_suppkey, r.numwait)
+            for r in sq_waiting_suppliers(spark, tmp).collect()
+        }
+    # literal exists-form reference via SQL on the same frames
+    orders.createOrReplaceTempView("_o")
+    li.createOrReplaceTempView("_l")
+    expect = {
+        (r.l_suppkey, r.numwait)
+        for r in spark.sql(
+            """
+            SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS numwait
+            FROM _l l1 JOIN _o o ON o.o_orderkey = l1.l_orderkey
+            WHERE o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+              AND EXISTS (SELECT 1 FROM _l l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                    SELECT 1 FROM _l l3 JOIN _o o3
+                      ON o3.o_orderkey = l3.l_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o3.o_orderdate
+                            + INTERVAL 60 DAYS)
+            GROUP BY 1
+            """
+        ).collect()
+    }
+    assert got == expect == {(101, 1)}
