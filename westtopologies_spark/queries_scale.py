@@ -911,8 +911,11 @@ def _dedup_funnel_sql() -> str:
 def dd_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     groups = dedup.exact_duplicate_groups(docs)
-    dup_groups = groups.filter(F.col("n_copies") > 1)
-    pairs = dedup.minhash_lsh_dedup(docs, vocab_mode="char")
+    # both frames feed TWO funnel stages each; without the lineage
+    # cut the whole MinHash pipeline (shingle -> band -> confirm) and
+    # the exact-group aggregation execute once per consuming stage
+    dup_groups = groups.filter(F.col("n_copies") > 1).localCheckpoint()
+    pairs = dedup.minhash_lsh_dedup(docs, vocab_mode="char").localCheckpoint()
 
     def row(stage: str, df_agg) -> DataFrame:
         return df_agg.select(
