@@ -416,3 +416,24 @@ def test_quantize_stats_constant_vector_zero_error(spark):
     df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
     r = similarity.quantize_stats(df, dim=4).collect()[0]
     assert r["mse_q"] == 0.0 and r["vmin"] == r["vmax"]
+
+
+def test_row_band_buckets_matches_batch_chain(spark, sf_dir):
+    """row_band_buckets (zero-aggregation scan-stage signatures) is
+    value-identical to the batch tokens->shingles->minhash->bands
+    chain in char vocab mode."""
+    from westtopologies_spark.scale import dedup as D
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = D.band_buckets(
+        D.minhash_signatures(
+            D.doc_shingles(
+                D.doc_token_ids(D.tokens_with_ids(docs, vocab_mode="char"))
+            )
+        )
+    )
+    got = {tuple(r) for r in D.row_band_buckets(docs).collect()}
+    expect = {tuple(r) for r in batch.collect()}
+    assert got == expect
+    assert len(got) > 0

@@ -672,3 +672,82 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path_factory):
     assert out.count() == 300  # exactly once: no dup of chunks 0-1
     ids = sorted(r.event_id for r in out.select("event_id").collect())
     assert ids == sorted(r.event_id for r in ev.select("event_id").collect())
+
+
+def test_lsh_candidate_stream_matches_batch_self_join(
+    spark, sf_dir, tmp_path_factory
+):
+    """Streaming LSH candidate generation == the batch band-bucket
+    self-join on the same corpus: replaying the documents table as
+    doc_id-ordered micro-batches must emit exactly the batch
+    candidate pair set (as unordered pairs; streaming orients them
+    prior->new by arrival)."""
+    from westtopologies_spark.scale import dedup as D
+    from westtopologies_spark.streaming.stateful import lsh_candidate_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path_factory.mktemp("lsh_stream"))
+    pdf = docs.toPandas().sort_values("doc_id")
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        p = os.path.join(out, f"part-{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        mtime = time.time() - 100 + i * 10
+        os.utime(p, (mtime, mtime))
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    got_df = _run_stream(
+        spark, lsh_candidate_stream(src, bucket_cap=10**9), "lsh_cand_out"
+    )
+    got = {
+        (min(r.doc_prior, r.doc_new), max(r.doc_prior, r.doc_new))
+        for r in got_df.collect()
+    }
+    # arrival order == doc_id order, so prior < new always holds
+    assert all(
+        r.doc_prior < r.doc_new for r in got_df.collect()
+    )
+
+    sigs = D.minhash_signatures(
+        D.doc_shingles(
+            D.doc_token_ids(D.tokens_with_ids(docs, vocab_mode="char"))
+        )
+    )
+    expect = {
+        (r.doc_a, r.doc_b) for r in D.lsh_candidate_pairs(sigs).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_lsh_candidate_stream_bucket_cap_bounds_state(
+    spark, tmp_path_factory
+):
+    """With bucket_cap=1 only the FIRST doc of each bucket stays in
+    state: three identical docs must yield pairs (first,second) and
+    (first,third) — not (second,third)."""
+    import pandas as pd
+
+    from westtopologies_spark.streaming.stateful import lsh_candidate_stream
+
+    out = str(tmp_path_factory.mktemp("lsh_cap"))
+    text = "alpha beta gamma delta epsilon"
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [text] * 3})
+    p = os.path.join(out, "part-0.parquet")
+    pdf.to_parquet(p, index=False)
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    got = _run_stream(
+        spark, lsh_candidate_stream(src, bucket_cap=1), "lsh_cap_out"
+    )
+    pairs = {(r.doc_prior, r.doc_new) for r in got.collect()}
+    assert pairs == {(1, 2), (1, 3)}

@@ -246,10 +246,143 @@ def band_buckets(signatures: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """(doc_a, doc_b): pairs sharing >= 1 minhash band; the self-join
+def row_shingle_arrays(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = C.SHINGLE_N,
+    mode: str = "char",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id[, keep_cols], _sh): DISTINCT shingle-id array per
+    document computed ENTIRELY in the scan stage — no explode, no
+    groupBy.  Value-identical to the exploded chain
+    ``tokens_with_ids -> doc_token_ids -> doc_shingles`` collected
+    back per doc (pinned by parity tests), for the two pure-map token
+    encodings (``char``/``hash``; ``rank`` inherently needs a
+    vocabulary shuffle and stays on the exploded path).
+
+    This is the scale-defining difference for the whole MinHash
+    family: the exploded (doc_id, shingle) index is O(corpus tokens)
+    ROWS and the legacy path shuffles it twice (signature groupBy +
+    confirm collect_list).  Here signatures AND confirm arrays
+    materialize in the same stage as the parquet scan, so nothing
+    shuffles until the band-bucket join itself.  Docs with fewer than
+    ``n`` tokens emit no rows (parity: they have no shingles).
+    """
+    if mode == "char":
+        def tid_fn(t: Column) -> Column:
+            return char_hash_tid(t)
+    elif mode == "hash":
+        def tid_fn(t: Column) -> Column:
+            return F.pmod(F.xxhash64(t), F.lit(C.SHINGLE_P))
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"row_shingle_arrays: unsupported mode {mode!r}")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    # materialize each derived array as a real projection before the
+    # next transform references it: element_at(<expr>, i) inside a
+    # lambda would otherwise re-evaluate the producing expression per
+    # element (the CollapseProject O(len^2) trap, cf. textstats)
+    tids = toks.select(
+        "doc_id",
+        *keep_cols,
+        F.transform("_toks", tid_fn).alias("_tids"),
+    )
+
+    def shingle_at(tids_c: Column, i: Column) -> Column:
+        acc = F.element_at(tids_c, i).cast("long")
+        for k in range(1, n):
+            acc = acc * C.FP_MULT + F.element_at(tids_c, i + k)
+        return acc % C.SHINGLE_P
+
+    return (
+        tids.filter(F.size("_tids") >= n)
+        .select(
+            "doc_id",
+            *keep_cols,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_tids") - (n - 1)),
+                    lambda i: shingle_at(F.col("_tids"), i),
+                )
+            ).alias("_sh"),
+        )
+    )
+
+
+def _band_rows_from_arrays(
+    arrs: DataFrame, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id[, keep_cols], band, bucket) from per-row shingle
+    arrays: the per-document minhash mins fold INSIDE the row's own
+    array (min over the distinct set == min over the multiset), so
+    the signature needs no aggregation."""
+
+    def _perm_min(a: int, b: int) -> Column:
+        # closure factory: a default-arg lambda would carry extra
+        # parameters, which PySpark maps onto HOF lambda arguments
+        return F.array_min(
+            F.transform("_sh", lambda s: (s * a + b) % C.SHINGLE_P)
+        )
+
+    mh = [_perm_min(a, b) for (a, b) in C.MINHASH_COEFFS]
+    rows = C.MINHASH_BAND_ROWS
+    n_bands = len(C.MINHASH_COEFFS) // rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    mh[b * rows + r].cast("long")
+                    * (C.SHINGLE_P ** (rows - 1 - r))
+                    for r in range(rows)
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return arrs.select(
+        "doc_id", *keep_cols, F.explode(bands).alias("bb")
+    ).select(
+        "doc_id",
+        *keep_cols,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
+def row_band_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = C.SHINGLE_N,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id[, keep_cols], band, bucket) computed ENTIRELY in the
+    scan stage — value-identical to the batch chain
+    ``tokens_with_ids(vocab_mode='char') -> doc_shingles ->
+    minhash_signatures -> band_buckets`` (pinned by a parity test),
+    with ZERO aggregation (see :func:`row_shingle_arrays`).
+
+    Works unchanged on a STREAMING DataFrame (no aggregation means no
+    output-mode constraint) — what :func:`...streaming.stateful.
+    lsh_candidate_stream` builds on.
+    """
+    return _band_rows_from_arrays(
+        row_shingle_arrays(
+            docs, text_col=text_col, id_col=id_col, n=n, keep_cols=keep_cols
+        ),
+        keep_cols=keep_cols,
+    )
+
+
+def _pairs_from_band_rows(exploded: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) from (doc_id, band, bucket) rows: the self-join
     is keyed on (band, bucket) — no cross join."""
-    exploded = band_buckets(signatures)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -260,6 +393,11 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """(doc_a, doc_b): pairs sharing >= 1 minhash band."""
+    return _pairs_from_band_rows(band_buckets(signatures))
 
 
 def jaccard_of_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
@@ -278,6 +416,16 @@ def jaccard_of_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     never enumerates them).
     """
     arrs = shingles.groupBy("doc_id").agg(F.collect_list("shingle").alias("_sh"))
+    return jaccard_of_pairs_arrays(pairs, arrs)
+
+
+def jaccard_of_pairs_arrays(pairs: DataFrame, arrs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, from per-doc
+    DISTINCT shingle arrays (doc_id, _sh) — the shared confirm kernel
+    (two doc_id-keyed joins + one O(|A|+|B|) ``array_intersect`` per
+    candidate).  With :func:`row_shingle_arrays` the arrays come
+    straight out of the scan stage, so the confirm never shuffles the
+    exploded index at all."""
     a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sha"))
     b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_shb"))
     n_inter = F.size(F.array_intersect("_sha", "_shb"))
@@ -307,11 +455,25 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline: shingle -> signature ->
     banded candidates -> exact-Jaccard confirm >= threshold.
 
-    The shingle inverted index is persisted: it feeds the signature
-    aggregation, both sides of the confirm join, and the size lookup
-    — at any scale a reused index is materialized once
-    (MEMORY_AND_DISK default spills rather than recomputing the
-    corpus scan 4x)."""
+    For the pure-map token encodings (``char``/``hash``) the whole
+    pre-join pipeline runs on per-row shingle ARRAYS
+    (:func:`row_shingle_arrays`): signatures fold inside each row and
+    the confirm reuses the same arrays, so the only shuffles left are
+    the band-bucket self-join and the candidate joins — the exploded
+    (doc_id, shingle) index (O(corpus tokens) rows, shuffled twice on
+    the legacy path) never materializes.  ``rank`` mode keeps the
+    exploded path (its encoding needs the vocabulary shuffle).
+    Results are identical across paths (parity-tested).
+
+    The per-doc array frame is persisted: it feeds the band rows and
+    both sides of the confirm join."""
+    mode = vocab_mode or ("rank" if deterministic_vocab else "hash")
+    if mode in ("char", "hash"):
+        arrs = row_shingle_arrays(docs, mode=mode).persist()
+        pairs = _pairs_from_band_rows(_band_rows_from_arrays(arrs))
+        return jaccard_of_pairs_arrays(pairs, arrs).filter(
+            F.col("jaccard") >= threshold
+        )
     shingles = doc_shingles(
         doc_token_ids(
             tokens_with_ids(

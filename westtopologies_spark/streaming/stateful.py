@@ -555,3 +555,78 @@ def windowed_topk_stream_gaws(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+LSH_CAND_SCHEMA = "band int, bucket long, doc_prior long, doc_new long"
+
+
+def lsh_candidate_stream(
+    docs: DataFrame,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Streaming MinHash-LSH candidate generation: documents arrive
+    as a stream of (doc_id, text); each new document is checked
+    against every PREVIOUSLY seen document that shares a minhash band
+    bucket, emitting (band, bucket, doc_prior, doc_new) candidate
+    rows — the streaming form of the batch band-bucket self-join
+    (``scale.dedup.lsh_candidate_pairs``), for ingest-time dedup of a
+    continuously arriving corpus.
+
+    Plan shape: band signatures are PURE ROW EXPRESSIONS
+    (:func:`...scale.dedup.row_band_buckets` — no aggregation, so
+    they compose with stateful processing), then state is keyed by
+    (band, bucket): each group holds the arrival-ordered doc_ids seen
+    in that bucket.  State shards across executors exactly like the
+    batch join's shuffle partitions; a bucket's state is the posting
+    list a production LSH index would hold.
+
+    ``bucket_cap`` bounds per-bucket state: once a bucket has seen
+    that many documents, later arrivals still emit candidates against
+    the capped posting list but are not appended — the streaming
+    analogue of the batch path's hot-shingle ``max_df`` pruning (a
+    bucket hot enough to overflow the cap is a boilerplate/templated
+    signature whose pairs are already saturated).  Downstream
+    consumers confirm candidates with exact Jaccard
+    (``jaccard_of_pairs``) in a batch job over the emitted pairs,
+    micro-batch by micro-batch.
+
+    Within a micro-batch rows are processed in doc_id order (the
+    arrival-order analog, FIXTURES.md `_seq`); a parity test pins the
+    emitted unordered pair set to the batch self-join's on a replay
+    of the documents table.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..scale.dedup import row_band_buckets
+
+    state_schema = "docs array<long>"
+
+    def fn(key, pdfs, state):
+        posting = list(state.get[0]) if state.exists else []
+        out_band, out_bucket, out_prior, out_new = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for d in pdf["doc_id"]:
+                d = int(d)
+                for p in posting:
+                    if p != d:
+                        out_band.append(key[0])
+                        out_bucket.append(key[1])
+                        out_prior.append(p)
+                        out_new.append(d)
+                if len(posting) < bucket_cap:
+                    posting.append(d)
+        state.update((posting,))
+        yield pd.DataFrame(
+            {
+                "band": pd.array(out_band, dtype="int32"),
+                "bucket": pd.array(out_bucket, dtype="int64"),
+                "doc_prior": pd.array(out_prior, dtype="int64"),
+                "doc_new": pd.array(out_new, dtype="int64"),
+            }
+        )
+
+    bands = row_band_buckets(docs)
+    return bands.groupBy("band", "bucket").applyInPandasWithState(
+        fn, LSH_CAND_SCHEMA, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
