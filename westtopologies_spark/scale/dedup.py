@@ -314,6 +314,25 @@ def row_shingle_arrays(
     )
 
 
+def row_minhash_signatures(arrs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7) from per-row shingle arrays — the same
+    columns :func:`minhash_signatures` aggregates from the exploded
+    index, folded inside each row instead."""
+
+    def _perm_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform("_sh", lambda s: (s * a + b) % C.SHINGLE_P)
+        )
+
+    return arrs.select(
+        "doc_id",
+        *[
+            _perm_min(a, b).alias(f"mh{i}")
+            for i, (a, b) in enumerate(C.MINHASH_COEFFS)
+        ],
+    )
+
+
 def _band_rows_from_arrays(
     arrs: DataFrame, keep_cols: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -1192,20 +1211,18 @@ def incremental_minhash_pairs(
     """
     if vocab_mode != "char":
         raise ValueError("incremental mode requires a pure-map encoding")
-    sh_base = doc_shingles(
-        doc_token_ids(tokens_with_ids(base, vocab_mode=vocab_mode))
-    ).persist()
-    sh_new = doc_shingles(
-        doc_token_ids(tokens_with_ids(inserts, vocab_mode=vocab_mode))
-    ).persist()
-    bands_base = band_buckets(minhash_signatures(sh_base))
-    bands_new = band_buckets(minhash_signatures(sh_new))
+    # per-row shingle arrays (scan stage, no explode/groupBy): the
+    # legacy confirm joined the two exploded indexes ON THE SHINGLE
+    # KEY — a hot-key magnet (every boilerplate shingle fans out
+    # across both corpora); the candidate-restricted array intersect
+    # is bounded by |candidates| instead
+    arr_base = row_shingle_arrays(base).persist()
+    arr_new = row_shingle_arrays(inserts).persist()
     cand = (
-        bands_base.select(
-            F.col("doc_id").alias("doc_base"), "band", "bucket"
-        )
+        _band_rows_from_arrays(arr_base)
+        .select(F.col("doc_id").alias("doc_base"), "band", "bucket")
         .join(
-            bands_new.select(
+            _band_rows_from_arrays(arr_new).select(
                 F.col("doc_id").alias("doc_new"), "band", "bucket"
             ),
             ["band", "bucket"],
@@ -1213,27 +1230,24 @@ def incremental_minhash_pairs(
         .select("doc_base", "doc_new")
         .distinct()
     )
-    inter = (
-        sh_base.select(F.col("doc_id").alias("doc_base"), "shingle")
-        .join(
-            sh_new.select(F.col("doc_id").alias("doc_new"), "shingle"),
-            "shingle",
-        )
-        .groupBy("doc_base", "doc_new")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    a = arr_base.select(
+        F.col("doc_id").alias("doc_base"), F.col("_sh").alias("_sha")
     )
-    sz_base = sh_base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_base"))
-    sz_new = sh_new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    b = arr_new.select(
+        F.col("doc_id").alias("doc_new"), F.col("_sh").alias("_shb")
+    )
+    n_inter = F.size(F.array_intersect("_sha", "_shb"))
     return (
-        cand.join(inter, ["doc_base", "doc_new"])
-        .join(sz_base.withColumnRenamed("doc_id", "doc_base"), "doc_base")
-        .join(sz_new.withColumnRenamed("doc_id", "doc_new"), "doc_new")
+        cand.join(a, "doc_base")
+        .join(b, "doc_new")
+        .withColumn("n_inter", n_inter)
+        .filter(F.col("n_inter") > 0)
         .select(
             "doc_base",
             "doc_new",
             F.round(
                 F.col("n_inter")
-                / (F.col("sz_base") + F.col("sz_new") - F.col("n_inter")),
+                / (F.size("_sha") + F.size("_shb") - F.col("n_inter")),
                 4,
             ).alias("jaccard"),
         )
@@ -1341,11 +1355,21 @@ def minhash_estimate_audit(
     the sketch pipeline's threshold at scale.  Deterministic (fixed
     permutation family), so fully oracle-checkable, unlike
     probabilistic-sketch audits."""
-    shingles = doc_shingles(
-        doc_token_ids(tokens_with_ids(docs, vocab_mode=vocab_mode))
-    ).persist()
-    sigs = minhash_signatures(shingles)
-    cand = lsh_candidate_pairs(sigs)
+    mode = vocab_mode or "hash"
+    if mode in ("char", "hash"):
+        # scan-stage path: signatures fold per row; the exploded
+        # index never shuffles (see minhash_lsh_dedup)
+        arrs = row_shingle_arrays(docs, mode=mode).persist()
+        sigs = row_minhash_signatures(arrs)
+        cand = _pairs_from_band_rows(_band_rows_from_arrays(arrs))
+        exact_src: DataFrame | None = None
+    else:
+        shingles = doc_shingles(
+            doc_token_ids(tokens_with_ids(docs, vocab_mode=vocab_mode))
+        ).persist()
+        sigs = minhash_signatures(shingles)
+        cand = lsh_candidate_pairs(sigs)
+        exact_src = shingles
     n_h = len(C.MINHASH_COEFFS)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1364,7 +1388,11 @@ def minhash_estimate_audit(
         "doc_b",
         F.round(agree / F.lit(float(n_h)), 4).alias("jaccard_est"),
     )
-    exact = jaccard_of_pairs(cand, shingles)
+    exact = (
+        jaccard_of_pairs_arrays(cand, arrs)
+        if exact_src is None
+        else jaccard_of_pairs(cand, exact_src)
+    )
     return est.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",
