@@ -940,3 +940,75 @@ def dd_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neardup_docs", nodes.agg(F.countDistinct("doc_id").alias("n"))
     )
     return corpus.unionByName(g1).unionByName(g2).unionByName(p1).unionByName(p2)
+
+
+# ---------------------------------------------------------------------------
+# LSH index health: per-band bucket-degree statistics
+# ---------------------------------------------------------------------------
+
+
+def _band_stats_sql() -> str:
+    mins = ",\n             ".join(
+        f"min((shingle * {a} + {b}) % {C.SHINGLE_P}) AS mh{i}"
+        for i, (a, b) in enumerate(C.MINHASH_COEFFS)
+    )
+    rows = C.MINHASH_BAND_ROWS
+    n_bands = len(C.MINHASH_COEFFS) // rows
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {expr} AS bucket FROM sigs".format(
+            b=b,
+            expr=" + ".join(
+                f"mh{b * rows + r} * {C.SHINGLE_P ** (rows - 1 - r)}"
+                for r in range(rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_TOKS_CHAR_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    sigs AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {bands}
+    ),
+    per_bucket AS (
+      SELECT band, bucket, count(*) AS k FROM bands GROUP BY 1, 2
+    )
+    SELECT band, CAST(sum(k) AS BIGINT) AS n_docs,
+           count(*) AS n_buckets,
+           CAST(max(k) AS BIGINT) AS max_bucket_docs,
+           CAST(sum(k * (k - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM per_bucket GROUP BY band
+    """
+
+
+@_register(
+    "dd_band_stats",
+    _band_stats_sql(),
+    doc="LSH index health report: per band, the number of indexed "
+    "docs, distinct buckets, the hottest bucket's population, and "
+    "the implied candidate-pair mass sum(k*(k-1)/2) — the skew "
+    "numbers that decide whether band width needs widening or hot "
+    "buckets need df-capping BEFORE the self-join runs (a hot bucket "
+    "is quadratic in its population). Signatures come from the "
+    "scan-stage per-row kernel (row_band_buckets: no explode, no "
+    "groupBy — nothing shuffles until this aggregation itself); "
+    "pure-integer output (hash-exact). Dedup extension.",
+)
+def dd_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per_bucket = (
+        dedup.row_band_buckets(docs)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return per_bucket.groupBy("band").agg(
+        F.sum("k").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("k").cast("long").alias("max_bucket_docs"),
+        F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias("candidate_pairs"),
+    )
