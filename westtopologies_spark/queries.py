@@ -1391,6 +1391,7 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "ts_autocorr": {"lag1_corr": 6},
     "sq_small_quantity_revenue": {"avg_yearly": 2},
     "ag_chisq_cells": {"expected": 4, "contrib": 6},
+    "gr_assortativity": {"assortativity": 6},
 }
 
 # Applied LAZILY (first catalog access), not at module scope: if a

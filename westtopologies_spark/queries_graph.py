@@ -396,3 +396,81 @@ def gr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").cast("long").alias("m"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "gr_assortativity",
+    _TW_CTE
+    + _UEDGES_CTE
+    + """
+    , sym AS (
+      SELECT u AS node, v AS nbr FROM uedges
+      UNION ALL SELECT v AS node, u AS nbr FROM uedges
+    ),
+    deg AS (SELECT node, count(*) AS d FROM sym GROUP BY 1),
+    ends AS (
+      SELECT da.d AS du, db.d AS dv
+      FROM sym s
+      JOIN deg da ON da.node = s.node
+      JOIN deg db ON db.node = s.nbr
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(du) AS BIGINT) AS sx,
+             CAST(sum(du * du) AS BIGINT) AS sxx,
+             CAST(sum(du * dv) AS BIGINT) AS sxy
+      FROM ends
+    )
+    SELECT n AS n_edge_ends, sx AS sum_deg, sxx AS sum_deg_sq,
+           sxy AS sum_deg_prod,
+           round(CAST(n * sxy - sx * sx AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+    FROM stats
+    """,
+    doc="Degree assortativity of the reply graph: Pearson correlation "
+    "of endpoint degrees over the symmetric edge-end list (Newman's "
+    "r) — negative r means hubs attach to leaves (broadcast-shaped "
+    "discourse), positive means hub-hub cores; decides whether "
+    "degree-capped neighborhood ops (gr_neighbor_jaccard_capped) "
+    "lose mass. Exact INTEGER sufficient statistics (sums of "
+    "degrees/products — symmetry makes the x and y moments "
+    "identical) with ONE double division at the end; two keyed "
+    "joins + one global fold, no windows. Graph-analytics extension.",
+)
+def gr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = G.user_edges(_event_edges(spark, sf_dir))
+    sym = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("_na"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("_nb"), F.col("d").alias("dv"))
+    ends = sym.join(da, sym.node == da._na).join(db, sym.nbr == db._nb)
+    stats = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("du").cast("long").alias("sx"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sxx"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+    )
+    n, sx, sxx, sxy = F.col("n"), F.col("sx"), F.col("sxx"), F.col("sxy")
+    return stats.select(
+        n.alias("n_edge_ends"),
+        sx.alias("sum_deg"),
+        sxx.alias("sum_deg_sq"),
+        sxy.alias("sum_deg_prod"),
+        # try_divide: a degree-regular graph has zero variance; NULL
+        # matches DuckDB's x/0.0 (its double division yields NULL,
+        # not inf) — verified parity class, ANSI mode raises otherwise
+        F.round(
+            F.try_divide(
+                (n * sxy - sx * sx).cast("double"),
+                (n * sxx - sx * sx).cast("double"),
+            ),
+            6,
+        ).alias("assortativity"),
+    )
