@@ -129,6 +129,41 @@ def main() -> None:
     elapsed_topk = time.time() - t2
     n_topk = spark.sql("SELECT count(*) FROM stream_bench_topk_out").collect()[0][0]
 
+    # streaming LSH candidate generation: the documents table replayed
+    # as doc_id-ordered micro-batches through the keyed band-bucket
+    # posting-list state (ingest-time dedup candidate emitter)
+    from westtopologies_spark.streaming.stateful import lsh_candidate_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage_d = os.path.join("/tmp", f"stream_bench_docs_{os.getpid()}")
+    os.makedirs(stage_d, exist_ok=True)
+    dpdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    n_docs = len(dpdf)
+    per_d = (n_docs + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = dpdf.iloc[i * per_d : (i + 1) * per_d]
+        p = os.path.join(stage_d, f"part-{i:02d}.parquet")
+        chunk.to_parquet(p, index=False)
+        os.utime(p, (now - 100 + i, now - 100 + i))
+    del dpdf
+    src4 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage_d)
+    )
+    t3 = time.time()
+    q4 = (
+        lsh_candidate_stream(src4)
+        .writeStream.format("memory")
+        .queryName("stream_bench_lsh_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q4.awaitTermination(600)
+    elapsed_lsh = time.time() - t3
+    n_cand = spark.sql("SELECT count(*) FROM stream_bench_lsh_out").collect()[0][0]
+
     print(
         json.dumps(
             {
@@ -145,6 +180,10 @@ def main() -> None:
                 "topk_events_per_sec": round(n_events / elapsed_topk, 1),
                 "topk_elapsed_sec": round(elapsed_topk, 2),
                 "topk_rows_emitted": int(n_topk),
+                "lsh_docs_per_sec": round(n_docs / elapsed_lsh, 1),
+                "lsh_elapsed_sec": round(elapsed_lsh, 2),
+                "lsh_n_docs": n_docs,
+                "lsh_candidates_emitted": int(n_cand),
                 "sf": sf,
             }
         )
