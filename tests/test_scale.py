@@ -437,3 +437,73 @@ def test_row_band_buckets_matches_batch_chain(spark, sf_dir):
     expect = {tuple(r) for r in batch.collect()}
     assert got == expect
     assert len(got) > 0
+
+
+def test_incremental_array_path_matches_legacy_exploded(spark, sf_dir):
+    """incremental_minhash_pairs' array-kernel rework (scan-stage
+    shingles + candidate-restricted intersect) returns exactly the
+    legacy exploded-index formulation's pairs."""
+    from pyspark.sql import functions as F
+
+    from westtopologies_spark.scale import dedup as D
+    from westtopologies_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    ins = docs.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        (r.doc_base, r.doc_new, r.jaccard)
+        for r in D.incremental_minhash_pairs(base, ins, threshold=0.2).collect()
+    }
+
+    # legacy formulation: exploded shingle indexes, shingle-keyed
+    # intersection counts
+    sh_b = D.doc_shingles(
+        D.doc_token_ids(D.tokens_with_ids(base, vocab_mode="char"))
+    )
+    sh_n = D.doc_shingles(
+        D.doc_token_ids(D.tokens_with_ids(ins, vocab_mode="char"))
+    )
+    cand = (
+        D.band_buckets(D.minhash_signatures(sh_b))
+        .select(F.col("doc_id").alias("doc_base"), "band", "bucket")
+        .join(
+            D.band_buckets(D.minhash_signatures(sh_n)).select(
+                F.col("doc_id").alias("doc_new"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("doc_base", "doc_new")
+        .distinct()
+    )
+    inter = (
+        sh_b.select(F.col("doc_id").alias("doc_base"), "shingle")
+        .join(
+            sh_n.select(F.col("doc_id").alias("doc_new"), "shingle"),
+            "shingle",
+        )
+        .groupBy("doc_base", "doc_new")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_b"))
+    sz_n = sh_n.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_n"))
+    expect = {
+        (r.doc_base, r.doc_new, r.jaccard)
+        for r in (
+            cand.join(inter, ["doc_base", "doc_new"])
+            .join(sz_b.withColumnRenamed("doc_id", "doc_base"), "doc_base")
+            .join(sz_n.withColumnRenamed("doc_id", "doc_new"), "doc_new")
+            .select(
+                "doc_base",
+                "doc_new",
+                F.round(
+                    F.col("n_inter")
+                    / (F.col("sz_b") + F.col("sz_n") - F.col("n_inter")),
+                    4,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.2)
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
