@@ -278,7 +278,15 @@ def row_shingle_arrays(
             return F.pmod(F.xxhash64(t), F.lit(C.SHINGLE_P))
     else:  # pragma: no cover - guarded by callers
         raise ValueError(f"row_shingle_arrays: unsupported mode {mode!r}")
-    toks = docs.select(
+    # length gate on the CHEAP split array, not on the hashed-id
+    # array: a filter on size(_tids) gets pushed below the projection
+    # and inlines the whole char-hash transform into the predicate —
+    # the token hashing would run twice per row (verified in the
+    # physical plan); transform preserves length, so the conditions
+    # are equivalent
+    toks = docs.filter(
+        F.size(F.split(F.col(text_col), " ")) >= n
+    ).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep_cols],
         F.split(F.col(text_col), " ").alias("_toks"),
@@ -300,7 +308,7 @@ def row_shingle_arrays(
         return acc % C.SHINGLE_P
 
     return (
-        tids.filter(F.size("_tids") >= n)
+        tids
         .select(
             "doc_id",
             *keep_cols,
