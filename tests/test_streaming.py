@@ -751,3 +751,53 @@ def test_lsh_candidate_stream_bucket_cap_bounds_state(
     )
     pairs = {(r.doc_prior, r.doc_new) for r in got.collect()}
     assert pairs == {(1, 2), (1, 3)}
+
+
+def test_ingest_dedup_stream_decomposes_batch_dedup(
+    spark, sf_dir, tmp_path_factory
+):
+    """Micro-batch ingest dedup (delta-vs-corpus + in-batch self)
+    emits EXACTLY the one-shot full-corpus MinHash dedup pairs:
+    per-pair determinism of signatures/bands/Jaccard makes the
+    decomposition lossless across trigger boundaries."""
+    from westtopologies_spark.pipelines.ingest_dedup import (
+        ingest_dedup_stream,
+    )
+    from westtopologies_spark.scale import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src_dir = str(tmp_path_factory.mktemp("ingest_src"))
+    pdf = docs.toPandas().sort_values("doc_id")
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        p = os.path.join(src_dir, f"part-{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        mtime = time.time() - 100 + i * 10
+        os.utime(p, (mtime, mtime))
+
+    base = tmp_path_factory.mktemp("ingest_state")
+    corpus_dir = os.path.join(str(base), "corpus")
+    pairs_dir = os.path.join(str(base), "pairs")
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = ingest_dedup_stream(src, corpus_dir, pairs_dir, threshold=0.3)
+    q.awaitTermination(180)
+
+    got_rows = spark.read.parquet(pairs_dir).collect()
+    got = {
+        (min(r[0], r[1]), max(r[0], r[1]), r[2]) for r in got_rows
+    }
+    expect = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.jaccard)
+        for r in D.minhash_lsh_dedup(
+            docs, threshold=0.3, vocab_mode="char"
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+    # corpus index accumulated every arrival exactly once
+    assert spark.read.parquet(corpus_dir).count() == docs.count()
