@@ -2201,3 +2201,187 @@ def sq_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total_rev") * 10000).cast("long").alias("total_rev_x1e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance matrix (PCA / whitening prep)
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+
+@_register(
+    "emb_covariance",
+    _scaled_int_sql(
+        """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT d, sum(v) AS sx FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    p AS (
+      SELECT a.d AS dim_i, b.d AS dim_j, sum(a.v * b.v) AS sxy
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY 1, 2
+    )
+    SELECT dim_i, dim_j,
+           round((sxy - sa.sx * sb.sx / n) / (n - 1), 6) AS cov
+    FROM p
+    JOIN s sa ON sa.d = dim_i
+    JOIN s sb ON sb.d = dim_j
+    CROSS JOIN nn
+    """,
+        ["dim_i", "dim_j"],
+        {"cov": 6},
+    ),
+    doc="Sample covariance matrix of the embedding columns (upper "
+    "triangle, 64x64 -> 2080 rows) — the sufficient statistic for "
+    "PCA / ZCA whitening / Mahalanobis scaling of an embedding "
+    "corpus. Engine plan: each vector emits its 2080 coordinate "
+    "products IN-ROW (flatten of a nested transform — no self-join), "
+    "then ONE partial-aggregated groupBy((i,j)) collapses them "
+    "map-side, so the shuffle carries 2080 partials per task, not "
+    "O(n·d²) rows; dimension sums broadcast back (64 rows). At "
+    "corpus scale this is the explode form of the X^T·X GEMM with "
+    "bounded (d²) output. The oracle replays it as a per-vector "
+    "dimension self-join. Embedding-column extension. Hash-exact "
+    "output (scaled BIGINT).",
+)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    el = lambda i: F.element_at("e", i).cast("double")  # noqa: E731
+    prods = emb.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(EMB_DIM)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(EMB_DIM)),
+                        lambda j: F.struct(
+                            i.alias("dim_i"),
+                            j.alias("dim_j"),
+                            (
+                                F.element_at("e", i).cast("double")
+                                * F.element_at("e", j).cast("double")
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("t")
+    ).select("t.dim_i", "t.dim_j", "t.p")
+    sxy = prods.groupBy("dim_i", "dim_j").agg(F.sum("p").alias("sxy"))
+    ex = emb.select(
+        F.posexplode("e").alias("d0", "v")
+    ).select((F.col("d0") + 1).alias("d"), F.col("v").cast("double").alias("v"))
+    s = ex.groupBy("d").agg(F.sum("v").alias("sx"))
+    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+    sa = s.select(F.col("d").alias("_da"), F.col("sx").alias("sx_i"))
+    sb = s.select(F.col("d").alias("_db"), F.col("sx").alias("sx_j"))
+    out = (
+        sxy.join(F.broadcast(sa), sxy.dim_i == sa._da)
+        .join(F.broadcast(sb), sxy.dim_j == sb._db)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(
+                (F.col("sxy") - F.col("sx_i") * F.col("sx_j") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+    return _as_scaled_int(out, {"cov": 6})
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test between event types
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ag_welch_ttest",
+    _scaled_int_sql(
+        """
+    WITH st AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,4))
+                      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS na, b.n AS nb,
+             a.s / a.n AS ma, b.s / b.n AS mb,
+             (a.ss - a.s * a.s / a.n) / (a.n - 1) AS va,
+             (b.ss - b.s * b.s / b.n) / (b.n - 1) AS vb
+      FROM st a JOIN st b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, na, nb,
+           round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           round(pow(va / na + vb / nb, 2)
+                 / (pow(va / na, 2) / (na - 1)
+                    + pow(vb / nb, 2) / (nb - 1)), 2) AS df_welch
+    FROM pairs
+    """,
+        ["type_a", "type_b", "na", "nb"],
+        {"t_stat": 6, "df_welch": 2},
+    ),
+    doc="Welch two-sample t-test of `value` between every event-type "
+    "pair (unequal variances; Welch-Satterthwaite df) — the A/B "
+    "significance screen. Sufficient statistics (n, sum, sum-of-"
+    "squares) fold as EXACT DECIMAL in one partial-agg shuffle, so "
+    "the inputs to the double formula are order-independent and "
+    "bit-identical on both engines; the 5-type pair join is a "
+    "5-row broadcast. Aggregate-statistics extension. Hash-exact "
+    "output (scaled BIGINT).",
+)
+def ag_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    a = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        (F.col("s") / F.col("n")).alias("ma"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("va"),
+    )
+    b = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        (F.col("s") / F.col("n")).alias("mb"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("vb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    va, vb = F.col("va"), F.col("vb")
+    se2 = va / na + vb / nb
+    out = (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "na",
+            "nb",
+            F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+            F.round(
+                F.pow(se2, F.lit(2))
+                / (
+                    F.pow(va / na, F.lit(2)) / (na - 1)
+                    + F.pow(vb / nb, F.lit(2)) / (nb - 1)
+                ),
+                2,
+            ).alias("df_welch"),
+        )
+    )
+    return _as_scaled_int(out, {"t_stat": 6, "df_welch": 2})
