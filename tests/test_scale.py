@@ -507,3 +507,35 @@ def test_incremental_array_path_matches_legacy_exploded(spark, sf_dir):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The content-defined property: prepending bytes to a payload
+    re-chunks only the region around the edit — every chunk of the
+    original from its second chunk onward reappears verbatim in the
+    prefixed payload (boundaries depend only on the trailing window,
+    so they re-synchronize after the first post-edit boundary).
+    A fixed-size chunker would shift every block."""
+    from westtopologies_spark.scale import multimodal as MM
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew quartz potions under a midnight sky and the "
+        "river bends past granite cliffs toward a silver delta "
+        "where herons wade through reeds and salt marsh grass "
+        "holding perfectly still until the tide turns back again"
+    ) * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, "XYZZY PREFIX INSERTED " + base)],
+        ["doc_id", "text"],
+    )
+    ch = MM.cdc_chunks(docs).collect()
+    a = sorted(
+        (r.chunk_idx, r.chunk_fp) for r in ch if r.doc_id == 1
+    )
+    b_fps = {r.chunk_fp for r in ch if r.doc_id == 2}
+    assert len(a) >= 3  # the property is vacuous on 1 chunk
+    tail_fps = [fp for idx, fp in a if idx >= 2]
+    assert set(tail_fps) <= b_fps
+    # and total bytes always reassemble exactly
+    assert sum(r.chunk_len for r in ch if r.doc_id == 1) == len(base)

@@ -1012,3 +1012,104 @@ def dd_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_bucket_docs"),
         F.sum(F.expr("k * (k - 1) div 2")).cast("long").alias("candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (binary dedup primitive)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_chunks_cte() -> str:
+    w = multimodal.CDC_WINDOW
+    d = multimodal.CDC_DIVISOR
+    pw = [C.FP_MULT**k for k in range(w)]
+    wh = " + ".join(f"cs[i - {k}] * {pw[k]}" for k in range(w))
+    return f"""
+    codes AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS cs,
+             length(text) AS L
+      FROM documents
+    ),
+    bnd AS (
+      SELECT doc_id, cs, L,
+             list_filter(range({w}, L + 1),
+                         i -> ({wh}) % {d} = 0 AND i < L) AS bpos
+      FROM codes
+    ),
+    sp AS (
+      SELECT doc_id, cs,
+             list_prepend(0, bpos) AS starts,
+             list_append(bpos, L) AS ends
+      FROM bnd
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(range(1, len(starts) + 1)) AS chunk_idx,
+             unnest(list_transform(range(1, len(starts) + 1),
+                    k -> CAST(ends[k] - starts[k] AS BIGINT))) AS chunk_len,
+             unnest(list_transform(range(1, len(starts) + 1),
+                    k -> list_reduce(
+                           list_prepend(0::BIGINT,
+                                        cs[starts[k] + 1 : ends[k]]),
+                           (a, c) -> (a * {C.FP_MULT} + c)
+                                     % {C.FP_P}))) AS chunk_fp
+      FROM sp
+    )
+    """
+
+
+@_register(
+    "mm_cdc_chunks",
+    "WITH "
+    + _cdc_chunks_cte()
+    + """
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           chunk_len, chunk_fp
+    FROM ch
+    """,
+    doc="Content-defined chunking of binary payloads (FastCDC/rabin "
+    "family, fixed-window polynomial boundaries): boundaries follow "
+    "CONTENT, so an insertion shifts every fixed-size block but "
+    "leaves later CDC chunk fingerprints intact — the storage/"
+    "backup/multimodal shared-sub-object dedup primitive. All "
+    "per-row array arithmetic (window hash, boundary filter, chunk "
+    "slice, fingerprint fold) — zero shuffle; pure-integer output "
+    "(hash-exact). Multimodal extension.",
+)
+def mm_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "mm_cdc_dedup",
+    "WITH "
+    + _cdc_chunks_cte()
+    + """
+    , per_fp AS (
+      SELECT chunk_fp, count(*) AS cnt,
+             CAST(sum(chunk_len) AS BIGINT) AS bytes,
+             min(chunk_len) AS one_len
+      FROM ch GROUP BY 1
+    )
+    SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           count(*) AS distinct_chunks,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunk_fps,
+           CAST(sum(CASE WHEN cnt > 1 THEN bytes - one_len ELSE 0 END)
+                AS BIGINT) AS removable_bytes
+    FROM per_fp
+    """,
+    doc="Corpus chunk-dedup rollup over the CDC chunks: chunk count, "
+    "distinct fingerprints, total bytes, shared fingerprints, and "
+    "removable bytes (all but one copy of every shared chunk) — the "
+    "storage-dedup-ratio report. One fingerprint-keyed partial agg "
+    "+ a single-row fold; pure integers (hash-exact). Multimodal "
+    "extension.",
+)
+def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.cdc_dedup_stats(
+        multimodal.cdc_chunks(_t(spark, sf_dir, "documents"))
+    )

@@ -254,3 +254,128 @@ def block_hash_signatures(bdocs: DataFrame) -> DataFrame:
         ]
     )
     return bdocs.select("doc_id", "content").mapInPandas(compute, schema)
+
+
+CDC_WINDOW = 8  # rolling-hash window (bytes)
+CDC_DIVISOR = 64  # boundary iff window-hash % divisor == 0 (~64B chunks)
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """Content-defined chunking of each payload (FastCDC/rabin
+    family, fixed-window polynomial variant): a chunk boundary falls
+    wherever the hash of the trailing ``CDC_WINDOW`` bytes is ≡ 0
+    mod ``CDC_DIVISOR``, so boundaries are determined by CONTENT, not
+    offsets — an insertion early in a payload shifts every fixed-size
+    block but leaves all later CDC boundaries (and therefore chunk
+    fingerprints) intact.  This is the binary-dedup primitive backup/
+    storage systems and multimodal-corpus pipelines use to find
+    shared sub-objects across blobs.
+
+    Returns (doc_id, chunk_idx, chunk_len, chunk_fp) — fingerprint =
+    the same ``(a*31 + byte) mod FP_P`` left fold the text
+    fingerprints use.  EVERYTHING is per-row array arithmetic over
+    the payload's byte codes (window hash, boundary filter, chunk
+    slicing, fingerprint fold): zero shuffle until the caller
+    aggregates fingerprints.  Operates on the documents table's
+    UTF-8 payload via the char-code <-> byte equivalence the
+    byte-histogram kernel established (ASCII corpus).
+
+    The window sum needs no intermediate mod: 255 * 31^7 * 8 < 2^63.
+    Payloads shorter than the window form one whole-payload chunk.
+    """
+    from .constants import FP_MULT, FP_P
+
+    w = CDC_WINDOW
+    text = F.col("text")
+    cs_expr = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(F.substring(text, i, F.lit(1))).cast("long"),
+    )
+    # each derived array materializes as a projection before the next
+    # lambda references it (CollapseProject re-evaluation trap)
+    base = docs.select("doc_id", cs_expr.alias("_cs"), F.length(text).alias("_L"))
+
+    def window_hash(i):
+        return sum(
+            F.element_at("_cs", (i - k).cast("int")) * (FP_MULT**k)
+            for k in range(w)
+        )
+
+    bnd = base.select(
+        "doc_id",
+        "_cs",
+        "_L",
+        F.when(
+            F.col("_L") >= w,
+            F.filter(
+                F.sequence(F.lit(w), F.col("_L")),
+                lambda i: (window_hash(i) % CDC_DIVISOR == 0)
+                & (i < F.col("_L")),
+            ),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("_bpos"),
+    )
+    sp = bnd.select(
+        "doc_id",
+        "_cs",
+        F.concat(F.array(F.lit(0)), F.col("_bpos")).alias("_starts"),
+        F.concat(F.col("_bpos"), F.array(F.col("_L").cast("int"))).alias("_ends"),
+    )
+    chunk = sp.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_starts")),
+                lambda k: F.struct(
+                    k.alias("chunk_idx"),
+                    (
+                        F.element_at("_ends", k) - F.element_at("_starts", k)
+                    ).cast("long").alias("chunk_len"),
+                    F.aggregate(
+                        F.slice(
+                            "_cs",
+                            F.element_at("_starts", k) + 1,
+                            F.element_at("_ends", k)
+                            - F.element_at("_starts", k),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda a, c: (a * FP_MULT + c) % FP_P,
+                    ).alias("chunk_fp"),
+                ),
+            )
+        ).alias("_c"),
+    )
+    return chunk.select(
+        "doc_id",
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_len").alias("chunk_len"),
+        F.col("_c.chunk_fp").alias("chunk_fp"),
+    )
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus-level chunk-dedup rollup over :func:`cdc_chunks`:
+    (n_chunks, distinct_chunks, total_bytes, dup_chunk_fps,
+    removable_bytes) — removable = all but one copy of every shared
+    fingerprint (identical fp => identical content at this hash
+    width; storage dedup ratio).  One fingerprint-keyed partial agg
+    to a bounded per-fp frame, then a single-row fold."""
+    per_fp = chunks.groupBy("chunk_fp").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("chunk_len").alias("bytes"),
+        F.min("chunk_len").alias("one_len"),
+    )
+    return per_fp.agg(
+        F.sum("cnt").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_chunk_fps"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("bytes") - F.col("one_len")).otherwise(0)
+        )
+        .cast("long")
+        .alias("removable_bytes"),
+    )
