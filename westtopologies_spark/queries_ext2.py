@@ -2385,3 +2385,99 @@ def ag_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _as_scaled_int(out, {"t_stat": 6, "df_welch": 2})
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolic discretization of the hourly activity series
+# ---------------------------------------------------------------------------
+
+SAX_SEGMENT_HOURS = 24  # PAA segment size
+# Gaussian equiprobable breakpoints for alphabet {a,b,c,d}
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@_register(
+    "ts_sax_symbols",
+    f"""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT count(*) AS cnt, CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS ss
+      FROM hourly
+    ),
+    seg AS (
+      SELECT h // {SAX_SEGMENT_HOURS} AS segment_idx,
+             count(*) AS seg_hours, CAST(sum(n) AS BIGINT) AS seg_n
+      FROM hourly GROUP BY 1
+    ),
+    z AS (
+      SELECT segment_idx, seg_hours, seg_n,
+             round((CAST(seg_n AS DOUBLE) / seg_hours
+                    - CAST(s AS DOUBLE) / cnt)
+                   / sqrt((cnt * ss - s * s)
+                          / (CAST(cnt AS DOUBLE) * (cnt - 1))), 6) AS zval
+      FROM seg CROSS JOIN st
+    )
+    SELECT segment_idx, seg_hours, seg_n,
+           CAST(round(zval * 1000000) AS BIGINT) AS z_x1e6,
+           CASE WHEN zval < {SAX_BREAKS[0]} THEN 'a'
+                WHEN zval < {SAX_BREAKS[1]} THEN 'b'
+                WHEN zval < {SAX_BREAKS[2]} THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM z
+    """,
+    doc="SAX (Symbolic Aggregate approXimation) of the hourly event "
+    "series: PAA means over 24-hour segments, z-normalized against "
+    "the global hourly distribution, discretized to a 4-letter "
+    "alphabet at the Gaussian equiprobable breakpoints — the "
+    "time-series motif/novelty-mining primitive. Mean/std come from "
+    "EXACT integer sums (order-independent), the z-score is one "
+    "double expression identical on both engines and is ROUNDED "
+    "before the breakpoint comparison so symbols cannot flip on "
+    "ulp noise. Two bounded aggregations + a 1-row broadcast. "
+    "Temporal extension.",
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    st = hourly.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    seg = hourly.groupBy(
+        F.expr(f"h div {SAX_SEGMENT_HOURS}").alias("segment_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("seg_hours"),
+        F.sum("n").cast("long").alias("seg_n"),
+    )
+    cnt, s, ss = F.col("cnt"), F.col("s"), F.col("ss")
+    zval = F.round(
+        (
+            F.col("seg_n").cast("double") / F.col("seg_hours")
+            - s.cast("double") / cnt
+        )
+        / F.sqrt(
+            (cnt * ss - s * s) / (cnt.cast("double") * (cnt - 1))
+        ),
+        6,
+    )
+    z = seg.crossJoin(F.broadcast(st)).select(
+        "segment_idx", "seg_hours", "seg_n", zval.alias("zval")
+    )
+    return z.select(
+        "segment_idx",
+        "seg_hours",
+        "seg_n",
+        F.round(F.col("zval") * 1000000).cast("long").alias("z_x1e6"),
+        F.when(F.col("zval") < SAX_BREAKS[0], "a")
+        .when(F.col("zval") < SAX_BREAKS[1], "b")
+        .when(F.col("zval") < SAX_BREAKS[2], "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
