@@ -91,6 +91,13 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "tp_token_mixture",
                        # global edge count m (1 row) joined onto community stats
                        "gr_modularity",
+                       # corpus size n (1 row) joined onto the 2080 cov cells
+                       "emb_covariance",
+                       # 5-type stats broadcast joined on the < inequality
+                       # (bounded 5x5 pair grid)
+                       "ag_welch_ttest",
+                       # global mean/std row (1 row) joined onto PAA segments
+                       "ts_sax_symbols",
                        # bounded query-set broadcast (<= ANN_N_QUERIES rows)
                        # with a non-equi self-exclusion predicate — the same
                        # class as ann_bruteforce_topk's scan
