@@ -801,3 +801,51 @@ def test_ingest_dedup_stream_decomposes_batch_dedup(
     assert len(got) > 0
     # corpus index accumulated every arrival exactly once
     assert spark.read.parquet(corpus_dir).count() == docs.count()
+
+
+def test_lsh_candidate_stream_tws_matches_apips(spark, sf_dir, tmp_path_factory):
+    """transformWithStateInPandas LSH variant == the
+    applyInPandasWithState variant on the same replay."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from westtopologies_spark.streaming.stateful import (
+        lsh_candidate_stream,
+        lsh_candidate_stream_tws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path_factory.mktemp("lsh_tws"))
+    pdf = docs.toPandas().sort_values("doc_id")
+    n = len(pdf)
+    for i in range(3):
+        chunk = pdf.iloc[i * n // 3 : (i + 1) * n // 3]
+        p = os.path.join(out, f"part-{i}.parquet")
+        chunk.to_parquet(p, index=False)
+        mtime = time.time() - 100 + i * 10
+        os.utime(p, (mtime, mtime))
+
+    def run(fn, name, extra_conf=False):
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        return {
+            (r.band, r.bucket, r.doc_prior, r.doc_new)
+            for r in _run_stream(spark, fn(src), name).collect()
+        }
+
+    base = run(lsh_candidate_stream, "lsh_apips_ref")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tws = run(lsh_candidate_stream_tws, "lsh_tws_out")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert tws == base
+    assert len(base) > 0
