@@ -238,3 +238,55 @@ def test_priority_sample_matches_bruteforce(spark, n_rows, n_pick):
         sorted(pri, key=lambda i: (-pri[i], i))[: min(n_pick, n_rows)]
     )
     assert got == expect
+
+
+@st.composite
+def random_texts(draw):
+    n_docs = draw(st.integers(1, 6))
+    alphabet = "ab cd"  # tiny alphabet -> frequent boundary collisions
+    return [
+        (i, "".join(draw(st.lists(st.sampled_from(alphabet), min_size=1, max_size=120))))
+        for i in range(n_docs)
+    ]
+
+
+def _py_cdc(text, w=8, d=64, m=31, p=None):
+    """Independent pure-Python CDC reference (same constants as
+    scale.multimodal.cdc_chunks)."""
+    from westtopologies_spark.scale.constants import FP_MULT, FP_P
+
+    assert m == FP_MULT
+    p = p or FP_P
+    codes = [ord(c) for c in text]
+    L = len(codes)
+    bpos = [
+        i
+        for i in range(w, L + 1)
+        if sum(codes[i - 1 - k] * m**k for k in range(w)) % d == 0 and i < L
+    ]
+    starts, ends = [0] + bpos, bpos + [L]
+    out = []
+    for k, (s, e) in enumerate(zip(starts, ends), start=1):
+        fp = 0
+        for c in codes[s:e]:
+            fp = (fp * m + c) % p
+        out.append((k, e - s, fp))
+    return out
+
+
+@SET
+@given(random_texts())
+def test_cdc_chunks_match_python_reference(spark, docs):
+    from westtopologies_spark.scale.multimodal import cdc_chunks
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in cdc_chunks(df).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_len, r.chunk_fp)
+        )
+    for doc_id, text in docs:
+        expect = _py_cdc(text)
+        assert sorted(got.get(doc_id, [])) == sorted(expect), (doc_id, text)
+        # chunks reassemble the payload exactly
+        assert sum(ln for _, ln, _ in expect) == len(text)
