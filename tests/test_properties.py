@@ -290,3 +290,57 @@ def test_cdc_chunks_match_python_reference(spark, docs):
         assert sorted(got.get(doc_id, [])) == sorted(expect), (doc_id, text)
         # chunks reassemble the payload exactly
         assert sum(ln for _, ln, _ in expect) == len(text)
+
+
+def _py_minhash_bands(text):
+    """Independent pure-Python reference for row_shingle_arrays ->
+    band buckets (char vocab mode)."""
+    from westtopologies_spark.scale.constants import (
+        FP_MULT,
+        MINHASH_BAND_ROWS,
+        MINHASH_COEFFS,
+        SHINGLE_N,
+        SHINGLE_P,
+    )
+
+    def tid(tok):
+        a = 0
+        for ch in tok:
+            a = (a * FP_MULT + ord(ch)) % SHINGLE_P
+        return a
+
+    tids = [tid(t) for t in text.split(" ")]
+    if len(tids) < SHINGLE_N:
+        return None
+    sh = set()
+    for i in range(len(tids) - SHINGLE_N + 1):
+        acc = tids[i]
+        for k in range(1, SHINGLE_N):
+            acc = acc * FP_MULT + tids[i + k]
+        sh.add(acc % SHINGLE_P)
+    mh = [min((s * a + b) % SHINGLE_P for s in sh) for a, b in MINHASH_COEFFS]
+    rows = MINHASH_BAND_ROWS
+    out = []
+    for band in range(len(MINHASH_COEFFS) // rows):
+        bucket = 0
+        for r in range(rows):
+            bucket += mh[band * rows + r] * SHINGLE_P ** (rows - 1 - r)
+        out.append((band, bucket))
+    return out
+
+
+@SET
+@given(random_texts())
+def test_row_band_buckets_match_python_reference(spark, docs):
+    from westtopologies_spark.scale.dedup import row_band_buckets
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in row_band_buckets(df).collect():
+        got.setdefault(r.doc_id, []).append((r.band, r.bucket))
+    for doc_id, text in docs:
+        expect = _py_minhash_bands(text)
+        if expect is None:
+            assert doc_id not in got, (doc_id, text)
+        else:
+            assert sorted(got[doc_id]) == sorted(expect), (doc_id, text)
