@@ -120,6 +120,17 @@ def main() -> int:
     spark = get_spark("oracle-check")
 
     con = duckdb.connect()
+    # Bound the buffer pool: DuckDB's default memory_limit is ~80% of
+    # host RAM, and over a ~190-query suite its cached pages plus the
+    # in-process Spark driver accumulate until raw allocations fail —
+    # observed as a cascade of 'Out of Memory Error: Failed to
+    # allocate block' on EVERY query after the first failure (the
+    # full-gate sf0.1 run died at query ~107 this way while each
+    # query passes in isolation).  24 GB is ~4x the largest single
+    # oracle's measured peak; excess spills to the temp dir instead
+    # of exhausting the process.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -138,9 +149,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {spec.name}: spark error: {e}")
             failures += 1
+            spark.catalog.clearCache()
             continue
         if spec.oracle is None:
             print(f"ok   {spec.name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            spark.catalog.clearCache()
             continue
         try:
             rel = con.sql(spec.oracle)
@@ -150,6 +163,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {spec.name}: duckdb error: {e}")
             failures += 1
+            spark.catalog.clearCache()
             continue
 
         sc, sr = rowset(s_cols, s_rows)
@@ -174,6 +188,10 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok   {spec.name}: {len(sr)} rows match ({time.time()-t0:.1f}s)")
+        # drop intra-query persists, like bench.py: 190 queries'
+        # accumulated pins otherwise squeeze the shared 16g driver
+        # JVM for the suite's tail
+        spark.catalog.clearCache()
 
     spark.stop()
     print(f"\n{failures} failures")
