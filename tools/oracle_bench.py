@@ -30,6 +30,11 @@ def main() -> None:
     from westtopologies_spark.queries import oracle_sql
 
     con = duckdb.connect()
+    # same bound as check_oracle.py: the default ~80%-of-RAM limit
+    # lets the buffer pool grow monotonically across the ~190-oracle
+    # suite until raw allocations fail
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
