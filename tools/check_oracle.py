@@ -119,22 +119,25 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
 
-    con = duckdb.connect()
-    # Bound the buffer pool: DuckDB's default memory_limit is ~80% of
-    # host RAM, and over a ~190-query suite its cached pages plus the
-    # in-process Spark driver accumulate until raw allocations fail —
-    # observed as a cascade of 'Out of Memory Error: Failed to
-    # allocate block' on EVERY query after the first failure (the
-    # full-gate sf0.1 run died at query ~107 this way while each
-    # query passes in isolation).  24 GB is ~4x the largest single
-    # oracle's measured peak; excess spills to the temp dir instead
-    # of exhausting the process.
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    def fresh_con():
+        # ONE CONNECTION PER ORACLE — not an optimization knob, a
+        # correctness requirement for the suite: DuckDB's recursive-
+        # CTE replays (w1_exact_windows, the components fixpoints)
+        # leak buffer-manager accounting on the connection, after
+        # which any later memory-hungry oracle fails with 'Out of
+        # Memory Error: Failed to allocate block' regardless of the
+        # configured limit (reproduced minimally: w1_exact_windows
+        # then dd_soft_weights on one connection fails at a 24 GB
+        # limit; dd_soft_weights alone passes at 8 GB).  A fresh
+        # in-memory database per query gets a fresh buffer manager;
+        # setup cost is milliseconds (views are lazy).
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
 
     failures = 0
     for spec in catalog():
@@ -155,6 +158,7 @@ def main() -> int:
             print(f"ok   {spec.name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             spark.catalog.clearCache()
             continue
+        con = fresh_con()
         try:
             rel = con.sql(spec.oracle)
             d_cols = list(rel.columns)
@@ -164,6 +168,7 @@ def main() -> int:
             print(f"FAIL {spec.name}: duckdb error: {e}")
             failures += 1
             spark.catalog.clearCache()
+            con.close()
             continue
 
         sc, sr = rowset(s_cols, s_rows)
@@ -183,6 +188,7 @@ def main() -> int:
             n_bad = sum(1 for a, b in zip(sr, dr) if a != b)
             ex = next((a, b) for a, b in zip(sr, dr) if a != b)
             status.append(f"values differ in {n_bad}/{len(sr)} rows; first: spark={ex[0]} duck={ex[1]}")
+        con.close()
         if status:
             print(f"FAIL {spec.name}: " + "; ".join(status))
             failures += 1

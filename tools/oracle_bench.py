@@ -29,24 +29,30 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from westtopologies_spark.queries import oracle_sql
 
-    con = duckdb.connect()
-    # same bound as check_oracle.py: the default ~80%-of-RAM limit
-    # lets the buffer pool grow monotonically across the ~190-oracle
-    # suite until raw allocations fail
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    for t in TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+    def fresh_con():
+        # fresh connection per oracle, as in check_oracle.py: DuckDB's
+        # recursive-CTE replays leak buffer-manager accounting on the
+        # connection, poisoning later memory-hungry queries; a fresh
+        # in-memory database costs milliseconds and views are lazy,
+        # so per-query timings are unaffected
+        c = duckdb.connect()
+        c.execute("SET memory_limit='24GB'")
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+                )
+        return c
+
     timings: dict[str, float] = {}
     t_all = time.time()
     for name, sql in oracle_sql().items():
+        con = fresh_con()
         t0 = time.time()
         con.execute(sql).fetchall()
         timings[name] = round(time.time() - t0, 3)
+        con.close()
     print(
         json.dumps(
             {
