@@ -104,7 +104,10 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "emb_prefix_recall",
                        # composes the brute-force plan above -> same bounded
                        # query-set broadcast on its exact side
-                       "ann_recall_audit"}
+                       "ann_recall_audit",
+                       # node-count N (1 row) seeding the term-rank vector
+                       # (same pagerank kernel as gr_pagerank)
+                       "tx_textrank"}
 
 
 def audit(name: str, plan: str) -> list[str]:

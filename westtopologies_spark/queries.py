@@ -1280,6 +1280,10 @@ from . import queries_graph  # noqa: E402, F401
 # hourly top-k
 from . import queries_ext2  # noqa: E402, F401
 
+# round-3 batch: Gopher quality rules, TextRank keywords, product
+# quantization, top-PC power iteration
+from . import queries_ext3  # noqa: E402, F401
+
 
 # ---------------------------------------------------------------------------
 # Hash-exact hardening sweep (round 3): every catalog query that has

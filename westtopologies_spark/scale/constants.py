@@ -93,3 +93,23 @@ STOPWORDS: tuple[str, ...] = (
     "to", "was", "were", "will", "with",
 )
 SUBWORD_CHUNK = 4  # BPE-ish upper-bound estimate: ceil(len/4) per word
+
+# --- Gopher-style document quality rules ----------------------------------
+# The rule set mirrors the published Gopher/MassiveText filters (word
+# count bounds, mean-word-length bounds, "contains >=2 required stop
+# words", repetition caps), re-thresholded for the synthetic corpus.
+# All ratios are emitted as exact integer-division x1e4 scaled values
+# (positive domain, so Spark DIV == DuckDB // — no float rounding on
+# the oracle-checked path).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_MIN_WORDS = 20
+GOPHER_MEAN_WLEN_MIN_X1E4 = 30_000  # mean word length >= 3.0
+GOPHER_MEAN_WLEN_MAX_X1E4 = 100_000  # mean word length <= 10.0
+GOPHER_UNIQUE_FRAC_MIN_X1E4 = 3_000  # distinct/total words >= 0.30
+GOPHER_TOP_FRAC_MAX_X1E4 = 2_000  # most frequent word <= 20% of doc
+GOPHER_MIN_STOP_HITS = 2
+
+# --- TextRank keyword extraction ------------------------------------------
+TEXTRANK_TOP_K = 25

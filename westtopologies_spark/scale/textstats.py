@@ -634,3 +634,104 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
             ).alias("mean_logp"),
         )
     )
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText-style document quality rules, distributed.
+
+    Per document: word count, distinct-word count, modal-word count,
+    mean word length, required-stopword hits, and the derived keep
+    flag (all bounds in ``constants``). Everything on the output is
+    an exact integer — ratios are positive-domain integer division
+    scaled x1e4 (Spark ``DIV`` == DuckDB ``//`` for positives), so
+    the whole row is hash-exact across engines.
+
+    Scale shape: one explode over the token stream, then two
+    map-side-combinable aggregations ((doc_id, tok) then doc_id) —
+    the same two-shuffle plan regardless of corpus size; no arrays
+    are ever collected per group.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.max("n").alias("max_word_n"),
+        F.sum(F.length("tok") * F.col("n")).alias("n_word_chars"),
+        F.sum(
+            F.when(F.col("tok").isin(*C.GOPHER_STOPWORDS), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("stop_hits"),
+    )
+    mean_wlen = F.expr("(n_word_chars * 10000) DIV n_words")
+    uniq_frac = F.expr("(n_unique * 10000) DIV n_words")
+    top_frac = F.expr("(max_word_n * 10000) DIV n_words")
+    out = agg.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.col("max_word_n").cast("long").alias("max_word_n"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        mean_wlen.cast("long").alias("mean_wlen_x1e4"),
+        uniq_frac.cast("long").alias("unique_frac_x1e4"),
+        top_frac.cast("long").alias("top_frac_x1e4"),
+    )
+    keep = (
+        (F.col("n_words") >= C.GOPHER_MIN_WORDS)
+        & (F.col("mean_wlen_x1e4") >= C.GOPHER_MEAN_WLEN_MIN_X1E4)
+        & (F.col("mean_wlen_x1e4") <= C.GOPHER_MEAN_WLEN_MAX_X1E4)
+        & (F.col("unique_frac_x1e4") >= C.GOPHER_UNIQUE_FRAC_MIN_X1E4)
+        & (F.col("top_frac_x1e4") <= C.GOPHER_TOP_FRAC_MAX_X1E4)
+        & (F.col("stop_hits") >= C.GOPHER_MIN_STOP_HITS)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+def textrank_keywords(docs: DataFrame, top: int = C.TEXTRANK_TOP_K) -> DataFrame:
+    """Corpus-level TextRank keyword extraction.
+
+    Term graph: undirected distinct adjacency edges between
+    consecutive tokens (window size 2, self-loops dropped), ranked
+    by the same fixed-iteration PageRank kernel as the user graph
+    (``ops.graph.pagerank`` — per-round 1e-9 rounding so the oracle
+    replays the identical trace). Output: the top-``top`` terms by
+    (score desc, term asc) with the score as an exact x1e6 BIGINT.
+
+    Scale shape: edge construction is one keyed window (lead) over
+    the token stream + a distinct; each PageRank round is one
+    shuffle on dst. The final top-k is a single-partition sort of
+    ~vocabulary rows AFTER aggregation — vocabulary, not corpus,
+    cardinality.
+    """
+    from ..ops import graph as G
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        toks.select("doc_id", "tok", F.lead("tok").over(w).alias("nxt"))
+        .where(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+        .select(F.col("tok").alias("src"), F.col("nxt").alias("dst"))
+    )
+    dedges = (
+        pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = dedges.select(F.col("src").alias("node")).distinct()
+    pr = G.pagerank(nodes, dedges)  # (user_id, pagerank) naming
+    ranked = pr.select(
+        F.col("user_id").alias("term"),
+        F.round(F.col("pagerank") * 1_000_000).cast("long").alias("score_x1e6"),
+    )
+    wr = Window.orderBy(F.desc("score_x1e6"), F.asc("term"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .where(F.col("rank") <= top)
+        .select("rank", "term", "score_x1e6")
+    )
