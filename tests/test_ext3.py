@@ -95,3 +95,149 @@ def test_textrank_isolated_token_doc_excluded(spark):
     terms = {r["term"] for r in out}
     # single-token docs contribute no edges; "solo" is not a node
     assert terms == {"left", "right"}
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for vid in range(60):
+        emb = [
+            round(math.sin(0.1 * vid + 0.37 * j), 6) for j in range(64)
+        ]
+        rows.append((vid, emb))
+    # two exact duplicates of vector 3
+    rows.append((100, rows[3][1]))
+    rows.append((101, rows[3][1]))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_pq_codes_shape_and_duplicates(vectors):
+    from westtopologies_spark.scale import constants as C
+    from westtopologies_spark.scale.similarity import pq_codes
+
+    out = {r["vec_id"]: r for r in pq_codes(vectors).collect()}
+    assert len(out) == 62
+    for r in out.values():
+        for i in range(C.PQ_M):
+            assert 0 <= r[f"code_{i}"] < C.PQ_K
+        assert r["err_x1e6"] >= 0
+    # identical vectors -> identical codes and identical error
+    for i in range(C.PQ_M):
+        assert out[3][f"code_{i}"] == out[100][f"code_{i}"] == out[101][f"code_{i}"]
+    assert out[3]["err_x1e6"] == out[100]["err_x1e6"]
+
+
+def test_pq_seed_vectors_have_low_error(vectors):
+    """A seed vector IS a codeword after round 0; after 2 Lloyd
+    rounds its reconstruction error stays below the corpus mean."""
+    from westtopologies_spark.scale.similarity import pq_codes
+
+    out = {r["vec_id"]: r["err_x1e6"] for r in pq_codes(vectors).collect()}
+    seeds = [vid for vid in sorted(out) if vid % 11 == 0][:16]
+    mean_err = sum(out.values()) / len(out)
+    seed_err = sum(out[s] for s in seeds) / len(seeds)
+    assert seed_err <= mean_err
+
+
+def test_pq_determinism(vectors):
+    from westtopologies_spark.scale.similarity import pq_codes
+
+    a = sorted(tuple(r) for r in pq_codes(vectors).collect())
+    b = sorted(tuple(r) for r in pq_codes(vectors).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_matches_numpy_direction(spark):
+    """On a corpus with one dominant variance direction, 6 power
+    rounds align with numpy's exact top eigenvector: the x1e4
+    projections must correlate > 0.99 with the exact ones."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rng_vals = []
+    n, d = 80, 64
+    # dominant direction: dim 0 variance >> rest (deterministic fill)
+    for i in range(n):
+        v = [round(((i * 37 + j * 11) % 97) / 970.0, 6) for j in range(d)]
+        v[0] = round(i / 8.0, 6)
+        rng_vals.append((i, v))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(rng_vals, schema)
+
+    from westtopologies_spark.scale.similarity import pca_power_projection
+
+    got = {r["vec_id"]: r for r in pca_power_projection(emb).collect()}
+    assert len(got) == n
+    lam = {r["lam_x1e6"] for r in got.values()}
+    assert len(lam) == 1 and lam.pop() > 0
+
+    x = np.array([v for _, v in rng_vals], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    if top[0] < 0:
+        top = -top
+    exact = xc @ top
+    ours = np.array([got[i]["pc1_x1e4"] / 1e4 for i in range(n)])
+    corr = np.corrcoef(exact, ours)[0, 1]
+    assert corr > 0.99, corr
+
+
+def test_pca_sign_canonical_dim1_nonnegative_weighting(spark):
+    """Flipping the corpus through the origin must flip every
+    projection (up to scaled-int rounding)."""
+    from pyspark.sql import types as T
+
+    import numpy as np
+
+    n, d = 40, 64
+    rows = [
+        (i, [round(((i * 13 + j * 7) % 53) / 53.0 - 0.5, 6) for j in range(d)])
+        for i in range(n)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    from westtopologies_spark.scale.similarity import pca_power_projection
+
+    emb = spark.createDataFrame(rows, schema)
+    neg = spark.createDataFrame(
+        [(i, [-x for x in v]) for i, v in rows], schema
+    )
+    a = {r["vec_id"]: r["pc1_x1e4"] for r in pca_power_projection(emb).collect()}
+    b = {r["vec_id"]: r["pc1_x1e4"] for r in pca_power_projection(neg).collect()}
+    # centered projections flip with the corpus (the component's own
+    # sign is re-canonicalized on dim 1, so |proj| matches; sign may
+    # or may not flip depending on the component's dim-1 sign)
+    av = np.array([a[i] for i in range(n)])
+    bv = np.array([b[i] for i in range(n)])
+    assert (abs(abs(av) - abs(bv)) <= 1).all()

@@ -107,7 +107,10 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "ann_recall_audit",
                        # node-count N (1 row) seeding the term-rank vector
                        # (same pagerank kernel as gr_pagerank)
-                       "tx_textrank"}
+                       "tx_textrank",
+                       # dimension-count n (1 row) + eigenvalue row (1 row)
+                       # joined onto the 64-row component frame / projection
+                       "emb_pca_power"}
 
 
 def audit(name: str, plan: str) -> list[str]:

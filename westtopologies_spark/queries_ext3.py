@@ -154,3 +154,194 @@ def _textrank_sql() -> str:
 )
 def tx_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.textrank_keywords(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011) — M independent euclidean
+# codebooks over vector subspaces
+# ---------------------------------------------------------------------------
+
+
+def _pq_sql() -> str:
+    m, sd, k = C.PQ_M, C.PQ_SUB_DIM, C.PQ_K
+    sub_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {i} AS m, v[{i * sd + 1}:{(i + 1) * sd}] AS sv FROM base"
+        for i in range(m)
+    )
+    sqdist = (
+        f"round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {sd} + 1), "
+        f"i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), "
+        f"(x, y) -> x + y), 6)"
+    )
+    means = ", ".join(f"round(avg(s.sv[{j + 1}]), 9)" for j in range(sd))
+    parts = [
+        f"""base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS (
+      {sub_selects}
+    ),
+    seeds AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM (SELECT vec_id FROM base WHERE vec_id % {C.PQ_SEED_STRIDE} = 0
+            ORDER BY vec_id LIMIT {k})
+    ),
+    c0 AS (
+      SELECT s.m, sd.cid, s.sv AS cv
+      FROM sub s JOIN seeds sd USING (vec_id)
+    )"""
+    ]
+    for i in range(C.PQ_ITERS):
+        parts.append(
+            f"""sc{i} AS (
+      SELECT s.vec_id, s.m, c.cid, {sqdist} AS d
+      FROM sub s JOIN c{i} c ON c.m = s.m
+    ),
+    b{i} AS (SELECT vec_id, m, min(d) AS bd FROM sc{i} GROUP BY 1, 2),
+    a{i} AS (
+      SELECT sc.vec_id, sc.m, min(sc.cid) AS cid
+      FROM sc{i} sc JOIN b{i} b
+        ON sc.vec_id = b.vec_id AND sc.m = b.m AND sc.d = b.bd
+      GROUP BY 1, 2
+    ),
+    c{i + 1} AS (
+      SELECT s.m, a.cid, [{means}]::DOUBLE[] AS cv
+      FROM a{i} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+      GROUP BY s.m, a.cid
+    )"""
+        )
+    fin = C.PQ_ITERS
+    parts.append(
+        f"""scf AS (
+      SELECT s.vec_id, s.m, c.cid, {sqdist} AS d
+      FROM sub s JOIN c{fin} c ON c.m = s.m
+    ),
+    bf AS (SELECT vec_id, m, min(d) AS bd FROM scf GROUP BY 1, 2),
+    af AS (
+      SELECT sc.vec_id, sc.m, min(sc.cid) AS cid, max(b.bd) AS bd
+      FROM scf sc JOIN bf b
+        ON sc.vec_id = b.vec_id AND sc.m = b.m AND sc.d = b.bd
+      GROUP BY 1, 2
+    )"""
+    )
+    codes = ", ".join(
+        f"CAST(min(CASE WHEN m = {i} THEN cid END) AS INT) AS code_{i}"
+        for i in range(m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, {codes},
+           CAST(round(sum(bd) * 1000000) AS BIGINT) AS err_x1e6
+    FROM af GROUP BY vec_id"""
+    )
+
+
+@_register(
+    "ann_pq_codes",
+    _pq_sql(),
+    doc="Product quantization: 4 independent euclidean k-means "
+    "codebooks (16 codewords, 2 unrolled Lloyd rounds each) over "
+    "16-dim subspaces, assigning each vector a 4x4-bit code plus "
+    "its exact scaled-int reconstruction error. One corpus explode "
+    "(x4 subspace rows, persisted); every round is a broadcast-hash "
+    "join against the 64-row codebook plus a map-side-combinable "
+    "re-centering — only the codebook crosses the network. "
+    "LLM-pipeline extension (embedding-compression family).",
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import similarity
+
+    return similarity.pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Top principal component by fixed-iteration power method + corpus
+# projection (the PCA building block: eigen-direction without any
+# driver-side linear-algebra collect)
+# ---------------------------------------------------------------------------
+
+
+def _pca_power_sql() -> str:
+    v0 = round(1.0 / C.EMBEDDING_DIM**0.5, 9)
+    sql = f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT d, sum(v) AS sx FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM embeddings),
+    p AS (
+      SELECT a.d AS dim_i, b.d AS dim_j, sum(a.v * b.v) AS sxy
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+      GROUP BY 1, 2
+    ),
+    ut AS MATERIALIZED (
+      SELECT dim_i, dim_j,
+             round((sxy - sa.sx * sb.sx / n) / (n - 1), 6) AS cov
+      FROM p
+      JOIN s sa ON sa.d = dim_i
+      JOIN s sb ON sb.d = dim_j
+      CROSS JOIN nn
+    ),
+    cov AS MATERIALIZED (
+      SELECT dim_i, dim_j, cov FROM ut
+      UNION ALL
+      SELECT dim_j AS dim_i, dim_i AS dim_j, cov FROM ut WHERE dim_i < dim_j
+    ),
+    v0 AS (SELECT DISTINCT dim_i AS d, {v0!r} AS vv FROM cov)
+    """
+    for i in range(1, C.PCA_POWER_ITERS + 1):
+        sql += f"""
+    , w{i} AS (
+      SELECT c.dim_i, round(sum(c.cov * v.vv), 9) AS wv
+      FROM cov c JOIN v{i - 1} v ON v.d = c.dim_j
+      GROUP BY 1
+    ),
+    n{i} AS (SELECT round(sqrt(sum(wv * wv)), 9) AS nrm FROM w{i}),
+    v{i} AS (
+      SELECT dim_i AS d, round(wv / nrm, 9) AS vv FROM w{i} CROSS JOIN n{i}
+    )
+    """
+    t = C.PCA_POWER_ITERS
+    sql += f"""
+    , sgn AS (
+      SELECT CASE WHEN vv < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      FROM v{t} WHERE d = 1
+    ),
+    vs AS (SELECT d, vv * sgn AS vv FROM v{t} CROSS JOIN sgn),
+    mu AS (SELECT d, round(sx / n, 9) AS mu FROM s CROSS JOIN nn),
+    proj AS (
+      SELECT e.vec_id,
+             CAST(round(sum((e.v - m.mu) * vv.vv) * 10000) AS BIGINT)
+               AS pc1_x1e4
+      FROM e
+      JOIN mu m ON m.d = e.d
+      JOIN vs vv ON vv.d = e.d
+      GROUP BY 1
+    )
+    SELECT vec_id, pc1_x1e4,
+           CAST(round(nrm * 1000000) AS BIGINT) AS lam_x1e6
+    FROM proj CROSS JOIN n{t}
+    """
+    return sql
+
+
+@_register(
+    "emb_pca_power",
+    _pca_power_sql(),
+    doc="Top principal component by fixed-iteration power method "
+    "(6 rounds on the 64x64 rounded covariance, per-round 1e-9 "
+    "rounding, dim-1 sign canonicalization) plus each vector's "
+    "centered projection as exact x1e4 BIGINT and the eigenvalue "
+    "estimate as x1e6.  Fully declarative: iteration state is a "
+    "64-row DataFrame; only the covariance scan and the projection "
+    "scan touch the corpus. LLM-pipeline extension (embedding "
+    "analytics family).",
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import similarity
+
+    return similarity.pca_power_projection(_t(spark, sf_dir, "embeddings"))

@@ -85,6 +85,22 @@ KMEANS_K = 8  # clusters
 KMEANS_ITERS = 3  # unrolled Lloyd iterations
 KMEANS_SEED_STRIDE = 13  # seeds = first K vec_ids with id % stride == 0
 
+# --- product quantization (PQ) -------------------------------------------
+# Jegou et al. 2011: split the vector into M subspaces, k-means each
+# subspace independently, store one small code per subspace.  The
+# euclidean Lloyd iterations follow the same deterministic recipe as
+# the spherical k-means above (stride seeds, per-round 1e-9 centroid
+# rounding, 1e-6 distance rounding, min-cid ties) so the oracle
+# replays the identical trace.
+PQ_M = 4  # subspaces
+PQ_SUB_DIM = EMBEDDING_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace (4-bit codes)
+PQ_ITERS = 2  # unrolled Lloyd iterations per subspace
+PQ_SEED_STRIDE = 11  # seeds = first K vec_ids with id % stride == 0
+
+# --- PCA by power iteration ----------------------------------------------
+PCA_POWER_ITERS = 6  # fixed-iteration power method on the D x D covariance
+
 
 # --- text analysis -------------------------------------------------------
 STOPWORDS: tuple[str, ...] = (

@@ -449,3 +449,265 @@ def quantize_stats(
         F.round(mx, 6).alias("vmax"),
         F.round(mse, 9).alias("mse_q"),
     )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = C.PQ_M,
+    sub_dim: int = C.PQ_SUB_DIM,
+    k: int = C.PQ_K,
+    iters: int = C.PQ_ITERS,
+    stride: int = C.PQ_SEED_STRIDE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): ``m`` independent
+    euclidean k-means codebooks, one per ``sub_dim``-wide subspace,
+    and the per-vector code + reconstruction error.
+
+    Output: (vec_id, code_0..code_{m-1} INT, err_x1e6 BIGINT) — the
+    assigned codeword per subspace after ``iters`` Lloyd rounds and
+    the total squared reconstruction error as an exact scaled int.
+
+    Deterministic like :func:`kmeans_assignments` (stride-sampled
+    seeds renumbered 0..k-1 by vec_id order, per-round 1e-9 centroid
+    rounding, 1e-6 distance rounding, min-cid ties), so the DuckDB
+    oracle replays the identical trace.
+
+    Scale shape: the vector corpus explodes x``m`` into subspace rows
+    ONCE (persisted); every Lloyd round is one broadcast-hash join
+    against the m*k-row codebook plus one map-side-combinable
+    re-centering — the codebook, never the corpus, crosses the
+    network. The final wide pivot is a single hash aggregation on
+    vec_id.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    sub = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.posexplode(
+                F.array(*[F.slice(v, i * sub_dim + 1, sub_dim) for i in range(m)])
+            ).alias("m", "sv"),
+        )
+    ).persist()
+    seeds = (
+        emb.select(F.col(id_col).alias("vec_id"))
+        .filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    cents = sub.join(seeds, "vec_id").select("m", "cid", F.col("sv").alias("cv"))
+
+    def _sqdist() -> "F.Column":
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ),
+            6,
+        )
+
+    mean_cv = F.array(
+        *[F.round(F.avg(F.element_at(F.col("sv"), j + 1)), 9) for j in range(sub_dim)]
+    )
+    for _ in range(iters):
+        scored = sub.join(F.broadcast(cents), "m").select(
+            "vec_id", "m", "cid", _sqdist().alias("d")
+        )
+        best = scored.groupBy("vec_id", "m").agg(F.min("d").alias("bd"))
+        assign = (
+            scored.join(best, ["vec_id", "m"])
+            .filter(F.col("d") == F.col("bd"))
+            .groupBy("vec_id", "m")
+            .agg(F.min("cid").alias("cid"))
+        )
+        cents = (
+            sub.join(assign, ["vec_id", "m"])
+            .groupBy("m", "cid")
+            .agg(mean_cv.alias("cv"))
+            # k*m rows re-read by the next round's scored+best+assign
+            # lineage: truncate like kmeans_assignments
+            .localCheckpoint()
+        )
+    scored = sub.join(F.broadcast(cents), "m").select(
+        "vec_id", "m", "cid", _sqdist().alias("d")
+    )
+    best = scored.groupBy("vec_id", "m").agg(F.min("d").alias("bd"))
+    assign = (
+        scored.join(best, ["vec_id", "m"])
+        .filter(F.col("d") == F.col("bd"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("cid").alias("cid"), F.max("bd").alias("bd"))
+    )
+    code_cols = [
+        F.min(F.when(F.col("m") == i, F.col("cid"))).cast("int").alias(f"code_{i}")
+        for i in range(m)
+    ]
+    return assign.groupBy("vec_id").agg(
+        *code_cols,
+        F.round(F.sum("bd") * 1_000_000).cast("long").alias("err_x1e6"),
+    )
+
+
+def covariance_long(emb: DataFrame, dim: int = C.EMBEDDING_DIM) -> DataFrame:
+    """Full symmetric sample-covariance matrix in long form
+    (dim_i, dim_j, cov), cov rounded 6dp — the same arithmetic trace
+    as the ``emb_covariance`` catalog entry (upper triangle computed
+    once from in-row coordinate products, then mirrored), so a PCA
+    oracle can replay it from the identical SQL CTE.
+
+    Scale shape: each vector emits its d*(d+1)/2 coordinate products
+    in-row; one partial-aggregated groupBy collapses them map-side —
+    the explode form of the X^T·X GEMM with bounded (d^2) output.
+    """
+    e = emb.select("vec_id", F.col("embedding").alias("e"))
+    prods = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(dim)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(dim)),
+                        lambda j: F.struct(
+                            i.alias("dim_i"),
+                            j.alias("dim_j"),
+                            (
+                                F.element_at("e", i).cast("double")
+                                * F.element_at("e", j).cast("double")
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("t")
+    ).select("t.dim_i", "t.dim_j", "t.p")
+    sxy = prods.groupBy("dim_i", "dim_j").agg(F.sum("p").alias("sxy"))
+    ex = e.select(F.posexplode("e").alias("d0", "v")).select(
+        (F.col("d0") + 1).alias("d"), F.col("v").cast("double").alias("v")
+    )
+    s = ex.groupBy("d").agg(F.sum("v").alias("sx"))
+    nn = e.agg(F.count(F.lit(1)).alias("n"))
+    sa = s.select(F.col("d").alias("_da"), F.col("sx").alias("sx_i"))
+    sb = s.select(F.col("d").alias("_db"), F.col("sx").alias("sx_j"))
+    ut = (
+        sxy.join(F.broadcast(sa), sxy.dim_i == sa._da)
+        .join(F.broadcast(sb), sxy.dim_j == sb._db)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(
+                (F.col("sxy") - F.col("sx_i") * F.col("sx_j") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )
+    return ut.union(
+        ut.filter(F.col("dim_i") < F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"), "cov"
+        )
+    )
+
+
+def pca_power_projection(
+    emb: DataFrame,
+    dim: int = C.EMBEDDING_DIM,
+    iters: int = C.PCA_POWER_ITERS,
+) -> DataFrame:
+    """Top principal component by fixed-iteration power method, plus
+    the per-vector projection onto it.
+
+    The D x D rounded covariance (``covariance_long``) is iterated
+    ``iters`` times: w = round(C v, 9) -> v = round(w / ||w||, 9),
+    starting from the exact-constant uniform vector 1/sqrt(D).  The
+    component's sign is canonicalized on dim 1 (flip if negative), the
+    top eigenvalue estimate is the final ||w||, and each vector's
+    centered projection (x - mu)·v is emitted as an exact x1e4 BIGINT.
+
+    Output: (vec_id, pc1_x1e4 BIGINT, lam_x1e6 BIGINT).
+
+    Everything is declarative — no driver-side collect: the iteration
+    state is a 64-row DataFrame (localCheckpoint-truncated per round,
+    like the k-means codebooks), and the corpus-side projection is one
+    explode + map-side-combined groupBy(vec_id).  At 100x corpus the
+    only full-data stages are the covariance scan and the projection
+    scan; the iteration cost is constant.
+    """
+    # d^2 rows: single-partition from here on, so each of the tiny
+    # iteration shuffles below is one task instead of a 32-way fan
+    cov = covariance_long(emb, dim).coalesce(1).localCheckpoint()
+    v0 = round(1.0 / dim**0.5, 9)
+    v = (
+        cov.select(F.col("dim_i").alias("d"))
+        .distinct()
+        .select("d", F.lit(v0).alias("vv"))
+    )
+    # Each round references its matvec result exactly once (the norm
+    # folds in as an unpartitioned window over the 64-row frame), so
+    # the whole ``iters``-deep chain is ONE linear lineage — no
+    # per-round checkpoint or scalar cross join needed; only the
+    # corpus-derived covariance is truncated above.
+    wall = Window.partitionBy(F.lit(1))
+    for _ in range(iters):
+        v = (
+            cov.join(F.broadcast(v), cov.dim_j == v.d)
+            .groupBy("dim_i")
+            .agg(F.round(F.sum(F.col("cov") * F.col("vv")), 9).alias("wv"))
+            .select(
+                F.col("dim_i").alias("d"),
+                "wv",
+                F.round(
+                    F.sqrt(F.sum(F.col("wv") * F.col("wv")).over(wall)), 9
+                ).alias("nrm"),
+            )
+            .select("d", F.round(F.col("wv") / F.col("nrm"), 9).alias("vv"), "nrm")
+        )
+    # dim-1 sign canonicalization as one more window over the same
+    # 64-row frame (still a single linear lineage)
+    sgn = F.max(
+        F.when(
+            F.col("d") == 1,
+            F.when(F.col("vv") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)),
+        )
+    ).over(wall)
+    vf = v.select(
+        "d", (F.col("vv") * sgn).alias("vv"), "nrm"
+    ).localCheckpoint()
+    lam = vf.agg(F.max("nrm").alias("nrm"))
+    vs = vf.select("d", "vv")
+    mu = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"))
+        .select((F.col("d0") + 1).alias("d"), "x")
+        .groupBy("d")
+        .agg(F.sum("x").alias("sx"))
+        .crossJoin(F.broadcast(emb.agg(F.count(F.lit(1)).alias("n"))))
+        .select("d", F.round(F.col("sx") / F.col("n"), 9).alias("mu"))
+    )
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"),
+    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x")
+    return (
+        ex.join(F.broadcast(mu), "d")
+        .join(F.broadcast(vs), "d")
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.sum((F.col("x") - F.col("mu")) * F.col("vv")) * 10_000)
+            .cast("long")
+            .alias("pc1_x1e4")
+        )
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "vec_id",
+            "pc1_x1e4",
+            F.round(F.col("nrm") * 1_000_000).cast("long").alias("lam_x1e6"),
+        )
+    )
