@@ -241,3 +241,58 @@ def test_pca_sign_canonical_dim1_nonnegative_weighting(spark):
     av = np.array([a[i] for i in range(n)])
     bv = np.array([b[i] for i in range(n)])
     assert (abs(abs(av) - abs(bv)) <= 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing
+# ---------------------------------------------------------------------------
+
+
+def test_holt_trend_matches_pure_python(spark):
+    import datetime as dt
+
+    from westtopologies_spark.scale.temporal import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        holt_trend,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # type "a": counts 3, 1, 4, 1, 5 over five days
+    for day, n in enumerate([3, 1, 4, 1, 5]):
+        for k in range(n):
+            rows.append((len(rows), base + dt.timedelta(days=day, minutes=k), "a"))
+    # type "b": single day
+    rows.append((len(rows), base, "b"))
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+
+    got = {r["event_type"]: r for r in holt_trend(ev).collect()}
+
+    def holt(xs, a=HOLT_ALPHA, b=HOLT_BETA):
+        if len(xs) == 1:
+            return xs[0], 0.0
+        l, t = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            nl = a * x + (1.0 - a) * (l + t)
+            t = b * (nl - l) + (1.0 - b) * t
+            l = nl
+        return l, t
+
+    def half_up(x):
+        # engine round is HALF_UP on the shortest decimal repr;
+        # python's built-in round is banker's
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(repr(x * 10000)).quantize(Decimal("1"), ROUND_HALF_UP)
+        )
+
+    l, t = holt([3.0, 1.0, 4.0, 1.0, 5.0])
+    assert got["a"]["n_days"] == 5
+    assert got["a"]["level_x1e4"] == half_up(l)
+    assert got["a"]["trend_x1e4"] == half_up(t)
+    assert got["a"]["forecast_x1e4"] == half_up(l + t)
+    assert got["b"]["n_days"] == 1
+    assert got["b"]["level_x1e4"] == 10000
+    assert got["b"]["trend_x1e4"] == 0

@@ -345,3 +345,61 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import similarity
 
     return similarity.pca_power_projection(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Holt double exponential smoothing of the daily activity series
+# ---------------------------------------------------------------------------
+
+
+def _holt_sql() -> str:
+    from .scale.temporal import HOLT_ALPHA, HOLT_BETA
+
+    a, b = float(HOLT_ALPHA), float(HOLT_BETA)
+    ca, cb = 1.0 - a, 1.0 - b
+    new_l = f"{a!r} * e[1] + {ca!r} * (acc[1] + acc[2])"
+    return f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, list(x ORDER BY day) AS xs FROM daily GROUP BY 1
+    ),
+    folded AS (
+      SELECT event_type, len(xs) AS n_days,
+             CASE WHEN len(xs) = 1 THEN [xs[1], 0.0]
+             ELSE list_reduce(
+               list_prepend([xs[1], xs[2] - xs[1]],
+                            list_transform(xs[3:], x -> [x, 0.0])),
+               (acc, e) -> [
+                 {new_l},
+                 {b!r} * (({new_l}) - acc[1]) + {cb!r} * acc[2]
+               ])
+             END AS lb
+      FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(round(lb[1] * 10000) AS BIGINT) AS level_x1e4,
+           CAST(round(lb[2] * 10000) AS BIGINT) AS trend_x1e4,
+           CAST(round((lb[1] + lb[2]) * 10000) AS BIGINT) AS forecast_x1e4
+    FROM folded
+    """
+
+
+@_register(
+    "ts_holt_trend",
+    _holt_sql(),
+    doc="Holt double (level+trend) exponential smoothing of each "
+    "event type's daily count series: init l1=x1, b1=x2-x1, "
+    "standard recurrences as ONE left fold (Spark aggregate == "
+    "DuckDB list_reduce, state packed as a [l, b] pair), final "
+    "state + one-step forecast as exact x1e4 ints. The corpus "
+    "collapses map-side to (type, day) rows before any per-key "
+    "list exists. Temporal-analytics extension.",
+)
+def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.temporal import holt_trend
+
+    return holt_trend(_t(spark, sf_dir, "events"))

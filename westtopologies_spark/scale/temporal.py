@@ -471,3 +471,65 @@ def ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+
+
+def holt_trend(
+    events: DataFrame, alpha: float = HOLT_ALPHA, beta: float = HOLT_BETA
+) -> DataFrame:
+    """Holt double (level+trend) exponential smoothing of each event
+    type's DAILY count series; final state + one-step forecast as
+    exact x1e4 scaled ints.
+
+    Init l1 = x1, b1 = x2 - x1, then the standard recurrences over
+    t = 3..n as one left fold (Spark ``aggregate`` == DuckDB
+    ``list_reduce`` over the same prepended seed), every arithmetic
+    step written identically on both engines so the doubles are
+    bit-equal before the output rounding.  Single-day series get
+    (l, b) = (x1, 0).
+
+    Scale shape: the corpus collapses to one row per (type, day)
+    map-side before any list exists; the per-key fold state is the
+    day-count series — bounded by calendar span, not corpus size.
+    """
+    a, b = float(alpha), float(beta)
+    ca, cb = 1.0 - a, 1.0 - b
+    daily = (
+        events.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    xs = F.transform(
+        F.sort_array(F.collect_list(F.struct("day", "x"))), lambda s: s["x"]
+    )
+    series = daily.groupBy("event_type").agg(xs.alias("xs"))
+
+    def el(i: int):
+        return F.element_at("xs", i)
+
+    def step(acc, x):
+        new_l = F.lit(a) * x + F.lit(ca) * (acc["l"] + acc["b"])
+        # new_l recomputed inline for the trend term, exactly as the
+        # oracle SQL does (pure expression — identical value)
+        new_l2 = F.lit(a) * x + F.lit(ca) * (acc["l"] + acc["b"])
+        new_b = F.lit(b) * (new_l2 - acc["l"]) + F.lit(cb) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = F.aggregate(
+        F.slice(F.col("xs"), 3, F.greatest(F.size("xs") - 2, F.lit(0))),
+        F.struct(el(1).alias("l"), (el(2) - el(1)).alias("b")),
+        step,
+    )
+    lb = F.when(
+        F.size("xs") == 1,
+        F.struct(el(1).alias("l"), F.lit(0.0).alias("b")),
+    ).otherwise(folded)
+    return series.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.round(lb["l"] * 10_000).cast("long").alias("level_x1e4"),
+        F.round(lb["b"] * 10_000).cast("long").alias("trend_x1e4"),
+        F.round((lb["l"] + lb["b"]) * 10_000).cast("long").alias("forecast_x1e4"),
+    )
