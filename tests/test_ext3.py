@@ -296,3 +296,16 @@ def test_holt_trend_matches_pure_python(spark):
     assert got["b"]["n_days"] == 1
     assert got["b"]["level_x1e4"] == 10000
     assert got["b"]["trend_x1e4"] == 0
+
+
+def test_pq_block_neardup_finds_exact_duplicates(vectors):
+    from westtopologies_spark.scale.similarity import pq_block_neardup
+
+    out = {(r["id_a"], r["id_b"]): r for r in pq_block_neardup(vectors).collect()}
+    # exact duplicates of vector 3 share every code -> all three pairs
+    for pair in [(3, 100), (3, 101), (100, 101)]:
+        assert pair in out, (pair, sorted(out))
+        assert out[pair]["cos_x1e6"] == 1_000_000
+        assert out[pair]["is_neardup"] == 1
+    for (ia, ib), r in out.items():
+        assert ia < ib

@@ -162,7 +162,11 @@ def tx_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pq_sql() -> str:
+def _pq_cte_parts() -> list[str]:
+    """WITH-clause parts replaying :func:`similarity.pq_codes`'s
+    deterministic trace, ending in a CTE ``pqcodes(vec_id, code_0..,
+    err_x1e6)`` — composable into larger oracles (the PQ-blocked
+    near-dup below)."""
     m, sd, k = C.PQ_M, C.PQ_SUB_DIM, C.PQ_K
     sub_selects = "\n      UNION ALL\n      ".join(
         f"SELECT vec_id, {i} AS m, v[{i * sd + 1}:{(i + 1) * sd}] AS sv FROM base"
@@ -228,13 +232,21 @@ def _pq_sql() -> str:
         f"CAST(min(CASE WHEN m = {i} THEN cid END) AS INT) AS code_{i}"
         for i in range(m)
     )
+    parts.append(
+        f"""pqcodes AS (
+      SELECT vec_id, {codes},
+             CAST(round(sum(bd) * 1000000) AS BIGINT) AS err_x1e6
+      FROM af GROUP BY vec_id
+    )"""
+    )
+    return parts
+
+
+def _pq_sql() -> str:
     return (
         "WITH "
-        + ",\n    ".join(parts)
-        + f"""
-    SELECT vec_id, {codes},
-           CAST(round(sum(bd) * 1000000) AS BIGINT) AS err_x1e6
-    FROM af GROUP BY vec_id"""
+        + ",\n    ".join(_pq_cte_parts())
+        + "\n    SELECT * FROM pqcodes"
     )
 
 
@@ -403,3 +415,60 @@ def ts_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale.temporal import holt_trend
 
     return holt_trend(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# PQ-blocked near-duplicate detection: same full code tuple ->
+# candidate pair -> exact-cosine confirm
+# ---------------------------------------------------------------------------
+
+
+def _pq_neardup_sql() -> str:
+    from .queries_scale import _DOT, _NORM
+
+    d = C.EMBEDDING_DIM
+    on = " AND ".join(f"a.code_{i} = b.code_{i}" for i in range(C.PQ_M))
+    dot = _DOT.format(d=d, a="va.v", b="vb.v")
+    parts = list(_pq_cte_parts())
+    parts.append(
+        f"""cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM pqcodes a JOIN pqcodes b ON {on} AND a.vec_id < b.vec_id
+    ),
+    normed AS (SELECT vec_id, v, {_NORM.format(v="v")} AS nrm FROM base),
+    sim AS (
+      SELECT c.id_a, c.id_b,
+             CAST(round(round({dot} / (va.nrm * vb.nrm), 6) * 1000000)
+                  AS BIGINT) AS cos_x1e6
+      FROM cand c
+      JOIN normed va ON va.vec_id = c.id_a
+      JOIN normed vb ON vb.vec_id = c.id_b
+    )"""
+    )
+    thr = int(C.NEARDUP_COSINE_THRESHOLD * 1_000_000)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT id_a, id_b, cos_x1e6,
+           CAST(CASE WHEN cos_x1e6 >= {thr} THEN 1 ELSE 0 END AS INT)
+             AS is_neardup
+    FROM sim"""
+    )
+
+
+@_register(
+    "dd_pq_neardup",
+    _pq_neardup_sql(),
+    doc="Near-dup candidate generation by product-quantization "
+    "blocking: pairs sharing the FULL 4-code tuple (16^4 blocks -> "
+    "near-linear candidate mass) confirmed with the exact cosine "
+    "from the raw embeddings. Composes the ann_pq_codes trace as "
+    "its blocking stage; the all-pairs exact kernel exists "
+    "separately as dd_embedding_neardup. LLM-pipeline extension "
+    "(dedup family).",
+)
+def dd_pq_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import similarity
+
+    return similarity.pq_block_neardup(_t(spark, sf_dir, "embeddings"))

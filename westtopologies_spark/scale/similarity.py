@@ -711,3 +711,49 @@ def pca_power_projection(
             F.round(F.col("nrm") * 1_000_000).cast("long").alias("lam_x1e6"),
         )
     )
+
+
+def pq_block_neardup(emb: DataFrame, m: int = C.PQ_M) -> DataFrame:
+    """Near-duplicate candidates by product-quantization blocking:
+    two vectors are candidates iff they quantize to the SAME code in
+    every subspace; each candidate pair is confirmed with the exact
+    cosine from the raw embeddings.
+
+    Output: (id_a, id_b, cos_x1e6 BIGINT, is_neardup INT) with
+    id_a < id_b, is_neardup = cosine >= NEARDUP_COSINE_THRESHOLD.
+
+    Scale shape: the blocking join keys on the full 4-code tuple
+    (16^4 possible blocks), so expected per-block occupancy stays
+    ~n/65536 — the candidate set is near-linear in corpus size,
+    unlike the all-pairs exact kernel (``dd_embedding_neardup``)
+    this composes with as its oracle. Confirmation touches only the
+    candidate pairs' raw vectors (a self-equi-join on vec_id).
+    """
+    codes = pq_codes(emb)
+    code_cols = [f"code_{i}" for i in range(m)]
+    a = codes.select(F.col("vec_id").alias("id_a"), *code_cols)
+    b = codes.select(F.col("vec_id").alias("id_b"), *code_cols)
+    cand = a.join(b, code_cols).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    va = _normed(emb, "embedding", "vec_id", "a_")
+    vb = _normed(emb, "embedding", "vec_id", "b_")
+    cos = F.round(
+        _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), 6
+    )
+    return (
+        cand.join(va, cand.id_a == va.a_id)
+        .join(vb, cand.id_b == vb.b_id)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cos * 1_000_000).cast("long").alias("cos_x1e6"),
+        )
+        .withColumn(
+            "is_neardup",
+            (
+                F.col("cos_x1e6")
+                >= int(C.NEARDUP_COSINE_THRESHOLD * 1_000_000)
+            ).cast("int"),
+        )
+    )
