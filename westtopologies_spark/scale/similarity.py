@@ -533,7 +533,9 @@ def pq_codes(
             .groupBy("m", "cid")
             .agg(mean_cv.alias("cv"))
             # k*m rows re-read by the next round's scored+best+assign
-            # lineage: truncate like kmeans_assignments
+            # lineage: truncate like kmeans_assignments (coalesced —
+            # a 64-row codebook does not need a 32-way fan)
+            .coalesce(1)
             .localCheckpoint()
         )
     scored = sub.join(F.broadcast(cents), "m").select(

@@ -721,6 +721,10 @@ def textrank_keywords(docs: DataFrame, top: int = C.TEXTRANK_TOP_K) -> DataFrame
     dedges = (
         pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        # vocabulary-cardinality frame: single partition keeps the 3
+        # PageRank rounds' tiny shuffles one-task each (same move as
+        # the PCA iteration frame)
+        .coalesce(1)
         .persist()
     )
     nodes = dedges.select(F.col("src").alias("node")).distinct()
