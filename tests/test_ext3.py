@@ -309,3 +309,29 @@ def test_pq_block_neardup_finds_exact_duplicates(vectors):
         assert out[pair]["is_neardup"] == 1
     for (ia, ib), r in out.items():
         assert ia < ib
+
+
+def test_weight_bootstrap_ci(spark):
+    import datetime as dt
+
+    from westtopologies_spark.scale.aggstats import bootstrap_ci
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), "t", float((i * 7) % 23) + 1.0)
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    out = bootstrap_ci(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    exact_mean = sum(v for *_, v in rows) / len(rows)
+    assert r["n"] == 200
+    assert abs(r["mean_x1e4"] / 1e4 - exact_mean) < 1e-3
+    # hash weights are genuinely mixed -> nonzero bootstrap spread,
+    # and the normal CI brackets the point mean
+    assert r["boot_se_x1e4"] > 0
+    assert r["ci_lo_x1e4"] <= r["mean_x1e4"] <= r["ci_hi_x1e4"]
+    # determinism
+    again = bootstrap_ci(ev).collect()[0]
+    assert tuple(again) == tuple(r)

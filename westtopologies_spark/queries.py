@@ -43,6 +43,11 @@ _CATALOG: list[QuerySpec] = []
 
 def _register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        # a silently-duplicated name would run one query twice in the
+        # driver gate and shadow the other in queries() (caught live:
+        # round-3 nearly re-registered ag_bootstrap_ci)
+        if any(s.name == name for s in _CATALOG):
+            raise ValueError(f"duplicate catalog registration: {name}")
         _CATALOG.append(QuerySpec(name, fn, oracle, doc))
         return fn
 

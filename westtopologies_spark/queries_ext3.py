@@ -472,3 +472,74 @@ def dd_pq_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import similarity
 
     return similarity.pq_block_neardup(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap CI (double-or-nothing weight bootstrap)
+# ---------------------------------------------------------------------------
+
+
+def _bootstrap_sql() -> str:
+    from .scale import aggstats as A
+
+    w = (
+        f"((((event_id * {A.BOOT_A} + r * {A.BOOT_C} + {A.BOOT_D}) "
+        f"% {A.BOOT_P}) % 2) * 2)"
+    )
+    bf = float(A.BOOT_B)
+    return f"""
+    WITH rr AS (
+      SELECT event_type, event_id, value, unnest(range(0, {A.BOOT_B})) AS r
+      FROM events
+    ),
+    res AS (
+      SELECT event_type, r,
+             sum(CAST(value AS DECIMAL(18,2)) * {w}) AS swx,
+             sum({w}) AS sw
+      FROM rr GROUP BY 1, 2
+    ),
+    means AS (
+      SELECT event_type, CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS m
+      FROM res
+    ),
+    boot AS (
+      SELECT event_type, sum(m) AS sm, sum(m * m) AS sm2
+      FROM means GROUP BY 1
+    ),
+    base AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS mean
+      FROM events GROUP BY 1
+    ),
+    fin AS (
+      SELECT b.event_type, b.n, b.mean,
+             sqrt((t.sm2 - t.sm * t.sm / {bf!r}) / {bf - 1.0!r}) AS se
+      FROM base b JOIN boot t ON t.event_type = b.event_type
+    )
+    SELECT event_type, n,
+           CAST(round(mean * 10000) AS BIGINT) AS mean_x1e4,
+           CAST(round(se * 10000) AS BIGINT) AS boot_se_x1e4,
+           CAST(round((mean - {A.BOOT_Z!r} * se) * 10000) AS BIGINT)
+             AS ci_lo_x1e4,
+           CAST(round((mean + {A.BOOT_Z!r} * se) * 10000) AS BIGINT)
+             AS ci_hi_x1e4
+    FROM fin
+    """
+
+
+@_register(
+    "ag_weight_bootstrap",
+    _bootstrap_sql(),
+    doc="Multiplier (double-or-nothing weight) bootstrap CI for "
+    "mean(value) per event type — the n-preserving counterpart of "
+    "ag_bootstrap_ci's half-sample subsampling: 16 resamples whose 0/2 weights come from the "
+    "parity of an affine hash of (event_id, resample) routed through "
+    "an odd prime — replayable with no RNG state, mergeable "
+    "map-side. DECIMAL value sums; all outputs exact scaled ints. "
+    "Statistical-rigor extension (uncertainty family).",
+)
+def ag_weight_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.aggstats import bootstrap_ci
+
+    return bootstrap_ci(_t(spark, sf_dir, "events"))

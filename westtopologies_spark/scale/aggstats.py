@@ -535,3 +535,78 @@ def winsorized_mean(
             F.round(F.max("_hi"), 4).alias("cap_hi"),
         )
     )
+
+
+BOOT_B = 16  # deterministic double-or-nothing resamples
+BOOT_A, BOOT_C, BOOT_D = 2971, 1583, 101  # affine hash (MINHASH-style)
+BOOT_P = 1_000_003  # odd prime: residue parity is a mixed bit (a
+# direct mod-2 of the all-odd affine form would degenerate to
+# parity(event_id + r) — two distinct resamples instead of B)
+BOOT_Z = 1.96  # normal CI multiplier
+
+
+def bootstrap_ci(events: DataFrame, b: int = BOOT_B) -> DataFrame:
+    """Deterministic bootstrap confidence interval for mean(value)
+    per event type: ``b`` double-or-nothing resamples (row i gets
+    weight 0 or 2 in resample r from the parity of an affine integer
+    hash of (event_id, r) — the Bernoulli weight bootstrap, weight
+    variance 1 like Poisson(1) bootstrap, but replayable with no RNG
+    state).
+
+    Output: (event_type, n, mean_x1e4, boot_se_x1e4, ci_lo_x1e4,
+    ci_hi_x1e4) — all exact scaled ints; value sums fold as DECIMAL
+    so partition order cannot perturb them.
+
+    Scale shape: one bounded x``b`` explode, then two map-side-
+    combinable aggregations ((type, r) then type). Resample means
+    never materialize per-row state; the driver sees nothing.
+    """
+    w = (
+        ((F.col("event_id") * BOOT_A + F.col("r") * BOOT_C + BOOT_D) % BOOT_P)
+        % 2
+    ) * 2  # 0 or 2
+    dec = F.col("value").cast("decimal(18,2)")
+    res = (
+        events.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("r"),
+        )
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(dec * w).alias("swx"),
+            F.sum(w).alias("sw"),
+        )
+        .select(
+            "event_type",
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
+                "m"
+            ),
+        )
+    )
+    boot = res.groupBy("event_type").agg(
+        F.sum("m").alias("sm"), F.sum(F.col("m") * F.col("m")).alias("sm2")
+    )
+    base = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("mean"),
+    )
+    bf = float(b)
+    se = F.sqrt(
+        (F.col("sm2") - F.col("sm") * F.col("sm") / F.lit(bf))
+        / F.lit(bf - 1.0)
+    )
+    out = base.join(boot, "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("mean") * 10_000).cast("long").alias("mean_x1e4"),
+        F.round(se * 10_000).cast("long").alias("boot_se_x1e4"),
+        F.round((F.col("mean") - F.lit(BOOT_Z) * se) * 10_000)
+        .cast("long")
+        .alias("ci_lo_x1e4"),
+        F.round((F.col("mean") + F.lit(BOOT_Z) * se) * 10_000)
+        .cast("long")
+        .alias("ci_hi_x1e4"),
+    )
+    return out
