@@ -335,3 +335,40 @@ def test_weight_bootstrap_ci(spark):
     # determinism
     again = bootstrap_ci(ev).collect()[0]
     assert tuple(again) == tuple(r)
+
+
+def test_rrf_fusion_prefers_doubly_ranked(spark, sf_dir):
+    """A neighbor in BOTH rankings outscores one found by a single
+    ranker at comparable ranks; output is exactly top-k per query."""
+    from westtopologies_spark.queries_ext3 import RRF_K0, RRF_SCALE, ann_rrf_fusion
+    from westtopologies_spark.scale import constants as C
+
+    out = ann_rrf_fusion(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= C.ANN_TOP_K
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        scores = [r["rrf_score"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        # max possible single-ranker score < double-hit minimum when
+        # both ranks are 1: sanity of the integer contribution scale
+        assert all(0 < s <= 2 * (RRF_SCALE // (RRF_K0 + 1)) for s in scores)
+
+
+def test_pivot_wide_row_sums(spark, sf_dir):
+    from westtopologies_spark.queries_ext3 import EVENT_TYPES, gs_pivot_wide
+
+    rows = gs_pivot_wide(spark, sf_dir).collect()
+    assert rows
+    total_cells = 0
+    for r in rows:
+        assert r["total"] == sum(r[t] for t in EVENT_TYPES)
+        total_cells += r["total"]
+    # grand total equals the row count of events
+    from westtopologies_spark.session import load_table
+
+    n = load_table(spark, sf_dir, "events").count()
+    assert total_cells == n

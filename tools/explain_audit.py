@@ -110,7 +110,11 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "tx_textrank",
                        # dimension-count n (1 row) + eigenvalue row (1 row)
                        # joined onto the 64-row component frame / projection
-                       "emb_pca_power"}
+                       "emb_pca_power",
+                       # composes cosine_topk -> inherits its bounded
+                       # query-set broadcast (<= ANN_N_QUERIES rows) with
+                       # the non-equi self-exclusion predicate
+                       "ann_rrf_fusion"}
 
 
 def audit(name: str, plan: str) -> list[str]:

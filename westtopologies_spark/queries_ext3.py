@@ -543,3 +543,151 @@ def ag_weight_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale.aggstats import bootstrap_ci
 
     return bootstrap_ci(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of the exact and LSH ANN rankings
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60  # standard RRF dampening constant
+RRF_SCALE = 1_000_000_000  # integer-exact contribution: SCALE div (K0 + rank)
+
+
+def _rrf_sql() -> str:
+    from .queries_scale import _ann_bruteforce_sql, _ann_lsh_sql
+
+    k = C.ANN_TOP_K
+    return f"""
+    WITH exact_r AS ({_ann_bruteforce_sql()}),
+    lsh_r AS ({_ann_lsh_sql()}),
+    fused AS (
+      SELECT coalesce(e.query_id, l.query_id) AS query_id,
+             coalesce(e.neighbor_id, l.neighbor_id) AS neighbor_id,
+             coalesce({RRF_SCALE} // ({RRF_K0} + e.rank), 0)
+               + coalesce({RRF_SCALE} // ({RRF_K0} + l.rank), 0) AS rrf_score
+      FROM exact_r e
+      FULL OUTER JOIN lsh_r l
+        ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY rrf_score DESC, neighbor_id ASC) AS INT) AS rank,
+           neighbor_id,
+           CAST(rrf_score AS BIGINT) AS rrf_score
+    FROM fused
+    QUALIFY rank <= {k}
+    """
+
+
+@_register(
+    "ann_rrf_fusion",
+    _rrf_sql(),
+    doc="Reciprocal-rank fusion of the exact brute-force and "
+    "sign-LSH ANN rankings: per (query, neighbor), score = sum of "
+    "SCALE div (60 + rank) over the rankers that returned it "
+    "(integer-exact RRF — same monotone ordering, no float "
+    "canonicalization), re-ranked to top-k. The standard recipe "
+    "for combining retrievers with incomparable scores. Composes "
+    "the two existing search plans plus one k-rows-per-query full "
+    "outer join. LLM-pipeline extension (retrieval family).",
+)
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .scale import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_N_QUERIES)
+    e = similarity.cosine_topk(emb, q).select(
+        F.col("query_id").alias("e_qid"),
+        F.col("neighbor_id").alias("e_nid"),
+        F.col("rank").alias("e_rank"),
+    )
+    lsh = similarity.ann_lsh_topk(emb, q).select(
+        F.col("query_id").alias("l_qid"),
+        F.col("neighbor_id").alias("l_nid"),
+        F.col("rank").alias("l_rank"),
+    )
+    fused = (
+        e.join(
+            lsh,
+            (F.col("e_qid") == F.col("l_qid"))
+            & (F.col("e_nid") == F.col("l_nid")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("e_qid", "l_qid").alias("query_id"),
+            F.coalesce("e_nid", "l_nid").alias("neighbor_id"),
+            (
+                F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K0} + e_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"{RRF_SCALE} div ({RRF_K0} + l_rank)"), F.lit(0)
+                )
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= C.ANN_TOP_K)
+        .select(
+            "query_id", "rank", "neighbor_id", F.col("rrf_score").cast("long")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit PIVOT: long event stream -> wide per-day type-count matrix
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _pivot_sql() -> str:
+    cells = ",\n           ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {t}"
+        for t in EVENT_TYPES
+    )
+    total = " + ".join(EVENT_TYPES)
+    return f"""
+    WITH wide AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             {cells}
+      FROM events GROUP BY 1
+    )
+    SELECT day, {', '.join(EVENT_TYPES)}, {total} AS total FROM wide
+    """
+
+
+@_register(
+    "gs_pivot_wide",
+    _pivot_sql(),
+    doc="Explicit PIVOT surface: the long event stream becomes a "
+    "wide per-day type-count matrix via DataFrame pivot() with a "
+    "DECLARED value list (an undeclared pivot would scan once just "
+    "to enumerate columns — never acceptable at corpus scale); "
+    "missing cells coalesce to 0 to match the oracle's CASE sums. "
+    "One map-side-combinable aggregation. Rollup-family extension.",
+)
+def gs_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+        for t in EVENT_TYPES
+    ]
+    out = wide.select("day", *cols)
+    total = None
+    for t in EVENT_TYPES:
+        total = F.col(t) if total is None else total + F.col(t)
+    return out.withColumn("total", total)
