@@ -372,3 +372,33 @@ def test_pivot_wide_row_sums(spark, sf_dir):
 
     n = load_table(spark, sf_dir, "events").count()
     assert total_cells == n
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    """Partition-parallel skyline == quadratic dominance definition."""
+    from westtopologies_spark.queries_ext3 import sq_pareto_skyline
+
+    got = {r["o_orderkey"] for r in sq_pareto_skyline(spark, sf_dir).collect()}
+
+    from westtopologies_spark.session import load_table
+
+    rows = [
+        (r["o_orderkey"], r["o_orderdate"], r["o_totalprice"])
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    ]
+    want = set()
+    for k, d, p in rows:
+        dominated = any(
+            (d2 > d and p2 <= p)
+            or (d2 == d and p2 < p)
+            # exact (date, price) duplicates: the declared semantics
+            # keep only the lowest orderkey
+            or (d2 == d and p2 == p and k2 < k)
+            for k2, d2, p2 in rows
+            if k2 != k
+        )
+        if not dominated:
+            want.add(k)
+    assert got == want

@@ -691,3 +691,101 @@ def gs_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in EVENT_TYPES:
         total = F.col(t) if total is None else total + F.col(t)
     return out.withColumn("total", total)
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier): cheapest-vs-freshest orders
+# ---------------------------------------------------------------------------
+
+
+def _skyline_sql() -> str:
+    return """
+    WITH pts AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderkey, o_orderdate, price,
+             min(price) OVER (
+               ORDER BY o_orderdate DESC, price ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_price_newer
+      FROM pts
+    )
+    SELECT o_orderkey, o_orderdate,
+           CAST(price * 100 AS BIGINT) AS price_cents
+    FROM ranked
+    WHERE best_price_newer IS NULL OR price < best_price_newer
+    """
+
+
+@_register(
+    "sq_pareto_skyline",
+    _skyline_sql(),
+    doc="2-D skyline / Pareto frontier (maximize recency, minimize "
+    "price): a row survives iff no strictly-newer order is at most "
+    "as cheap — computed as ONE sort + running-min window instead "
+    "of the naive quadratic dominance anti-join (the O(n log n) "
+    "sort-filter skyline; at cluster scale, range-partition by the "
+    "sort key and carry each partition's running min forward). "
+    "DECIMAL prices; integer-cents output. SQL-surface extension.",
+)
+def sq_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-parallel sort-filter skyline.
+
+    The oracle states the semantics as one global running-min window;
+    executing that literally would funnel the fact table through a
+    single partition.  Instead: range-partition by the total sort
+    order (equal keys never split), compute the running min WITHIN
+    each partition, and carry the min of all earlier partitions
+    forward through a partition-count-sized prefix table (broadcast).
+    The survivor set is identical to the global window by
+    construction — every preceding row is either in the same
+    partition (in-partition window) or in an earlier one (prefix
+    min).  Reference for the dominance shape: none in the reference
+    repo — SQL-surface extension.
+    """
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    order_cols = [F.desc("o_orderdate"), F.asc("price"), F.asc("o_orderkey")]
+    part = o.repartitionByRange(*order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = part.withColumn("in_min", F.min("price").over(w_in))
+    # prefix table: one row per range partition -> strictly-earlier
+    # partitions' running min (tiny; unpartitioned window over it is
+    # partition-count-sized, not data-sized)
+    w_pre = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        part.groupBy("pid")
+        .agg(F.min("price").alias("pmin"))
+        .withColumn("pre_min", F.min("pmin").over(w_pre))
+        .select("pid", "pre_min")
+    )
+    # least() skips NULLs (first row of a partition has no in_min;
+    # partition 0 has no pre_min) -> NULL only when BOTH are absent,
+    # i.e. the globally first row
+    joined = ranked.join(F.broadcast(prefix), "pid").withColumn(
+        "best_price_newer", F.least("in_min", "pre_min")
+    )
+    return joined.filter(
+        F.col("best_price_newer").isNull()
+        | (F.col("price") < F.col("best_price_newer"))
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("price") * 100).cast("long").alias("price_cents"),
+    )
