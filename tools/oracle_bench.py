@@ -37,6 +37,7 @@ def main() -> None:
         # so per-query timings are unaffected
         c = duckdb.connect()
         c.execute("SET memory_limit='24GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(path):
@@ -46,12 +47,18 @@ def main() -> None:
         return c
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_all = time.time()
     for name, sql in oracle_sql().items():
         con = fresh_con()
         t0 = time.time()
-        con.execute(sql).fetchall()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            con.execute(sql).fetchall()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - a single replay OOM
+            # must not void the suite measurement; record and move on
+            errors[name] = str(e)[:120]
+            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
         con.close()
     print(
         json.dumps(
@@ -60,6 +67,7 @@ def main() -> None:
                 "value": round(time.time() - t_all, 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf_dir": sf_dir,
             }
         )
