@@ -114,7 +114,16 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # composes cosine_topk -> inherits its bounded
                        # query-set broadcast (<= ANN_N_QUERIES rows) with
                        # the non-equi self-exclusion predicate
-                       "ann_rrf_fusion"}
+                       "ann_rrf_fusion",
+                       # per-half-round max-normalizer row (1 row) joined
+                       # onto the node frame (same class as gr_pagerank's N)
+                       "gr_hits",
+                       # sqrt-mass + doc totals (1 row) joined onto the
+                       # per-source quota frame
+                       "tp_temp_mixture",
+                       # calendar-bounded daily frame broadcast to the
+                       # inequality pair join + scalar stat rows (1 row each)
+                       "ts_mann_kendall"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -326,3 +326,118 @@ def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         F.col("label").alias("community_id"),
         "community_size",
     )
+
+
+HITS_ITERS = 2
+
+
+def hits(
+    nodes: DataFrame, dedges: DataFrame, iters: int = HITS_ITERS
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): mutually-reinforcing
+    hub and authority scores over the directed reply graph — the
+    link-analysis complement of :func:`pagerank` (good hubs reply to
+    good authorities; the reference's role analysis separates the
+    same populations heuristically, RoleAnalysisBolt.java rule
+    cascade).
+
+    Declared semantics (both engines replay the identical trace):
+    scores start at 1.0; each round computes raw authority = sum of
+    in-neighbor hub scores and raw hub = sum of out-neighbor NEW
+    authority scores, each normalized by the round's MAX raw score —
+    max (unlike the textbook L2 norm) is aggregation-order-INdependent,
+    so cross-engine parity needs only the per-node sum rounding.
+    Every per-node sum is rounded at 1e-9 before the max/divide, like
+    the pagerank kernel.
+
+    Scale: per round two keyed shuffles (groupBy dst, groupBy src)
+    plus one scalar max broadcast back — the standard iterate shape;
+    no driver loop state, no collect.
+    """
+    a = nodes.select("node", F.lit(1.0).alias("a"))
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    for _ in range(iters):
+        ra = (
+            dedges.join(
+                h.select(F.col("node").alias("src"), F.col("h").alias("hs")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.round(F.sum("hs"), 9).alias("raw_a"))
+        )
+        am = ra.agg(F.max("raw_a").alias("m"))
+        a = (
+            nodes.join(ra, nodes["node"] == ra["dst"], "left")
+            .crossJoin(F.broadcast(am))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("raw_a"), F.lit(0.0)) / F.col("m"), 9
+                ).alias("a"),
+            )
+        )
+        rh = (
+            dedges.join(
+                a.select(F.col("node").alias("dst"), F.col("a").alias("asc")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.round(F.sum("asc"), 9).alias("raw_h"))
+        )
+        hm = rh.agg(F.max("raw_h").alias("m"))
+        h = (
+            nodes.join(rh, nodes["node"] == rh["src"], "left")
+            .crossJoin(F.broadcast(hm))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("raw_h"), F.lit(0.0)) / F.col("m"), 9
+                ).alias("h"),
+            )
+        )
+    return (
+        a.join(h, "node")
+        .select(
+            F.col("node").alias("user_id"),
+            F.round(F.col("a") * 1_000_000).cast("long").alias("auth_x1e6"),
+            F.round(F.col("h") * 1_000_000).cast("long").alias("hub_x1e6"),
+        )
+    )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient: closed wedges at the
+    node / possible wedges, ``lcc = 2*tri / (deg*(deg-1))`` — the
+    community-cohesion score the global triangle count cannot give.
+
+    All-integer output (``DIV`` x1e4): triangle counts and degrees
+    are exact BIGINTs, so the coefficient ships hash-exact.  Reuses
+    the ordered-edge triangle kernel (one extra symmetric-degree
+    aggregation); nodes of degree < 2 report lcc 0.
+
+    ``edges``: distinct undirected, u < v.
+    """
+    deg = (
+        edges.select(F.col("u").alias("user_id"))
+        .unionByName(edges.select(F.col("v").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "user_id", "left")
+        .select(
+            "user_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+        .withColumn(
+            "lcc_x1e4",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr("(n_triangles * 2 * 10000) DIV (degree * (degree - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )

@@ -1289,6 +1289,10 @@ from . import queries_ext2  # noqa: E402, F401
 # quantization, top-PC power iteration
 from . import queries_ext3  # noqa: E402, F401
 
+# round-3 batch 4: HITS, local clustering, Zipf fit, temperature
+# mixture, Mahalanobis outliers, audio framing plan, Mann-Kendall
+from . import queries_ext4  # noqa: E402, F401
+
 
 # ---------------------------------------------------------------------------
 # Hash-exact hardening sweep (round 3): every catalog query that has

@@ -379,3 +379,50 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
         .cast("long")
         .alias("removable_bytes"),
     )
+
+
+# audio modality: PCM framing plan from metadata only (the decode
+# stub boundary is the same as images — no codecs in the container,
+# so the sample values never materialize; the batcher math does)
+AUDIO_FRAME = 512  # samples per analysis frame
+AUDIO_HOP = 256  # hop (50% overlap)
+
+
+def audio_frame_plan(
+    bdocs: DataFrame, frame: int = AUDIO_FRAME, hop: int = AUDIO_HOP
+) -> DataFrame:
+    """Audio-encoder preprocessing plan from payload metadata only:
+    treat each binary payload as 16-bit mono PCM at a deterministic
+    per-item sample rate (8/12/16/20 kHz by doc_id — stands in for
+    real container metadata), and emit what a speech/audio batcher
+    needs BEFORE any sample is decoded: sample count, duration, STFT
+    frame count for a ``frame``/``hop`` analysis window, spectrogram
+    cell count, and a padding bucket for length-sorted GPU batch
+    packing.
+
+    Pure integer expressions over ``meta.n_bytes`` (positive-domain
+    ``DIV``), same contract as :func:`tile_plan` for images — the
+    whole plan stays in the scan stage, no shuffle, no UDF.
+    """
+    rate = (8000 + (F.col("doc_id") % 4) * 4000).cast("long")
+    n_samples = F.expr("meta.n_bytes DIV 2")
+    return (
+        bdocs.select(
+            "doc_id",
+            rate.alias("sample_rate"),
+            n_samples.alias("n_samples"),
+        )
+        .withColumn("duration_ms", F.expr("(n_samples * 1000) DIV sample_rate"))
+        .withColumn(
+            "n_frames",
+            F.when(
+                F.col("n_samples") >= frame,
+                F.expr(f"((n_samples - {frame}) DIV {hop}) + 1"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("n_fft_bins", F.lit(frame // 2 + 1).cast("long"))
+        .withColumn("stft_cells", F.col("n_frames") * F.col("n_fft_bins"))
+        .withColumn(
+            "pad_bucket", F.least(F.expr("n_frames DIV 16"), F.lit(7)).cast("long")
+        )
+    )

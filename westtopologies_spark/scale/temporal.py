@@ -533,3 +533,85 @@ def holt_trend(
         F.round(lb["b"] * 10_000).cast("long").alias("trend_x1e4"),
         F.round((lb["l"] + lb["b"]) * 10_000).cast("long").alias("forecast_x1e4"),
     )
+
+
+def mann_kendall(events: DataFrame) -> DataFrame:
+    """Mann-Kendall trend test over the daily activity series — the
+    standard nonparametric "is this metric drifting?" monitor (no
+    distribution assumption, robust to outliers, the usual first
+    gate before fitting a trend like ag_linfit's OLS).
+
+    The S statistic (sum over day pairs of sign(y_j - y_i)), the
+    day count, the tie-corrected variance NUMERATOR
+    ``n(n-1)(2n+5) - sum_t t(t-1)(2t+5)`` (variance = that / 18) are
+    all exact BIGINTs: daily values fold as half-up integer cents
+    first, so every comparison and sum is integer.  Only the final
+    normal-approximation z ships as a scaled int on top of those
+    exact integers (one shared double expression).
+
+    Scale: the pairwise O(D^2) join runs over the PRE-AGGREGATED
+    daily frame, bounded by calendar days regardless of event volume
+    (a year of 100 TB is still 365 rows here) — the unbounded input
+    is reduced by one map-side-combinable groupBy first.  The daily
+    frame broadcasts to the inequality self-join.
+    """
+    daily = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "yc"
+            )
+        )
+        .localCheckpoint()  # consumed 3x (two join sides + ties)
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("yc").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("yc").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da"))
+    s = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_stat"),
+    )
+    nrow = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("yc")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_sum")
+        )
+    )
+    out = s.crossJoin(F.broadcast(nrow)).crossJoin(F.broadcast(ties))
+    n = F.col("n_days")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie_sum")).cast("long")
+    zexpr = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_num") / 18.0),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_num") / 18.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        out.withColumn("var_num", var_num)
+        .select(
+            "n_days",
+            "s_stat",
+            "var_num",
+            F.round(zexpr * 1_000_000).cast("long").alias("z_x1e6"),
+        )
+    )
