@@ -253,3 +253,169 @@ def test_mann_kendall_constant_series_is_zero(spark):
     assert row["z_x1e6"] == 0
     # all four days tie: variance numerator fully cancelled
     assert row["var_num"] == 0
+
+
+# ---------------------------------------------------------------------------
+# k-hop reach
+# ---------------------------------------------------------------------------
+
+
+def test_khop_reach_path_graph(spark):
+    from westtopologies_spark.ops.graph import khop_reach
+
+    # path 1-2-3-4-5-6: from seed 1, hops cap at 3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["user_id"]: r["hop"] for r in khop_reach(seeds, edges).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_khop_reach_min_hop_on_cycle(spark):
+    from westtopologies_spark.ops.graph import khop_reach
+
+    # square 1-2-3-4-1: node 3 reachable both ways in 2 hops
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["user_id"]: r["hop"] for r in khop_reach(seeds, edges).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# Benford audit
+# ---------------------------------------------------------------------------
+
+
+def test_benford_digits_and_expectation(spark, tmp_path):
+    from westtopologies_spark.queries_ext4 import ag_benford
+
+    prices = [123.45, 150.0, 19.99, 2345.0, 999.0, 1.5, 0.5]  # 0.5 filtered
+    rows = [
+        (i, 1, "O", p, __import__("datetime").datetime(2024, 1, 1), "1-URGENT", 1, "c")
+        for i, p in enumerate(prices)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        [
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority", "o_shippriority", "o_comment",
+        ],
+    )
+    sf_dir = str(tmp_path)
+    orders.write.parquet(f"{sf_dir}/orders.parquet")
+    got = {r["digit"]: r for r in ag_benford(spark, sf_dir).collect()}
+    # leading digits of [123, 150, 19, 2345, 999, 1]: 1 x4, 2 x1, 9 x1
+    assert got[1]["n_obs"] == 4 and got[2]["n_obs"] == 1 and got[9]["n_obs"] == 1
+    assert got[1]["obs_x1e6"] == 4 * 1_000_000 // 6
+    assert got[1]["exp_x1e6"] == round(math.log10(2) * 1e6)
+    assert got[1]["dev_x1e6"] == got[1]["obs_x1e6"] - got[1]["exp_x1e6"]
+
+
+# ---------------------------------------------------------------------------
+# burstiness
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_bursty_vs_uniform(spark, tmp_path):
+    from westtopologies_spark.queries_ext4 import tx_burstiness
+
+    # "even" appears once in every doc; "burst" 4 times in one doc of 4
+    texts = ["even burst burst burst burst", "even", "even", "even"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["tok"]: r for r in tx_burstiness(spark, sf_dir).collect()}
+    # "even": df=4, cf=4, rate 1.0, VMR = 0 (perfectly uniform)
+    assert got["even"]["rate_x1e4"] == 10_000
+    assert got["even"]["vmr_x1e4"] == 0
+    # "burst": df=1 < min_df 3 -> excluded
+    assert "burst" not in got
+
+
+# ---------------------------------------------------------------------------
+# mutual information
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_info_independent_is_zero(spark, tmp_path):
+    from datetime import datetime
+
+    from westtopologies_spark.queries_ext4 import ag_mutual_info
+
+    # independent uniform grid: every (type, seg) cell equal -> MI = 0
+    rows = []
+    i = 0
+    for et in ["a", "b"]:
+        for seg in range(10):
+            for _ in range(3):
+                rows.append(
+                    (i, datetime(2024, 3, 1, 10, 0, 0), seg, et, 1.0, "{}")
+                )
+                i += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = str(tmp_path)
+    ev.write.parquet(f"{sf_dir}/events.parquet")
+    row = ag_mutual_info(spark, sf_dir).collect()[0]
+    assert row["n_cells"] == 20
+    assert row["mi_x1e9"] == 0
+
+
+def test_mutual_info_deterministic_is_log_nseg(spark, tmp_path):
+    from datetime import datetime
+
+    from westtopologies_spark.queries_ext4 import ag_mutual_info
+
+    # event_type fully determined by segment (2 types, segs 0/1 only):
+    # MI = H(type) = ln 2
+    rows = []
+    for i in range(40):
+        seg = i % 2
+        et = "x" if seg == 0 else "y"
+        rows.append((i, datetime(2024, 3, 2, 9, 0, 0), seg, et, 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = str(tmp_path)
+    ev.write.parquet(f"{sf_dir}/events.parquet")
+    row = ag_mutual_info(spark, sf_dir).collect()[0]
+    # per-cell: 2 cells each p=.5, ln(.5*N*N/(.5N*.5N)) = ln 2
+    want = 2 * round(0.5 * math.log(2) * 1e9)
+    assert row["mi_x1e9"] == want
+
+
+# ---------------------------------------------------------------------------
+# nDCG
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_ideal_constant_and_perfect_ranking():
+    from westtopologies_spark.queries_ext4 import _ndcg_ideal_x1e6
+
+    k = 5
+    ideal = _ndcg_ideal_x1e6(k)
+    # a ranking identical to the exact one scores ndcg exactly 1.0:
+    # the per-position gains are rounded the same way as the ideal
+    dcg = sum(
+        round((k + 1 - i) / math.log2(i + 1) * 1_000_000)
+        for i in range(1, k + 1)
+    )
+    assert dcg == ideal
+    assert dcg * 10_000 // ideal == 10_000
+
+
+def test_ndcg_bounds_on_real_data(spark):
+    from westtopologies_spark.queries_ext4 import ann_ndcg
+
+    rows = ann_ndcg(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["ndcg_x1e4"] <= 10_000
+        assert r["idcg_x1e6"] > 0

@@ -123,7 +123,18 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "tp_temp_mixture",
                        # calendar-bounded daily frame broadcast to the
                        # inequality pair join + scalar stat rows (1 row each)
-                       "ts_mann_kendall"}
+                       "ts_mann_kendall",
+                       # corpus doc-count row (1 row) joined onto term stats
+                       "tx_burstiness",
+                       # digit-total row (1 row) joined onto the 9 digit bins
+                       "ag_benford",
+                       # grand-total row (1 row) joined onto the bounded
+                       # contingency-cell frame
+                       "ag_mutual_info",
+                       # composes cosine_topk + ann_lsh_topk -> inherits the
+                       # bounded query-set broadcast (<= ANN_N_QUERIES rows)
+                       # with the non-equi self-exclusion predicate
+                       "ann_ndcg"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -441,3 +441,47 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             .cast("long"),
         )
     )
+
+
+KHOP_HOPS = 3
+
+
+def khop_reach(
+    seeds: DataFrame, edges: DataFrame, hops: int = KHOP_HOPS
+) -> DataFrame:
+    """Bounded-hop BFS from a seed set over the undirected graph:
+    (user_id, hop) with the MINIMUM hop count <= ``hops`` — the
+    influence-reach / contamination-spread primitive (who is within
+    k introductions of a flagged account).
+
+    Frontier-expansion rounds, unrolled like pagerank/kcore: each
+    round joins the previous frontier to the symmetric adjacency and
+    anti-joins everything already reached, so a node's hop is its
+    first discovery round (= min distance).  All-integer — trivially
+    hash-exact.  Per round one keyed join + one anti join; the
+    reached set is pinned per round because the next round both
+    expands and subtracts it.
+
+    ``seeds``: one ``node`` column; ``edges``: distinct undirected
+    u < v.
+    """
+    sym = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nb")
+    ).unionByName(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+    reach = seeds.select("node", F.lit(0).alias("hop")).persist()
+    frontier = reach
+    for h in range(1, hops + 1):
+        nxt = (
+            frontier.join(sym, "node")
+            .select(F.col("nb").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            nxt.join(reach.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .persist()
+        )
+        prev = reach
+        reach = reach.unionByName(frontier).persist()
+        prev.unpersist()
+    return reach.select(F.col("node").alias("user_id"), F.col("hop").cast("long"))

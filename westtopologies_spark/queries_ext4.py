@@ -496,3 +496,380 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.mann_kendall(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# batch 4b: k-hop reach, Benford audit, term burstiness, mutual
+# information, nDCG ranking-quality audit
+# ===========================================================================
+
+import math  # noqa: E402
+
+from .queries_scale import _ann_bruteforce_sql, _ann_lsh_sql  # noqa: E402
+from .scale import constants as C  # noqa: E402
+from .scale import similarity  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# bounded-hop BFS reach from a deterministic seed set
+# ---------------------------------------------------------------------------
+
+KHOP_SEED_MOD = 97  # seeds: user_id % 97 == 0 (deterministic slice)
+
+
+def _khop_sql() -> str:
+    sql = (
+        _TW_CTE
+        + _UEDGES_CTE
+        + f"""
+    , adj AS (
+      SELECT u AS node, v AS nb FROM uedges
+      UNION ALL SELECT v AS node, u AS nb FROM uedges
+    ),
+    r0 AS (
+      SELECT DISTINCT user_id AS node, 0 AS hop FROM events
+      WHERE user_id % {KHOP_SEED_MOD} = 0
+    )
+    """
+    )
+    for h in range(1, G.KHOP_HOPS + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT node FROM r{j}" for j in range(h)
+        )
+        sql += f"""
+    , f{h} AS (
+      SELECT DISTINCT a.nb AS node
+      FROM adj a JOIN r{h - 1} r ON a.node = r.node
+    ),
+    r{h} AS (
+      SELECT node, {h} AS hop FROM f{h}
+      WHERE node NOT IN ({prev_union})
+    )
+    """
+    final_union = " UNION ALL ".join(
+        f"SELECT node, hop FROM r{j}" for j in range(G.KHOP_HOPS + 1)
+    )
+    sql += f"""
+    SELECT node AS user_id, CAST(hop AS BIGINT) AS hop
+    FROM ({final_union})
+    """
+    return sql
+
+
+@_register(
+    "gr_khop_reach",
+    _khop_sql(),
+    doc="Bounded-hop BFS reach: minimum hop count (<= 3) from a "
+    "deterministic seed slice of users over the undirected reply "
+    "graph — the influence-reach / contamination-spread primitive "
+    "(who is within k introductions of a flagged account). Unrolled "
+    "frontier-expansion rounds (one keyed join + one anti join "
+    "each); first-discovery round == min distance, so the output is "
+    "all-integer and trivially hash-exact. Graph-analytics "
+    "extension.",
+)
+def gr_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tweets = _event_edges(spark, sf_dir)
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % KHOP_SEED_MOD == 0)
+        .select(F.col("user_id").alias("node"))
+        .distinct()
+    )
+    return G.khop_reach(seeds, G.user_edges(tweets))
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit over order totals — the classic
+# fabricated-numbers / data-quality screen
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ag_benford",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c)
+    SELECT digit, n_obs,
+           (n_obs * 1000000) // t.n AS obs_x1e6,
+           CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS exp_x1e6,
+           (n_obs * 1000000) // t.n
+             - CAST(round(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT)
+             AS dev_x1e6
+    FROM c CROSS JOIN t
+    """,
+    doc="Benford first-digit audit of order totals: observed vs "
+    "expected log10(1+1/d) leading-digit frequencies — the classic "
+    "fabricated-numbers screen, and a cheap distribution-drift "
+    "canary for any positive monetary column. The digit comes from "
+    "exact integer floor-and-substring (no float formatting), "
+    "frequencies are positive-domain integer division, and the "
+    "expectation is a 9-value constant expression — fully hash-"
+    "exact. One map-combinable groupBy + a scalar total broadcast. "
+    "Aggregate-statistics extension.",
+)
+def ag_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    t = c.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp = F.round(F.log10(1.0 + 1.0 / F.col("digit")) * 1_000_000).cast("long")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("(n_obs * 1000000) DIV n").alias("obs_x1e6"),
+            exp.alias("exp_x1e6"),
+            (F.expr("(n_obs * 1000000) DIV n") - exp).alias("dev_x1e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# term burstiness / dispersion — Church-Gale rate-when-present and
+# variance-to-mean ratio (the keyword-vs-function-word separator)
+# ---------------------------------------------------------------------------
+
+BURST_MIN_DF = 3
+
+
+@_register(
+    "tx_burstiness",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    pc AS (
+      SELECT tok, doc_id, count(*) AS c FROM toks WHERE tok <> ''
+      GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS cf,
+             CAST(sum(c * c) AS BIGINT) AS cf2
+      FROM pc GROUP BY 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+    SELECT tok, df, cf,
+           (cf * 10000) // df AS rate_x1e4,
+           ((nn.nd * cf2 - cf * cf) * 10000) // (nn.nd * cf) AS vmr_x1e4
+    FROM st CROSS JOIN nn
+    WHERE df >= {BURST_MIN_DF}
+    """,
+    doc="Term burstiness: Church-Gale rate-when-present (cf/df) and "
+    "the corpus-wide variance-to-mean ratio of per-document counts "
+    "(zeros included, computed from the exact integer moments "
+    "N*sum(c^2)-cf^2 over N*cf) — the statistic that separates "
+    "bursty content words from evenly-spread function words, used "
+    "to pick keyword candidates and stopword lists. All-integer "
+    "positive-domain division (Cauchy-Schwarz keeps the numerator "
+    ">= 0); two map-combinable shuffles. Text-analysis extension.",
+)
+def tx_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    pc = toks.groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    st = pc.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("cf2"),
+    )
+    nn = docs.agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        st.filter(F.col("df") >= BURST_MIN_DF)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "tok",
+            "df",
+            "cf",
+            F.expr("(cf * 10000) DIV df").alias("rate_x1e4"),
+            F.expr("((nd * cf2 - cf * cf) * 10000) DIV (nd * cf)").alias(
+                "vmr_x1e4"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutual information between event type and user segment — the
+# feature-association screen (contingency-table MI in nats)
+# ---------------------------------------------------------------------------
+
+MI_SEG_MOD = 10
+
+
+@_register(
+    "ag_mutual_info",
+    f"""
+    WITH c AS (
+      SELECT event_type AS et, user_id % {MI_SEG_MOD} AS seg,
+             CAST(count(*) AS BIGINT) AS nij
+      FROM events GROUP BY 1, 2
+    ),
+    ri AS (SELECT et, CAST(sum(nij) AS BIGINT) AS ni FROM c GROUP BY 1),
+    cj AS (SELECT seg, CAST(sum(nij) AS BIGINT) AS nj FROM c GROUP BY 1),
+    nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM c),
+    cell AS (
+      SELECT CAST(round(
+               (CAST(nij AS DOUBLE) / n)
+               * ln((CAST(nij AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+               * 1000000000
+             ) AS BIGINT) AS mi_c
+      FROM c JOIN ri USING (et) JOIN cj USING (seg) CROSS JOIN nn
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(mi_c) AS BIGINT) AS mi_x1e9
+    FROM cell
+    """,
+    doc="Mutual information (nats) between event type and a "
+    "deterministic user segment, from the exact contingency table — "
+    "the feature-association screen behind feature selection and "
+    "leakage checks (MI ~ 0 means the segment carries no signal). "
+    "Per-cell contributions run as ONE shared double expression over "
+    "exact integer counts, round to 1e9-scaled BIGINTs FIRST, and "
+    "integer-sum (order-free) — the ag_linfit discipline applied to "
+    "the chi-square family's information-theoretic sibling. One "
+    "map-combinable groupBy plus two broadcast marginal joins over "
+    "the bounded cell frame. Aggregate-statistics extension.",
+)
+def ag_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.col("user_id") % MI_SEG_MOD).alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("nij"))
+    c = c.localCheckpoint()  # consumed 4x (cells + both marginals + total)
+    ri = c.groupBy("et").agg(F.sum("nij").alias("ni"))
+    cj = c.groupBy("seg").agg(F.sum("nij").alias("nj"))
+    nn = c.agg(F.sum("nij").alias("n"))
+    cell = (
+        c.join(F.broadcast(ri), "et")
+        .join(F.broadcast(cj), "seg")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                (F.col("nij").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("nij").cast("double") * F.col("n").cast("double"))
+                    / (F.col("ni").cast("double") * F.col("nj").cast("double"))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("mi_c")
+        )
+    )
+    return cell.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("mi_c").cast("long").alias("mi_x1e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k ranking-quality audit of the LSH search against the exact
+# ranking — position-weighted recall (recall@k treats rank 1 == rank k)
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_ideal_x1e6(k: int) -> int:
+    """IDCG@k with graded relevance (k+1-i) at position i, each
+    position's term rounded to a 1e6-scaled int exactly as the
+    per-row contributions are — so ndcg == 1.0 exactly when the
+    approximate ranking equals the exact one."""
+    return sum(round((k + 1 - i) / math.log2(i + 1) * 1_000_000) for i in range(1, k + 1))
+
+
+def _ann_ndcg_sql() -> str:
+    k = C.ANN_TOP_K
+    ideal = _ndcg_ideal_x1e6(k)
+    return f"""
+    WITH exact_r AS ({_ann_bruteforce_sql()}),
+    lsh_r AS ({_ann_lsh_sql()}),
+    contrib AS (
+      SELECT l.query_id,
+             CAST(round(({k} + 1 - e.rank)
+                        / log2(l.rank + 1) * 1000000) AS BIGINT) AS dg
+      FROM lsh_r l JOIN exact_r e
+        ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    ),
+    dcg AS (
+      SELECT query_id, CAST(sum(dg) AS BIGINT) AS dcg_x1e6
+      FROM contrib GROUP BY 1
+    )
+    SELECT q.query_id,
+           coalesce(d.dcg_x1e6, 0) AS dcg_x1e6,
+           CAST({ideal} AS BIGINT) AS idcg_x1e6,
+           (coalesce(d.dcg_x1e6, 0) * 10000) // {ideal} AS ndcg_x1e4
+    FROM (SELECT DISTINCT query_id FROM exact_r) q
+    LEFT JOIN dcg d ON d.query_id = q.query_id
+    """
+
+
+@_register(
+    "ann_ndcg",
+    _ann_ndcg_sql(),
+    doc="nDCG@k audit of the sign-LSH search against the exact "
+    "brute-force ranking, graded relevance k+1-i by ground-truth "
+    "position — the position-weighted companion of ann_recall_audit "
+    "(recall@k treats a hit at rank 1 and rank k the same; nDCG "
+    "does not). Per-position gains round to 1e6-scaled BIGINTs "
+    "first (integer-sum, order-free), the ideal DCG is a shared "
+    "precomputed constant, and the final ratio is positive-domain "
+    "integer division — hash-exact. Composes the two existing "
+    "search plans plus one k-row-per-query join. Scale extension.",
+)
+def ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = C.ANN_TOP_K
+    ideal = _ndcg_ideal_x1e6(k)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_N_QUERIES)
+    exact = similarity.cosine_topk(emb, q).select(
+        "query_id", F.col("rank").alias("e_rank"), "neighbor_id"
+    )
+    approx = similarity.ann_lsh_topk(emb, q).select(
+        F.col("query_id").alias("a_qid"),
+        F.col("rank").alias("a_rank"),
+        F.col("neighbor_id").alias("a_nid"),
+    )
+    contrib = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_qid"))
+        & (F.col("neighbor_id") == F.col("a_nid")),
+    ).select(
+        "query_id",
+        F.round(
+            (k + 1 - F.col("e_rank")) / F.log2(F.col("a_rank") + 1) * 1_000_000
+        )
+        .cast("long")
+        .alias("dg"),
+    )
+    dcg = contrib.groupBy("query_id").agg(F.sum("dg").alias("dcg_x1e6"))
+    queries = exact.select("query_id").distinct()
+    return (
+        queries.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("dcg_x1e6"), F.lit(0))
+            .cast("long")
+            .alias("dcg_x1e6"),
+            F.lit(ideal).cast("long").alias("idcg_x1e6"),
+            F.expr(f"(coalesce(dcg_x1e6, 0) * 10000) DIV {ideal}")
+            .cast("long")
+            .alias("ndcg_x1e4"),
+        )
+    )
