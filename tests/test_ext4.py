@@ -419,3 +419,43 @@ def test_ndcg_bounds_on_real_data(spark):
     for r in rows:
         assert 0 <= r["ndcg_x1e4"] <= 10_000
         assert r["idcg_x1e6"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape + vacuum plan
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_revenue_on_testdata(spark):
+    from westtopologies_spark.queries_ext4 import sq_forecast_revenue
+
+    row = sq_forecast_revenue(spark, "/root/testdata/sf0.001").collect()[0]
+    # n_lines > 0 on the synthetic data and cents are positive integers
+    assert row["n_lines"] > 0
+    assert isinstance(row["revenue_cents"], int) and row["revenue_cents"] > 0
+
+
+def test_vacuum_plan_keep_last_k(spark):
+    from datetime import datetime
+
+    from westtopologies_spark.scale import versioning  # noqa: F401
+    from westtopologies_spark.queries_ext4 import VACUUM_KEEP_K, dv_vacuum_plan
+    import tempfile, os
+
+    assert VACUUM_KEEP_K == 2
+    with tempfile.TemporaryDirectory() as sf_dir:
+        rows = [
+            (i, datetime(2024, 5, 1 + i, 8, 0, 0), 7, "view", 1.0, "p" * (i + 1))
+            for i in range(4)  # user 7: 4 versions, newest i=3
+        ] + [(10, datetime(2024, 5, 1, 9, 0, 0), 8, "view", 1.0, "xy")]
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        ev.write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {r["user_id"]: r for r in dv_vacuum_plan(spark, sf_dir).collect()}
+    # user 7: keeps the 2 newest (props len 4, 3), vacuums len 2 + 1 = 3 bytes
+    assert got[7]["n_versions"] == 4
+    assert got[7]["n_keep"] == 2 and got[7]["n_vacuum"] == 2
+    assert got[7]["vacuum_bytes"] == 3
+    # single-version key: nothing to vacuum
+    assert got[8]["n_vacuum"] == 0 and got[8]["vacuum_bytes"] == 0

@@ -873,3 +873,107 @@ def ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ndcg_x1e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecasting-revenue-change — the canonical
+# scan-dominated filter+agg (no join at all)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "sq_forecast_revenue",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): the canonical "
+    "scan-dominated filter+aggregate — year + discount-band + "
+    "quantity predicates all push to the parquet scan (audited "
+    "PushedFilters), zero joins, one map-side-combinable global "
+    "agg. Per-row revenue folds as half-up integer cents so the sum "
+    "is order-free and hash-exact. Relational extension.",
+)
+def sq_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * F.col("l_discount") * 100 + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention / vacuum plan over the per-key version history — the
+# table-maintenance planner (keep-last-K policy)
+# ---------------------------------------------------------------------------
+
+VACUUM_KEEP_K = 2
+
+
+@_register(
+    "dv_vacuum_plan",
+    f"""
+    WITH v AS (
+      SELECT user_id, length(props) AS sz,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN rn <= {VACUUM_KEEP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN rn > {VACUUM_KEEP_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_vacuum,
+           CAST(sum(CASE WHEN rn > {VACUUM_KEEP_K} THEN sz ELSE 0 END)
+                AS BIGINT) AS vacuum_bytes
+    FROM v GROUP BY 1
+    """,
+    doc="Retention/vacuum plan: per key, how many version rows a "
+    "keep-last-K policy retains vs deletes and the payload bytes "
+    "reclaimed — the maintenance planner that runs BEFORE a "
+    "destructive vacuum on an SCD2/CDC table (dv_scd2_history, "
+    "dv_cdc_apply operate on the same history). One keyed "
+    "row_number window + one map-combinable groupBy; all-integer "
+    "output. Versioning extension.",
+)
+def dv_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    v = ev.select(
+        "user_id", F.length("props").alias("sz"), F.row_number().over(w).alias("rn")
+    )
+    k = VACUUM_KEEP_K
+    return v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.when(F.col("rn") <= k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.sum(F.when(F.col("rn") > k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_vacuum"),
+        F.sum(F.when(F.col("rn") > k, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("vacuum_bytes"),
+    )
