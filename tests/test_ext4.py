@@ -459,3 +459,113 @@ def test_vacuum_plan_keep_last_k(spark):
     assert got[7]["vacuum_bytes"] == 3
     # single-version key: nothing to vacuum
     assert got[8]["n_vacuum"] == 0 and got[8]["vacuum_bytes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# label margin
+# ---------------------------------------------------------------------------
+
+
+def test_label_margin_separated_clusters(spark, tmp_path):
+    from westtopologies_spark.queries_ext4 import emb_label_margin
+
+    # label 0 near +x axis, label 1 near +y axis; queries are vec 0/1
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.0, 1.0], 1),
+        (2, [0.9, 0.1], 0),
+        (3, [0.1, 0.9], 1),
+        (4, [0.95, 0.05], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    sf_dir = str(tmp_path)
+    emb.write.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["query_id"]: r for r in emb_label_margin(spark, sf_dir).collect()}
+    # well-separated clusters: same-label neighbor beats cross-label
+    assert got[0]["margin_x1e6"] > 0
+    assert got[1]["margin_x1e6"] > 0
+    assert got[0]["best_same_x1e6"] > got[0]["best_diff_x1e6"]
+
+
+# ---------------------------------------------------------------------------
+# effective mixture
+# ---------------------------------------------------------------------------
+
+
+def test_effective_mixture_downweights_copies(spark, tmp_path):
+    from westtopologies_spark.queries_ext4 import tp_effective_mixture
+
+    # source A: 3 copies of one text; source B: 3 distinct texts
+    rows = [
+        (0, "same text", "A", 9),
+        (1, "same  text", "A", 10),  # whitespace-collapse == same cluster
+        (2, "Same Text", "A", 9),  # lowercase == same cluster
+        (3, "alpha", "B", 5),
+        (4, "beta", "B", 4),
+        (5, "gamma", "B", 5),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "source", "n_chars"]
+    ).select(
+        "doc_id", "text", F.lit("en").alias("lang"), "source", "n_chars"
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["source"]: r for r in tp_effective_mixture(spark, sf_dir).collect()
+    }
+    # A: 3 rows but one cluster of 3 -> 3 * (1e6 DIV 3) = 999999
+    assert got["A"]["n_docs"] == 3
+    assert got["A"]["eff_docs_x1e6"] == 999_999
+    # B: 3 unique docs -> 3e6; B's share ~ 3/4 of the corpus mass
+    assert got["B"]["eff_docs_x1e6"] == 3_000_000
+    assert got["B"]["share_x1e6"] == 3_000_000 * 1_000_000 // 3_999_999
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence
+# ---------------------------------------------------------------------------
+
+
+def test_jsd_identical_halves_zero(spark, tmp_path):
+    from westtopologies_spark.queries_ext4 import tx_js_divergence
+
+    # even/odd docs carry identical token bags -> JSD == 0
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s", 5),
+            (1, "a b c", "en", "s", 5),
+            (2, "d d", "en", "s", 3),
+            (3, "d d", "en", "s", 3),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    row = tx_js_divergence(spark, sf_dir).collect()[0]
+    assert row["na"] == row["nb"] == 5
+    assert row["jsd_x1e9"] == 0
+
+
+def test_jsd_disjoint_halves_ln2(spark, tmp_path):
+    from westtopologies_spark.queries_ext4 import tx_js_divergence
+
+    # disjoint vocabularies -> JSD attains its maximum ln 2
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b", "en", "s", 5),
+            (1, "x y y", "en", "s", 5),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    row = tx_js_divergence(spark, sf_dir).collect()[0]
+    # sum of per-term rounded contributions: each term contributes
+    # 0.5 * p * ln(2); p over each half sums to 1 -> total ln 2
+    want = (
+        round(0.5 * (2 / 3) * math.log(2) * 1e9)
+        + round(0.5 * (1 / 3) * math.log(2) * 1e9)
+    ) * 2
+    assert abs(row["jsd_x1e9"] - want) <= 2  # per-term rounding only
+    assert abs(row["jsd_x1e9"] / 1e9 - math.log(2)) < 1e-6

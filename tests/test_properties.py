@@ -344,3 +344,114 @@ def test_row_band_buckets_match_python_reference(spark, docs):
             assert doc_id not in got, (doc_id, text)
         else:
             assert sorted(got[doc_id]) == sorted(expect), (doc_id, text)
+
+
+# ---------------------------------------------------------------------------
+# bounded-hop BFS reach vs pure-python BFS
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def small_graphs(draw):
+    n = draw(st.integers(2, 14))
+    m = draw(st.integers(1, 2 * n))
+    edges = {
+        tuple(sorted(p))
+        for p in draw(
+            st.lists(
+                st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                min_size=m,
+                max_size=m,
+            )
+        )
+        if p[0] != p[1]
+    }
+    seeds = draw(
+        st.lists(st.integers(0, n - 1), min_size=1, max_size=3, unique=True)
+    )
+    return sorted(edges), sorted(seeds)
+
+
+def _py_bfs(edges, seeds, hops):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        nxt = set()
+        for u in frontier:
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    nxt.add(w)
+        for w in nxt:
+            dist[w] = h
+        frontier = nxt
+    return dist
+
+
+@SET
+@given(small_graphs())
+def test_khop_reach_matches_python_bfs(spark, graph):
+    from westtopologies_spark.ops.graph import KHOP_HOPS, khop_reach
+
+    edges, seeds = graph
+    if not edges:
+        return
+    e_df = spark.createDataFrame(edges, ["u", "v"])
+    s_df = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r["user_id"]: r["hop"] for r in khop_reach(s_df, e_df).collect()
+    }
+    assert got == _py_bfs(edges, seeds, KHOP_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall statistics vs pure-python pair enumeration
+# ---------------------------------------------------------------------------
+
+
+@SET
+@given(st.lists(st.integers(-3, 3), min_size=2, max_size=15))
+def test_mann_kendall_matches_python_pairs(spark, day_values):
+    from westtopologies_spark.scale.temporal import mann_kendall
+
+    rows = [
+        (
+            i,
+            EPOCH + dt.timedelta(days=i, hours=3),
+            1,
+            "view",
+            float(v),
+            "{}",
+        )
+        for i, v in enumerate(day_values)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = mann_kendall(ev).collect()[0]
+    cents = [round(v * 100) for v in day_values]
+    n = len(cents)
+    s = sum(
+        (cents[j] > cents[i]) - (cents[j] < cents[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie_sum = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(cents).values()
+    )
+    var_num = n * (n - 1) * (2 * n + 5) - tie_sum
+    assert got["n_days"] == n
+    assert got["s_stat"] == s
+    assert got["var_num"] == var_num
+    if s > 0:
+        want_z = round((s - 1) / (var_num / 18.0) ** 0.5 * 1e6)
+    elif s < 0:
+        want_z = round((s + 1) / (var_num / 18.0) ** 0.5 * 1e6)
+    else:
+        want_z = 0
+    assert got["z_x1e6"] == want_z

@@ -134,7 +134,16 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # composes cosine_topk + ann_lsh_topk -> inherits the
                        # bounded query-set broadcast (<= ANN_N_QUERIES rows)
                        # with the non-equi self-exclusion predicate
-                       "ann_ndcg"}
+                       "ann_ndcg",
+                       # bounded query-set broadcast (<= ANN_N_QUERIES rows)
+                       # with the non-equi self-exclusion predicate
+                       "emb_label_margin",
+                       # effective-mass + share totals (1 row) joined onto
+                       # the per-source frame
+                       "tp_effective_mixture",
+                       # corpus-half token totals (1 row) joined onto the
+                       # per-term contribution frame
+                       "tx_js_divergence"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -977,3 +977,254 @@ def dv_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vacuum_bytes"),
     )
+
+
+# ===========================================================================
+# batch 4c: embedding label-margin eval, dedup-aware effective
+# mixture, Jensen-Shannon source divergence
+# ===========================================================================
+
+from .queries_scale import _DOT, _NORM  # noqa: E402
+from .scale.similarity import _dot as _vdot  # noqa: E402
+from .scale.similarity import _norm as _vnorm  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# embedding-quality eval: same-label vs cross-label nearest margin
+# ---------------------------------------------------------------------------
+
+
+def _label_margin_sql() -> str:
+    dot = _DOT.format(d=C.EMBEDDING_DIM, a="q.v", b="c.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, label, v, {_NORM.format(v="v")} AS nrm FROM base
+    ),
+    q AS (SELECT * FROM normed WHERE vec_id < {C.ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS ql, c.label AS cl,
+             round({dot} / (q.nrm * c.nrm), 6) AS cosine
+      FROM q JOIN normed c ON q.vec_id <> c.vec_id
+    ),
+    agg AS (
+      SELECT query_id,
+             max(CASE WHEN cl = ql THEN cosine END) AS best_same,
+             max(CASE WHEN cl <> ql THEN cosine END) AS best_diff
+      FROM scored GROUP BY 1
+    )
+    SELECT query_id,
+           CAST(round(best_same * 1000000) AS BIGINT) AS best_same_x1e6,
+           CAST(round(best_diff * 1000000) AS BIGINT) AS best_diff_x1e6,
+           CAST(round(best_same * 1000000) - round(best_diff * 1000000)
+                AS BIGINT) AS margin_x1e6
+    FROM agg
+    """
+
+
+@_register(
+    "emb_label_margin",
+    _label_margin_sql(),
+    doc="Embedding-quality eval: per query vector, the best same-"
+    "label cosine vs the best cross-label cosine and their margin — "
+    "the retrieval-separability check run before trusting an "
+    "embedding column for clustering or near-dup (margin <= 0 means "
+    "the nearest neighbor crosses the label boundary). max over "
+    "1e-6-rounded cosines is order-independent; the margin ships as "
+    "the difference of two scaled ints. Same bounded query-set "
+    "broadcast as the ann_* audits. Embedding-column extension.",
+)
+def emb_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    normed = emb.select(
+        "vec_id", "label", v.alias("v"), _vnorm(v).alias("nrm")
+    )
+    q = normed.filter(F.col("vec_id") < C.ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("ql"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = normed.join(
+        F.broadcast(q), F.col("q_id") != F.col("vec_id")
+    ).select(
+        F.col("q_id").alias("query_id"),
+        "ql",
+        F.col("label").alias("cl"),
+        F.round(
+            _vdot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    agg = scored.groupBy("query_id").agg(
+        F.max(F.when(F.col("cl") == F.col("ql"), F.col("cosine"))).alias(
+            "best_same"
+        ),
+        F.max(F.when(F.col("cl") != F.col("ql"), F.col("cosine"))).alias(
+            "best_diff"
+        ),
+    )
+    bs = F.round(F.col("best_same") * 1_000_000)
+    bd = F.round(F.col("best_diff") * 1_000_000)
+    return agg.select(
+        "query_id",
+        bs.cast("long").alias("best_same_x1e6"),
+        bd.cast("long").alias("best_diff_x1e6"),
+        (bs - bd).cast("long").alias("margin_x1e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup-aware effective mixture: per-source effective (soft-dedup)
+# document mass — mixture planning on UNIQUE content, not raw rows
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tp_effective_mixture",
+    r"""
+    WITH k AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(text), '\s+', ' ', 'g') AS ck
+      FROM documents
+    ),
+    cs AS (SELECT ck, count(*) AS csize FROM k GROUP BY 1),
+    d AS (
+      SELECT k.source, 1000000 // cs.csize AS w
+      FROM k JOIN cs ON cs.ck = k.ck
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS eff_docs_x1e6
+      FROM d GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(eff_docs_x1e6) AS BIGINT) AS te FROM s)
+    SELECT source, n_docs, eff_docs_x1e6,
+           (eff_docs_x1e6 * 1000000) // te AS share_x1e6
+    FROM s CROSS JOIN t
+    """,
+    doc="Dedup-aware effective mixture: each document weighs "
+    "1/|exact-dup cluster| (the dd_soft_weights fold, cluster key = "
+    "normalized text), so a source's sampling mass counts UNIQUE "
+    "content rather than raw rows — copies spread across sources "
+    "stop double-counting. Per-doc weights are exact integer "
+    "division x1e6, summed as BIGINTs; shares are integer division "
+    "over the integer total. One cluster-key shuffle + one source "
+    "agg + a scalar broadcast. Training-data-prep extension.",
+)
+def tp_effective_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("ck"),
+    )
+    cs = k.groupBy("ck").agg(F.count(F.lit(1)).alias("csize"))
+    d = k.join(cs, "ck").select(
+        "source", F.expr("1000000 DIV csize").alias("w")
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("long").alias("eff_docs_x1e6"),
+    )
+    t = s.agg(F.sum("eff_docs_x1e6").cast("long").alias("te"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "eff_docs_x1e6",
+        F.expr("(eff_docs_x1e6 * 1000000) DIV te").alias("share_x1e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between the term distributions of two
+# deterministic corpus halves — the drift / split-consistency check
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "tx_js_divergence",
+    """
+    WITH toks AS (
+      SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM toks WHERE tok <> '' GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM c
+    ),
+    cell AS (
+      SELECT CAST(round((
+               CASE WHEN ca > 0 THEN
+                 0.5 * (CAST(ca AS DOUBLE) / na)
+                     * ln((CAST(ca AS DOUBLE) / na)
+                          / (0.5 * (CAST(ca AS DOUBLE) / na
+                                    + CAST(cb AS DOUBLE) / nb)))
+               ELSE 0.0 END
+               +
+               CASE WHEN cb > 0 THEN
+                 0.5 * (CAST(cb AS DOUBLE) / nb)
+                     * ln((CAST(cb AS DOUBLE) / nb)
+                          / (0.5 * (CAST(ca AS DOUBLE) / na
+                                    + CAST(cb AS DOUBLE) / nb)))
+               ELSE 0.0 END
+             ) * 1000000000) AS BIGINT) AS jc
+      FROM c CROSS JOIN t
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_terms,
+           (SELECT na FROM t) AS na,
+           (SELECT nb FROM t) AS nb,
+           CAST(sum(jc) AS BIGINT) AS jsd_x1e9
+    FROM cell
+    """,
+    doc="Jensen-Shannon divergence (nats) between the unigram term "
+    "distributions of two deterministic corpus halves — the "
+    "distribution-drift / split-consistency check run on train-vs-"
+    "validation splits and between crawl snapshots (bounded, "
+    "symmetric, defined for disjoint supports unlike KL). Per-term "
+    "contributions are ONE shared double expression over exact "
+    "integer counts, rounded to 1e9-scaled BIGINTs FIRST and "
+    "integer-summed — order-free (ag_mutual_info discipline). One "
+    "map-combinable term shuffle + a scalar totals broadcast. "
+    "Text-analysis extension.",
+)
+def tx_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    c = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    c = c.localCheckpoint()  # consumed twice (cells + totals)
+    t = c.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    m = 0.5 * (pa + pb)
+    contrib = (
+        F.when(F.col("ca") > 0, 0.5 * pa * F.log(pa / m)).otherwise(0.0)
+        + F.when(F.col("cb") > 0, 0.5 * pb * F.log(pb / m)).otherwise(0.0)
+    )
+    cell = c.crossJoin(F.broadcast(t)).select(
+        F.round(contrib * 1_000_000_000).cast("long").alias("jc"),
+        "na",
+        "nb",
+    )
+    return cell.groupBy().agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
+        F.sum("jc").cast("long").alias("jsd_x1e9"),
+    )
