@@ -569,3 +569,50 @@ def test_jsd_disjoint_halves_ln2(spark, tmp_path):
     ) * 2
     assert abs(row["jsd_x1e9"] - want) <= 2  # per-term rounding only
     assert abs(row["jsd_x1e9"] / 1e9 - math.log(2)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_recall_dominates_single(spark):
+    from westtopologies_spark.queries_ext4 import ann_multiprobe_recall
+
+    rows = ann_multiprobe_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        # probing a superset of buckets can only add true neighbors
+        assert r["n_multi"] >= r["n_single"]
+        assert r["recall_multi_x1e4"] >= r["recall_single_x1e4"]
+        assert 0 <= r["recall_multi_x1e4"] <= 10_000
+
+
+def test_multiprobe_candidates_superset_of_single(spark):
+    from pyspark.sql import functions as F
+
+    from westtopologies_spark.scale import constants as C
+    from westtopologies_spark.scale.similarity import (
+        ann_lsh_topk,
+        ann_multiprobe_topk,
+    )
+    from westtopologies_spark.queries import _t
+
+    emb = _t(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_N_QUERIES)
+    # k >= corpus size: no truncation, so the comparison is between
+    # the RAW candidate sets (a finite top-k can evict a single-probe
+    # candidate that ranks below k in the 9x-larger multi-probe pool)
+    big_k = emb.count() + 1
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, q, k=big_k).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_multiprobe_topk(emb, q, k=big_k).collect()
+    }
+    # multi-probe probes the query's own bucket plus 8 more -> its
+    # candidate set contains every single-probe candidate
+    assert single <= multi
+    assert len(multi) > len(single)

@@ -143,7 +143,11 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "tp_effective_mixture",
                        # corpus-half token totals (1 row) joined onto the
                        # per-term contribution frame
-                       "tx_js_divergence"}
+                       "tx_js_divergence",
+                       # composes cosine_topk -> inherits the bounded
+                       # query-set broadcast with the non-equi
+                       # self-exclusion predicate on its exact side
+                       "ann_multiprobe_recall"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -1228,3 +1228,152 @@ def tx_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("nb").alias("nb"),
         F.sum("jc").cast("long").alias("jsd_x1e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH ANN + recall-uplift audit — the recall rescue for
+# single-probe sign-LSH (Lv et al., VLDB 2007)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_bucket_bits_sql() -> str:
+    """The SAME sign-LSH bucket expression _ann_lsh_sql embeds,
+    rebuilt from the shared public constants (C.lsh_plane)."""
+    bits = []
+    for p in range(C.LSH_N_PLANES):
+        plane = "[" + ", ".join(repr(x) for x in C.lsh_plane(p)) + "]::DOUBLE[]"
+        dot = _DOT.format(d=C.EMBEDDING_DIM, a="v", b=f"({plane})")
+        bits.append(f"(CASE WHEN round({dot}, 9) >= 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _ann_multiprobe_sql() -> str:
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {2 ** p})" for p in range(C.LSH_N_PLANES)]
+    )
+    qdot = _DOT.format(d=C.EMBEDDING_DIM, a="q.q_v", b="c.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    normed AS (
+      SELECT vec_id, v, {_NORM.format(v="v")} AS nrm,
+             {_lsh_bucket_bits_sql()} AS bucket
+      FROM base
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS q_v, nrm AS q_n,
+             unnest([{probe_list}]) AS probe
+      FROM normed WHERE vec_id < {C.ANN_N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+             round({qdot} / (q.q_n * c.nrm), 6) AS cosine
+      FROM q JOIN normed c ON c.bucket = q.probe AND q.q_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank, neighbor_id,
+           CAST(round(cosine * 1000000) AS BIGINT) AS cosine_x1e6
+    FROM ranked WHERE rank <= {C.ANN_TOP_K}
+    """
+
+
+@_register(
+    "ann_multiprobe_topk",
+    _ann_multiprobe_sql(),
+    doc="Multi-probe sign-LSH ANN (Lv et al., VLDB 2007): each query "
+    "probes its own bucket plus the 8 one-bit-flip neighbors, so a "
+    "near neighbor that landed one hyperplane sign away is recovered "
+    "WITHOUT re-hashing or duplicating the corpus index — the "
+    "standard recall/cost dial between ann_lsh_bucketed (1 probe) "
+    "and ann_bruteforce_topk. Candidate cost is 9 bucket probes per "
+    "query; the corpus-side bucket column and layout are unchanged. "
+    "Cosines ship as 1e6-scaled ints. Scale extension.",
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    r = similarity.ann_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < C.ANN_N_QUERIES)
+    )
+    return r.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_x1e6"),
+    )
+
+
+def _multiprobe_recall_sql() -> str:
+    from .queries_scale import _ann_bruteforce_sql, _ann_lsh_sql
+
+    k = C.ANN_TOP_K
+    return f"""
+    WITH exact_r AS ({_ann_bruteforce_sql()}),
+    lsh_r AS ({_ann_lsh_sql()}),
+    mp_r AS ({_ann_multiprobe_sql()})
+    SELECT e.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_single,
+           CAST(count(m.neighbor_id) AS BIGINT) AS n_multi,
+           CAST(count(l.neighbor_id) * 10000 // {k} AS BIGINT)
+             AS recall_single_x1e4,
+           CAST(count(m.neighbor_id) * 10000 // {k} AS BIGINT)
+             AS recall_multi_x1e4
+    FROM exact_r e
+    LEFT JOIN lsh_r l
+      ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+    LEFT JOIN mp_r m
+      ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@_register(
+    "ann_multiprobe_recall",
+    _multiprobe_recall_sql(),
+    doc="Recall-uplift audit: per query, recall@k of single-probe "
+    "LSH vs multi-probe LSH against the brute-force ground truth in "
+    "one row — the measurement that justifies the 9x probe cost "
+    "before turning multi-probe on in production. Multi-probe recall "
+    "is a superset-by-construction of single-probe (same buckets + 8 "
+    "more), so recall_multi >= recall_single row by row (pytest-"
+    "pinned). All-integer output. Scale extension.",
+)
+def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = C.ANN_TOP_K
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < C.ANN_N_QUERIES)
+    exact = similarity.cosine_topk(emb, q).select("query_id", "neighbor_id")
+    single = similarity.ann_lsh_topk(emb, q).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    multi = similarity.ann_multiprobe_topk(emb, q).select(
+        F.col("query_id").alias("m_qid"), F.col("neighbor_id").alias("m_nid")
+    )
+    j = (
+        exact.join(
+            single,
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("neighbor_id") == F.col("l_nid")),
+            "left",
+        )
+        .join(
+            multi,
+            (F.col("query_id") == F.col("m_qid"))
+            & (F.col("neighbor_id") == F.col("m_nid")),
+            "left",
+        )
+    )
+    return j.groupBy("query_id").agg(
+        F.count("l_nid").alias("n_single"),
+        F.count("m_nid").alias("n_multi"),
+        F.expr(f"count(l_nid) * 10000 DIV {k}")
+        .cast("long")
+        .alias("recall_single_x1e4"),
+        F.expr(f"count(m_nid) * 10000 DIV {k}")
+        .cast("long")
+        .alias("recall_multi_x1e4"),
+    )

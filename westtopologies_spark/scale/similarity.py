@@ -759,3 +759,76 @@ def pq_block_neardup(emb: DataFrame, m: int = C.PQ_M) -> DataFrame:
             ).cast("int"),
         )
     )
+
+
+def ann_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame | Column,
+    k: int = C.ANN_TOP_K,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = C.EMBEDDING_DIM,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query searches its own bucket
+    PLUS the ``LSH_N_PLANES`` neighboring buckets that differ by one
+    flipped hyperplane bit — the standard recall rescue for
+    single-probe LSH (Lv et al., VLDB 2007): a near neighbor that
+    landed one sign-flip away is recovered without adding tables or
+    re-hashing the corpus.
+
+    Candidate cost is (1 + n_planes) bucket probes per query instead
+    of 1; the corpus-side index is UNCHANGED (same bucket column,
+    same layout), so a deployment can dial recall per query set.
+    Each corpus row has one bucket and the probe list is distinct,
+    so no candidate dedup pass is needed.
+    """
+    c_all = _normed(corpus, vec_col, id_col, "c_").join(
+        hyperplane_buckets(corpus, vec_col, id_col, dim).withColumnsRenamed(
+            {"vec_id": "c_id"}
+        ),
+        "c_id",
+    )
+    if isinstance(queries, Column):
+        q_src = corpus.filter(queries)
+    else:
+        q_src = queries
+    q = _normed(q_src, vec_col, id_col, "q_").join(
+        hyperplane_buckets(q_src, vec_col, id_col, dim).withColumnsRenamed(
+            {"vec_id": "q_id"}
+        ),
+        "q_id",
+    )
+    probes = q.select(
+        "q_id",
+        "q_v",
+        "q_n",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.expr(f"bucket ^ {2 ** p}")
+                    for p in range(C.LSH_N_PLANES)
+                ],
+            )
+        ).alias("probe"),
+    )
+    sim = F.round(
+        _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+    )
+    scored = (
+        c_all.join(
+            F.broadcast(probes), F.col("probe") == F.col("bucket")
+        )
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
