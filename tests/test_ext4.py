@@ -616,3 +616,41 @@ def test_multiprobe_candidates_superset_of_single(spark):
     # candidate set contains every single-probe candidate
     assert single <= multi
     assert len(multi) > len(single)
+
+
+# ---------------------------------------------------------------------------
+# lateness profile
+# ---------------------------------------------------------------------------
+
+
+def test_lateness_profile_buckets(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from westtopologies_spark.queries_ext4 import ts_lateness_profile
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    # user 1 arrival order (event_id): on-time, on-time, 90 s late,
+    # on-time, 11 min late (pools into the capped top bucket)
+    rows = [
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + timedelta(seconds=60), 1, "view", 1.0, "{}"),
+        (2, t0 + timedelta(seconds=-30), 1, "view", 1.0, "{}"),  # 90 s late
+        (3, t0 + timedelta(seconds=120), 1, "view", 1.0, "{}"),
+        (4, t0 + timedelta(seconds=-540), 1, "view", 1.0, "{}"),  # 660 s late
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    import os
+
+    sf_dir = str(tmp_path)
+    ev.write.parquet(os.path.join(sf_dir, "events.parquet"))
+    got = {
+        r["late_bucket_min"]: r
+        for r in ts_lateness_profile(spark, sf_dir).collect()
+    }
+    # three on-time events in bucket 0; one 90 s late -> bucket 1;
+    # one 660 s late -> capped bucket 10
+    assert got[0]["n_events"] == 3 and got[0]["max_late_s"] == 0
+    assert got[1]["n_events"] == 1 and got[1]["max_late_s"] == 90
+    assert got[10]["n_events"] == 1 and got[10]["max_late_s"] == 660

@@ -1377,3 +1377,69 @@ def ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_multi_x1e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event-lateness profile — the measurement behind choosing a
+# Structured Streaming watermark delay
+# ---------------------------------------------------------------------------
+
+LATE_BUCKET_CAP = 10  # minutes; everything later pools in the top bucket
+
+
+@_register(
+    "ts_lateness_profile",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    r AS (
+      SELECT es, max(es) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+      FROM e
+    ),
+    l AS (
+      SELECT CASE WHEN rm - es < 0 THEN 0 ELSE rm - es END AS late FROM r
+    )
+    SELECT least(late // 60, {LATE_BUCKET_CAP}) AS late_bucket_min,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(late) AS BIGINT) AS max_late_s
+    FROM l GROUP BY 1
+    """,
+    doc="Event-lateness profile: per key, how far each event's time "
+    "lags the maximum event time already seen in arrival order "
+    "(event_id = the replayer's arrival sequence, TESTDATA.md) — "
+    "bucketed into minutes. This is THE measurement behind choosing "
+    "a `withWatermark` delay: the bucket histogram shows what "
+    "fraction of events a given delay would drop, before any "
+    "streaming job runs (the engine's watermark eviction is tested "
+    "in streaming/stateful). Keyed running max (shardable, unlike a "
+    "global arrival order) + one map-combinable groupBy; epoch "
+    "seconds keep everything integer. Temporal extension.",
+)
+def ts_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = ev.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es")
+    )
+    r = e.select("es", F.max("es").over(w).alias("rm"))
+    late = F.when(F.col("rm") - F.col("es") < 0, 0).otherwise(
+        F.col("rm") - F.col("es")
+    )
+    l_df = r.select(late.alias("late"))
+    return l_df.groupBy(
+        F.least(F.expr("late DIV 60"), F.lit(LATE_BUCKET_CAP))
+        .cast("long")
+        .alias("late_bucket_min")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("late").cast("long").alias("max_late_s"),
+    )
