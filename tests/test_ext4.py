@@ -654,3 +654,36 @@ def test_lateness_profile_buckets(spark, tmp_path):
     assert got[0]["n_events"] == 3 and got[0]["max_late_s"] == 0
     assert got[1]["n_events"] == 1 and got[1]["max_late_s"] == 90
     assert got[10]["n_events"] == 1 and got[10]["max_late_s"] == 660
+
+
+# ---------------------------------------------------------------------------
+# threshold sweep + IVF probe sweep
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_monotone(spark):
+    from westtopologies_spark.queries_ext4 import (
+        DD_SWEEP_THRESHOLDS,
+        dd_threshold_sweep,
+    )
+
+    rows = {
+        r["thr_x1e4"]: r["n_pairs"]
+        for r in dd_threshold_sweep(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert sorted(rows) == DD_SWEEP_THRESHOLDS
+    # cumulative counts are non-increasing in the threshold
+    counts = [rows[t] for t in DD_SWEEP_THRESHOLDS]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_ivf_probe_sweep_monotone(spark):
+    from westtopologies_spark.queries_ext4 import ann_ivf_probe_sweep
+
+    rows = ann_ivf_probe_sweep(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        # probing more cells can only add candidates -> recall grows
+        assert r["n_probe3"] >= r["n_probe1"]
+        assert r["recall_probe3_x1e4"] >= r["recall_probe1_x1e4"]
+        assert 0 <= r["recall_probe3_x1e4"] <= 10_000

@@ -147,7 +147,14 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # composes cosine_topk -> inherits the bounded
                        # query-set broadcast with the non-equi
                        # self-exclusion predicate on its exact side
-                       "ann_multiprobe_recall"}
+                       "ann_multiprobe_recall",
+                       # 7-row threshold frame joined on the >= inequality
+                       # to the bounded candidate-pair set
+                       "dd_threshold_sweep",
+                       # composes the IVF centroid assignment (<=16-row
+                       # broadcast scored per row) + cosine_topk's bounded
+                       # query broadcast on the exact side
+                       "ann_ivf_probe_sweep"}
 
 
 def audit(name: str, plan: str) -> list[str]:

@@ -1443,3 +1443,253 @@ def ts_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max("late").cast("long").alias("max_late_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup threshold sweep — the pair-count curve that picks the
+# near-dup Jaccard cutoff before a destructive dedup run
+# ---------------------------------------------------------------------------
+
+DD_SWEEP_THRESHOLDS = [3000, 4000, 5000, 6000, 7000, 8000, 9000]  # x1e4
+
+
+def _dd_sweep_sql() -> str:
+    from .queries_scale import _minhash_sql
+
+    tlist = ", ".join(str(t) for t in DD_SWEEP_THRESHOLDS)
+    return f"""
+    WITH pairs AS ({_minhash_sql(0.0)}),
+    t AS (SELECT unnest([{tlist}]) AS thr_x1e4)
+    SELECT t.thr_x1e4, CAST(count(p.doc_a) AS BIGINT) AS n_pairs
+    FROM t LEFT JOIN pairs p
+      ON CAST(round(p.jaccard * 10000) AS BIGINT) >= t.thr_x1e4
+    GROUP BY 1
+    """
+
+
+@_register(
+    "dd_threshold_sweep",
+    _dd_sweep_sql(),
+    doc="Dedup threshold sweep: cumulative LSH-candidate pair counts "
+    "at each near-dup Jaccard cutoff (0.30..0.90) in ONE confirm "
+    "pass — the tuning curve read before choosing the destructive "
+    "dedup threshold (how many pairs a stricter/looser cutoff "
+    "gains). Exact Jaccards come from the shared array-intersect "
+    "confirm kernel un-thresholded; the 7-row threshold frame joins "
+    "on an inequality (bounded 7 x |candidates|). All-integer "
+    "output (jaccard is round-4 so x1e4 is exact). Scale extension "
+    "(training-data dedup).",
+)
+def dd_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import constants as CC
+    from .scale.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.0).select(
+        "doc_a", F.round(F.col("jaccard") * 10_000).cast("long").alias("jx")
+    )
+    t = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in DD_SWEEP_THRESHOLDS])
+        ).alias("thr_x1e4")
+    )
+    j = t.join(pairs, F.col("jx") >= F.col("thr_x1e4"), "left")
+    return j.groupBy("thr_x1e4").agg(
+        F.count("doc_a").alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF probe sweep — recall@k at n_probe=1 vs n_probe=3 from ONE
+# scored pass (probe sets are nested), against brute-force truth
+# ---------------------------------------------------------------------------
+
+
+def _ivf_sweep_sql() -> str:
+    from .queries_scale import _ann_bruteforce_sql
+
+    d = C.EMBEDDING_DIM
+    k = C.ANN_TOP_K
+    mean_list = ", ".join(f"round(avg(n.v[{i + 1}]), 9)" for i in range(d))
+    sdot = _DOT.format(d=d, a="n.v", b="s.cv")
+    cdot = _DOT.format(d=d, a="n.v", b="c.cv")
+    pdot = _DOT.format(d=d, a="q.v", b="c.cv")
+    qdot = _DOT.format(d=d, a="p.qv", b="c.v")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    normed AS (SELECT vec_id, v, {_NORM.format(v="v")} AS nrm FROM base),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM normed
+      WHERE vec_id % {C.IVF_SEED_STRIDE} = 0 ORDER BY vec_id LIMIT {C.IVF_N_LISTS}
+    ),
+    s_scored AS (
+      SELECT n.vec_id, s.cid, round({sdot} / (n.nrm * s.cn), 6) AS sim
+      FROM normed n CROSS JOIN seeds s
+    ),
+    s_best AS (SELECT vec_id, max(sim) AS best FROM s_scored GROUP BY vec_id),
+    s_assign AS (
+      SELECT sc.vec_id, min(sc.cid) AS cid
+      FROM s_scored sc JOIN s_best b ON sc.vec_id = b.vec_id AND sc.sim = b.best
+      GROUP BY sc.vec_id
+    ),
+    cents AS (
+      SELECT a.cid, [{mean_list}]::DOUBLE[] AS cv
+      FROM s_assign a JOIN normed n USING (vec_id) GROUP BY a.cid
+    ),
+    cents_n AS (SELECT cid, cv, {_NORM.format(v="cv")} AS cn FROM cents),
+    c_scored AS (
+      SELECT n.vec_id, c.cid, round({cdot} / (n.nrm * c.cn), 6) AS sim
+      FROM normed n CROSS JOIN cents_n c
+    ),
+    c_best AS (SELECT vec_id, max(sim) AS best FROM c_scored GROUP BY vec_id),
+    c_assign AS (
+      SELECT sc.vec_id, min(sc.cid) AS cid
+      FROM c_scored sc JOIN c_best b ON sc.vec_id = b.vec_id AND sc.sim = b.best
+      GROUP BY sc.vec_id
+    ),
+    corpus AS (
+      SELECT n.vec_id, n.v, n.nrm, a.cid FROM normed n JOIN c_assign a USING (vec_id)
+    ),
+    q AS (SELECT * FROM normed WHERE vec_id < {C.ANN_N_QUERIES}),
+    q_probe AS (
+      SELECT q_id, qv, qn, cid, pr FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({pdot} / (q.nrm * c.cn), 6) DESC, c.cid ASC) AS pr
+        FROM q CROSS JOIN cents_n c)
+      WHERE pr <= {C.IVF_N_PROBE}
+    ),
+    scored AS (
+      SELECT p.q_id AS query_id, c.vec_id AS neighbor_id, p.pr,
+             round({qdot} / (p.qn * c.nrm), 6) AS cosine
+      FROM corpus c JOIN q_probe p ON c.cid = p.cid AND p.q_id <> c.vec_id
+    ),
+    r1 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored WHERE pr <= 1)
+      WHERE rank <= {k}
+    ),
+    r3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      WHERE rank <= {k}
+    ),
+    exact_r AS ({_ann_bruteforce_sql()})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_probe1,
+           CAST(count(b.neighbor_id) AS BIGINT) AS n_probe3,
+           CAST(count(a.neighbor_id) * 10000 // {k} AS BIGINT)
+             AS recall_probe1_x1e4,
+           CAST(count(b.neighbor_id) * 10000 // {k} AS BIGINT)
+             AS recall_probe3_x1e4
+    FROM exact_r e
+    LEFT JOIN r1 a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    LEFT JOIN r3 b ON e.query_id = b.query_id AND e.neighbor_id = b.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@_register(
+    "ann_ivf_probe_sweep",
+    _ivf_sweep_sql(),
+    doc="IVF probe sweep: recall@k at n_probe=1 vs n_probe=3 against "
+    "the brute-force ground truth, per query, from ONE scored pass — "
+    "probe sets are nested, so the probe-1 top-k is a re-rank of the "
+    "probe-1 slice of the same candidate frame (no second corpus "
+    "scan). Completes the ANN audit triad (LSH single-probe, LSH "
+    "multi-probe, IVF probe count): the three dials a deployment "
+    "tunes against the same exact baseline. All-integer output. "
+    "Scale extension.",
+)
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale.similarity import (
+        _nearest_centroid,
+        _normed,
+        cosine_topk,
+        ivf_centroids,
+    )
+
+    k = C.ANN_TOP_K
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb).persist()
+    c = _normed(emb, "embedding", "vec_id", "c_").persist()
+    cell_of = _nearest_centroid(c, cents)
+    c = c.join(cell_of, "c_id")
+
+    q_src = emb.filter(F.col("vec_id") < C.ANN_N_QUERIES)
+    q = _normed(q_src, "embedding", "vec_id", "q_")
+    qsim = F.round(
+        _vdot(F.col("q_v"), F.col("cent_v")) / (F.col("q_n") * F.col("cent_n")),
+        6,
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.desc("_qsim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "q_v", "q_n", "cid", qsim.alias("_qsim"))
+        .withColumn("pr", F.row_number().over(qw))
+        .filter(F.col("pr") <= C.IVF_N_PROBE)
+        .select("q_id", "q_v", "q_n", "cid", "pr")
+    )
+    sim = F.round(
+        _vdot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cid")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "pr",
+            sim.alias("cosine"),
+        )
+        .persist()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    r1 = (
+        scored.filter(F.col("pr") <= 1)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+        )
+    )
+    r3 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("b_qid"), F.col("neighbor_id").alias("b_nid")
+        )
+    )
+    exact = cosine_topk(emb, q_src).select("query_id", "neighbor_id")
+    j = (
+        exact.join(
+            r1,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .join(
+            r3,
+            (F.col("query_id") == F.col("b_qid"))
+            & (F.col("neighbor_id") == F.col("b_nid")),
+            "left",
+        )
+    )
+    return j.groupBy("query_id").agg(
+        F.count("a_nid").alias("n_probe1"),
+        F.count("b_nid").alias("n_probe3"),
+        F.expr(f"count(a_nid) * 10000 DIV {k}")
+        .cast("long")
+        .alias("recall_probe1_x1e4"),
+        F.expr(f"count(b_nid) * 10000 DIV {k}")
+        .cast("long")
+        .alias("recall_probe3_x1e4"),
+    )

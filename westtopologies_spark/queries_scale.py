@@ -78,7 +78,7 @@ _SHINGLES_CTE = f"""
 """
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(threshold: float = C.MINHASH_JACCARD_THRESHOLD) -> str:
     mins = ",\n             ".join(
         f"min((shingle * {a} + {b}) % {C.SHINGLE_P}) AS mh{i}"
         for i, (a, b) in enumerate(C.MINHASH_COEFFS)
@@ -125,7 +125,7 @@ def _minhash_sql() -> str:
     JOIN sizes sa ON sa.doc_id = c.doc_a
     JOIN sizes sb ON sb.doc_id = c.doc_b
     WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 4)
-          >= {C.MINHASH_JACCARD_THRESHOLD}
+          >= {threshold}
     """
 
 
