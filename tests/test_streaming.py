@@ -849,3 +849,84 @@ def test_lsh_candidate_stream_tws_matches_apips(spark, sf_dir, tmp_path_factory)
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     assert tws == base
     assert len(base) > 0
+
+
+def test_lateness_profile_predicts_watermark_drops(spark, tmp_path_factory):
+    """The ts_lateness_profile output is a watermark-delay CONTRACT:
+    a delay > the profile's max_late_s keeps every event through a
+    watermarked windowed agg; a delay below it provably drops the
+    late ones.  Replays three arrival-ordered micro-batches with one
+    29-minute-late event and runs the same windowed count at both
+    delays."""
+    import pandas as pd
+
+    from westtopologies_spark.queries_ext4 import ts_lateness_profile
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(i, minutes):
+        return {
+            "event_id": i,
+            "ts": t0 + pd.Timedelta(minutes=minutes),
+            "user_id": 1,
+            "event_type": "view",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    # arrival order (event_id): the late row (event 4, back at t0+1,
+    # lateness 30 min) arrives in its OWN micro-batch AFTER the
+    # watermark has closed window A — a same-batch late arrival still
+    # lands because eviction runs after that batch's input (verified
+    # empirically); the final file advances time so append mode can
+    # close window A under the larger delay too
+    files = [
+        [ev(0, 0.5), ev(1, 9.0), ev(2, 30.0)],
+        [ev(3, 31.0)],
+        [ev(4, 1.0)],  # 30 min late vs the running max (31:00)
+        [ev(5, 50.0)],
+    ]
+    out = str(tmp_path_factory.mktemp("late_stream"))
+    for i, rows in enumerate(files):
+        path = os.path.join(out, f"part-{i}.parquet")
+        pd.DataFrame(rows).to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        mtime = time.time() - 100 + i * 10
+        os.utime(path, (mtime, mtime))
+
+    # batch profile over the same replay: max lateness = 29 min
+    batch = spark.read.parquet(out)
+    batch.write.mode("overwrite").parquet(os.path.join(out, "all", "events.parquet"))
+    prof = ts_lateness_profile(spark, os.path.join(out, "all")).collect()
+    max_late = max(r["max_late_s"] for r in prof)
+    assert max_late == 30 * 60
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def windowed_count(delay_sec, name):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        agg = (
+            src.withWatermark("ts", f"{delay_sec} seconds")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .count()
+        )
+        got = _run_stream(spark, agg, name)
+        return {
+            r["w"].start.minute + r["w"].start.hour * 60: r["count"]
+            for r in got.collect()
+        }
+
+    # delay above the measured max lateness: the late event is kept
+    keep = windowed_count(max_late + 60, "late_keep")
+    assert keep[0] == 3  # window [00:00,00:10): events 0, 1 and late 3
+    # delay below it: the late event is dropped from the closed window
+    drop = windowed_count(5 * 60, "late_drop")
+    assert drop[0] == 2
