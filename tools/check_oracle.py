@@ -133,6 +133,14 @@ def main() -> int:
         # setup cost is milliseconds (views are lazy).
         c = duckdb.connect()
         c.execute("SET memory_limit='24GB'")
+        # an in-memory DuckDB cannot spill WITHOUT a temp directory:
+        # the heavy recursive replays (dd_soft_weights ~20+ GB peak
+        # at sf0.1) then die with 'Failed to allocate block' whenever
+        # scheduling pushes their transient peak past the limit —
+        # the recurring "environmental OOM" signature was exactly
+        # this, not host memory pressure (oracle_bench.py had the
+        # same fix already)
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
