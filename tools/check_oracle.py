@@ -132,15 +132,19 @@ def main() -> int:
         # in-memory database per query gets a fresh buffer manager;
         # setup cost is milliseconds (views are lazy).
         c = duckdb.connect()
-        c.execute("SET memory_limit='24GB'")
-        # an in-memory DuckDB cannot spill WITHOUT a temp directory:
-        # the heavy recursive replays (dd_soft_weights ~20+ GB peak
-        # at sf0.1) then die with 'Failed to allocate block' whenever
-        # scheduling pushes their transient peak past the limit —
-        # the recurring "environmental OOM" signature was exactly
-        # this, not host memory pressure (oracle_bench.py had the
-        # same fix already)
+        # the heavy recursive replays (dd_soft_weights & co at sf0.1)
+        # have a ~24 GB, scheduling-dependent transient peak in hash
+        # operators that CANNOT spill — at a 24 GB cap they died
+        # nondeterministically with 'Failed to allocate block' (and
+        # DuckDB's post-OOM cleanup then SEGFAULTS the process, which
+        # is why three gate runs ended abruptly at the same query).
+        # The host has 125 GB and Spark holds <= ~20, so give DuckDB
+        # real headroom, a spill path for the operators that can use
+        # one, and a bounded thread count (hash-op memory scales with
+        # threads).
+        c.execute("SET memory_limit='48GB'")
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        c.execute("SET threads=16")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
