@@ -687,3 +687,63 @@ def test_ivf_probe_sweep_monotone(spark):
         assert r["n_probe3"] >= r["n_probe1"]
         assert r["recall_probe3_x1e4"] >= r["recall_probe1_x1e4"]
         assert 0 <= r["recall_probe3_x1e4"] <= 10_000
+
+
+# ---------------------------------------------------------------------------
+# source overlap + Fano factor
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_counts_cross_and_within(spark, tmp_path):
+    from westtopologies_spark.queries_ext4 import dd_source_overlap
+
+    rows = [
+        (0, "dup text", "A", 8),
+        (1, "dup  TEXT", "A", 9),  # same cluster as 0 (normalize)
+        (2, "dup text", "B", 8),  # cross-source copy
+        (3, "unique", "B", 6),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "source", "n_chars"]
+    ).select("doc_id", "text", F.lit("en").alias("lang"), "source", "n_chars")
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dd_source_overlap(spark, sf_dir).collect()
+    }
+    # cluster {0,1,2}: pairs (0,1) within A, (0,2) and (1,2) cross A-B
+    assert got[("A", "A")] == 1
+    assert got[("A", "B")] == 2
+    assert ("B", "B") not in got
+
+
+def test_fano_factor_poisson_vs_bursty(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from westtopologies_spark.queries_ext4 import ts_fano_factor
+
+    t0 = datetime(2024, 7, 1, 0, 0, 0)
+    rows = []
+    i = 0
+    # "steady": exactly 2 events every hour for 4 hours -> variance 0
+    for h in range(4):
+        for _ in range(2):
+            rows.append((i, t0 + timedelta(hours=h), 1, "steady", 1.0, "{}"))
+            i += 1
+    # "bursty": all 8 events in hour 0 of the same span
+    for _ in range(8):
+        rows.append((i, t0, 2, "bursty", 1.0, "{}"))
+        i += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf_dir = str(tmp_path)
+    ev.write.parquet(f"{sf_dir}/events.parquet")
+    got = {r["event_type"]: r for r in ts_fano_factor(spark, sf_dir).collect()}
+    # steady: counts [2,2,2,2] over 4 observed hours -> fano = 0
+    assert got["steady"]["n_hours"] == 4
+    assert got["steady"]["fano_x1e4"] == 0
+    assert got["steady"]["rate_x1e4"] == 20_000
+    # bursty: counts [8,0,0,0] -> var/mean = (4*64-64)/(4*8) = 6.0
+    assert got["bursty"]["fano_x1e4"] == 60_000

@@ -455,3 +455,73 @@ def test_mann_kendall_matches_python_pairs(spark, day_values):
     else:
         want_z = 0
     assert got["z_x1e6"] == want_z
+
+
+# ---------------------------------------------------------------------------
+# HITS vs pure-python replication of the declared trace
+# ---------------------------------------------------------------------------
+
+
+def _py_hits(nodes, dedges, iters):
+    import math
+
+    def r(x, k):  # Spark/DuckDB HALF_UP on the non-negative domain
+        s = 10**k
+        return math.floor(x * s + 0.5) / s
+
+    h = {n: 1.0 for n in nodes}
+    a = {}
+    ins, outs = {}, {}
+    for s, d in dedges:
+        ins.setdefault(d, []).append(s)
+        outs.setdefault(s, []).append(d)
+    for _ in range(iters):
+        raw_a = {d: r(sum(h[s] for s in srcs), 9) for d, srcs in ins.items()}
+        m = max(raw_a.values())
+        a = {n: r(raw_a.get(n, 0.0) / m, 9) for n in nodes}
+        raw_h = {s: r(sum(a[d] for d in dsts), 9) for s, dsts in outs.items()}
+        m = max(raw_h.values())
+        h = {n: r(raw_h.get(n, 0.0) / m, 9) for n in nodes}
+    return (
+        {n: math.floor(a[n] * 1e6 + 0.5) for n in nodes},
+        {n: math.floor(h[n] * 1e6 + 0.5) for n in nodes},
+    )
+
+
+@st.composite
+def small_digraphs(draw):
+    n = draw(st.integers(3, 10))
+    m = draw(st.integers(2, 2 * n))
+    edges = sorted(
+        {
+            p
+            for p in draw(
+                st.lists(
+                    st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+                    min_size=m,
+                    max_size=m,
+                )
+            )
+            if p[0] != p[1]
+        }
+    )
+    return n, edges
+
+
+@SET
+@given(small_digraphs())
+def test_hits_matches_python_trace(spark, graph):
+    from westtopologies_spark.ops.graph import HITS_ITERS, hits
+
+    n, edges = graph
+    if not edges:
+        return
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    e_df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["user_id"]: r for r in hits(nodes_df, e_df).collect()}
+    want_a, want_h = _py_hits(list(range(n)), edges, HITS_ITERS)
+    for i in range(n):
+        # exact trace replication; +-1 at the 1e6 scale tolerated for
+        # binary-representation edge cases of the half-up reference
+        assert abs(got[i]["auth_x1e6"] - want_a[i]) <= 1, (i, edges)
+        assert abs(got[i]["hub_x1e6"] - want_h[i]) <= 1, (i, edges)

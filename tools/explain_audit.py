@@ -154,7 +154,10 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # composes the IVF centroid assignment (<=16-row
                        # broadcast scored per row) + cosine_topk's bounded
                        # query broadcast on the exact side
-                       "ann_ivf_probe_sweep"}
+                       "ann_ivf_probe_sweep",
+                       # hour-span scalar (1 row) joined onto the
+                       # per-type moment frame
+                       "ts_fano_factor"}
 
 
 def audit(name: str, plan: str) -> list[str]:

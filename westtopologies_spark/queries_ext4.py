@@ -1693,3 +1693,127 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_probe3_x1e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix — which sources copy from which
+# (crawl-provenance audit over the exact-dup clusters)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dd_source_overlap",
+    r"""
+    WITH k AS (
+      SELECT doc_id, source,
+             regexp_replace(lower(text), '\s+', ' ', 'g') AS ck
+      FROM documents
+    ),
+    p AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             count(*) AS n_pairs
+      FROM k a JOIN k b ON a.ck = b.ck AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM p
+    """,
+    doc="Cross-source duplication matrix: for every exact-duplicate "
+    "pair (normalized-text key, the dd_exact cluster), one count per "
+    "unordered source pair — the crawl-provenance audit that shows "
+    "which sources mirror which (diagonal = within-source reposts, "
+    "off-diagonal = cross-crawl copying), read before assigning "
+    "per-source mixture weights (tp_effective_mixture). The "
+    "self-join keys on the cluster hash, so pair fan-out is bounded "
+    "by per-cluster sizes (the skew watch is identical to dd_exact). "
+    "All-integer counts. Scale extension (training-data dedup).",
+)
+def dd_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    k = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("ck"),
+    )
+    a = k.select(
+        F.col("ck").alias("ck_a"),
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+    )
+    b = k.select(
+        F.col("ck").alias("ck_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+    )
+    pairs = a.join(
+        b, (F.col("ck_a") == F.col("ck_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return pairs.groupBy(
+        F.least("src_a", "src_b").alias("source_a"),
+        F.greatest("src_a", "src_b").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Fano factor of event arrivals — traffic burstiness per event type
+# (the temporal sibling of tx_burstiness's per-term dispersion)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ts_fano_factor",
+    """
+    WITH hours AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS nh
+      FROM events
+    ),
+    st AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM hours GROUP BY 1
+    )
+    SELECT event_type, s1 AS n_events, span.nh AS n_hours,
+           (s1 * 10000) // span.nh AS rate_x1e4,
+           ((span.nh * s2 - s1 * s1) * 10000) // (span.nh * s1)
+             AS fano_x1e4
+    FROM st CROSS JOIN span
+    """,
+    doc="Fano factor of hourly event arrivals per type: variance-to-"
+    "mean of the hourly count series over the OBSERVED hour span "
+    "(zero hours included via the exact integer moments "
+    "N*sum(c^2)-S1^2 — no per-hour zero rows materialize). Fano ~ 1 "
+    "is Poisson traffic; >> 1 flags bursty/bot-like arrival "
+    "clumping, the temporal sibling of tx_burstiness's per-term "
+    "dispersion and the capacity-planning input for streaming "
+    "ingestion. One map-combinable (type, hour) agg + a scalar span "
+    "broadcast; all-integer positive-domain division. Temporal "
+    "extension.",
+)
+def ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = ev.agg(
+        F.countDistinct(F.date_trunc("hour", "ts")).alias("nh")
+    )
+    st = hours.groupBy("event_type").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return st.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.col("s1").alias("n_events"),
+        F.col("nh").alias("n_hours"),
+        F.expr("(s1 * 10000) DIV nh").alias("rate_x1e4"),
+        F.expr("((nh * s2 - s1 * s1) * 10000) DIV (nh * s1)").alias(
+            "fano_x1e4"
+        ),
+    )
