@@ -69,6 +69,9 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "dv_psi_drift",
                        # global avg balance (1 row) joined onto customers
                        "sq_idle_rich_customers",
+                       # global (total, n) value row (1 row) joined onto
+                       # the per-part aggregate (TPC-H Q11 shape)
+                       "sq_important_parts",
                        # node-count N (1 row) seeding the rank vector
                        "gr_pagerank",
                        # corpus token total (1 row) joined onto LM scores

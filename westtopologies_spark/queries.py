@@ -1293,6 +1293,10 @@ from . import queries_ext3  # noqa: E402, F401
 # mixture, Mahalanobis outliers, audio framing plan, Mann-Kendall
 from . import queries_ext4  # noqa: E402, F401
 
+# round-3 batch 5: remaining TPC-H decorrelation shapes (Q2/Q4/Q9/
+# Q11/Q16/Q20), compaction planner, hourly OHLC, PQ-ADC search
+from . import queries_ext5  # noqa: E402, F401
+
 
 # ---------------------------------------------------------------------------
 # Hash-exact hardening sweep (round 3): every catalog query that has

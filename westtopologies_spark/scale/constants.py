@@ -98,6 +98,15 @@ PQ_K = 16  # codewords per subspace (4-bit codes)
 PQ_ITERS = 2  # unrolled Lloyd iterations per subspace
 PQ_SEED_STRIDE = 11  # seeds = first K vec_ids with id % stride == 0
 
+# --- PQ asymmetric-distance (ADC) search ---------------------------------
+# query set = first N vec_ids in a fixed residue class (disjoint from
+# the codebook seeds' residue 0 mod 11 for most ids, and deterministic
+# at every scale factor)
+ADC_N_QUERIES = 8
+ADC_TOP_K = 10
+ADC_QUERY_STRIDE = 17
+ADC_QUERY_OFFSET = 3
+
 # --- PCA by power iteration ----------------------------------------------
 PCA_POWER_ITERS = 6  # fixed-iteration power method on the D x D covariance
 

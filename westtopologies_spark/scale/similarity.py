@@ -451,7 +451,21 @@ def quantize_stats(
     )
 
 
-def pq_codes(
+def _pq_sqdist() -> Column:
+    """Squared euclidean distance between the subspace row's ``sv``
+    and the codeword's ``cv``, rounded 6dp (the per-round rounding
+    that lets the DuckDB oracle replay the identical trace)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+        6,
+    )
+
+
+def _pq_fit(
     emb: DataFrame,
     m: int = C.PQ_M,
     sub_dim: int = C.PQ_SUB_DIM,
@@ -460,26 +474,14 @@ def pq_codes(
     stride: int = C.PQ_SEED_STRIDE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """Product quantization (Jegou et al. 2011): ``m`` independent
-    euclidean k-means codebooks, one per ``sub_dim``-wide subspace,
-    and the per-vector code + reconstruction error.
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the PQ codebooks (shared kernel of :func:`pq_codes` and
+    :func:`pq_adc_topk`).
 
-    Output: (vec_id, code_0..code_{m-1} INT, err_x1e6 BIGINT) — the
-    assigned codeword per subspace after ``iters`` Lloyd rounds and
-    the total squared reconstruction error as an exact scaled int.
-
-    Deterministic like :func:`kmeans_assignments` (stride-sampled
-    seeds renumbered 0..k-1 by vec_id order, per-round 1e-9 centroid
-    rounding, 1e-6 distance rounding, min-cid ties), so the DuckDB
-    oracle replays the identical trace.
-
-    Scale shape: the vector corpus explodes x``m`` into subspace rows
-    ONCE (persisted); every Lloyd round is one broadcast-hash join
-    against the m*k-row codebook plus one map-side-combinable
-    re-centering — the codebook, never the corpus, crosses the
-    network. The final wide pivot is a single hash aggregation on
-    vec_id.
+    Returns ``(sub, cents, assign)``: the persisted x``m`` subspace
+    explode ``(vec_id, m, sv)``, the final ``m*k``-row codebook
+    ``(m, cid, cv)``, and the final assignment
+    ``(vec_id, m, cid, bd)`` with the 6dp-rounded squared distance.
     """
     v = F.col(vec_col).cast("array<double>")
     sub = (
@@ -504,15 +506,7 @@ def pq_codes(
     )
     cents = sub.join(seeds, "vec_id").select("m", "cid", F.col("sv").alias("cv"))
 
-    def _sqdist() -> "F.Column":
-        return F.round(
-            F.aggregate(
-                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, e: acc + e,
-            ),
-            6,
-        )
+    _sqdist = _pq_sqdist
 
     mean_cv = F.array(
         *[F.round(F.avg(F.element_at(F.col("sv"), j + 1)), 9) for j in range(sub_dim)]
@@ -548,6 +542,40 @@ def pq_codes(
         .groupBy("vec_id", "m")
         .agg(F.min("cid").alias("cid"), F.max("bd").alias("bd"))
     )
+    return sub, cents, assign
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = C.PQ_M,
+    sub_dim: int = C.PQ_SUB_DIM,
+    k: int = C.PQ_K,
+    iters: int = C.PQ_ITERS,
+    stride: int = C.PQ_SEED_STRIDE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): ``m`` independent
+    euclidean k-means codebooks, one per ``sub_dim``-wide subspace,
+    and the per-vector code + reconstruction error.
+
+    Output: (vec_id, code_0..code_{m-1} INT, err_x1e6 BIGINT) — the
+    assigned codeword per subspace after ``iters`` Lloyd rounds and
+    the total squared reconstruction error as an exact scaled int.
+
+    Deterministic like :func:`kmeans_assignments` (stride-sampled
+    seeds renumbered 0..k-1 by vec_id order, per-round 1e-9 centroid
+    rounding, 1e-6 distance rounding, min-cid ties), so the DuckDB
+    oracle replays the identical trace.
+
+    Scale shape: the vector corpus explodes x``m`` into subspace rows
+    ONCE (persisted); every Lloyd round is one broadcast-hash join
+    against the m*k-row codebook plus one map-side-combinable
+    re-centering — the codebook, never the corpus, crosses the
+    network. The final wide pivot is a single hash aggregation on
+    vec_id.
+    """
+    _, _, assign = _pq_fit(emb, m, sub_dim, k, iters, stride, vec_col, id_col)
     code_cols = [
         F.min(F.when(F.col("m") == i, F.col("cid"))).cast("int").alias(f"code_{i}")
         for i in range(m)
@@ -556,6 +584,71 @@ def pq_codes(
         *code_cols,
         F.round(F.sum("bd") * 1_000_000).cast("long").alias("err_x1e6"),
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    nq: int = C.ADC_N_QUERIES,
+    topk: int = C.ADC_TOP_K,
+    m: int = C.PQ_M,
+    sub_dim: int = C.PQ_SUB_DIM,
+    k: int = C.PQ_K,
+    iters: int = C.PQ_ITERS,
+    stride: int = C.PQ_SEED_STRIDE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ-compressed
+    corpus (Jegou et al. 2011 §IV): each query keeps its RAW subspace
+    vectors and precomputes an ``m*k``-entry lookup table of squared
+    distances to every codeword; a candidate's approximate distance
+    is then the sum of ``m`` table lookups keyed by its stored code —
+    the corpus is scanned as codes, never as vectors.
+
+    Output: (query_id, vec_id, adc_x1e6 BIGINT, rk INT) — the ``topk``
+    nearest candidates per query by ADC distance (ties broken on
+    vec_id; the query itself excluded).
+
+    Hash-exactness: each LUT entry is the 6dp-rounded squared
+    distance scaled to an exact BIGINT (micro-units) BEFORE the
+    ``m``-term sum, so the total is an order-free integer sum and the
+    ranking cannot flip on fp association.
+
+    Scale shape: the LUT is ``nq * m * k`` rows (tiny) and broadcast;
+    the corpus side touches only the final code assignment — one
+    broadcast-hash join + one map-side-combinable (query, vec) sum,
+    i.e. the linear ADC scan that makes IVFADC viable at billions of
+    vectors. No shuffle grows with ``nq``.
+    """
+    sub, cents, assign = _pq_fit(emb, m, sub_dim, k, iters, stride, vec_col, id_col)
+    qids = (
+        emb.select(F.col(id_col).alias("query_id"))
+        .filter(F.col("query_id") % C.ADC_QUERY_STRIDE == C.ADC_QUERY_OFFSET)
+        .orderBy("query_id")
+        .limit(nq)
+    )
+    qsub = sub.join(
+        F.broadcast(qids), sub.vec_id == qids.query_id
+    ).select("query_id", "m", "sv")
+    lut = qsub.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        F.round(_pq_sqdist() * 1_000_000).cast("long").alias("lut_x1e6"),
+    )
+    adc = (
+        assign.join(F.broadcast(lut), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_x1e6").cast("long").alias("adc_x1e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_x1e6", "vec_id")
+    return adc.select(
+        "query_id",
+        "vec_id",
+        "adc_x1e6",
+        F.row_number().over(w).cast("int").alias("rk"),
+    ).filter(F.col("rk") <= topk)
 
 
 def covariance_long(emb: DataFrame, dim: int = C.EMBEDDING_DIM) -> DataFrame:
