@@ -525,3 +525,204 @@ def test_hits_matches_python_trace(spark, graph):
         # binary-representation edge cases of the half-up reference
         assert abs(got[i]["auth_x1e6"] - want_a[i]) <= 1, (i, edges)
         assert abs(got[i]["hub_x1e6"] - want_h[i]) <= 1, (i, edges)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search: full deterministic trace (subspace
+# k-means fit + LUT + integer ADC sum + ranking) vs pure Python
+# ---------------------------------------------------------------------------
+
+_PQ_DIM, _PQ_M, _PQ_SD, _PQ_K, _PQ_IT = 4, 2, 2, 3, 2
+_PQ_STRIDE, _PQ_QSTRIDE, _PQ_QOFF, _PQ_NQ, _PQ_TOPK = 3, 5, 1, 2, 3
+
+
+@st.composite
+def small_vector_corpora(draw):
+    n = draw(st.integers(6, 24))
+    # quarter-grid coordinates: exactly representable doubles, so the
+    # only fp sensitivity left is the mean/round trace itself
+    vecs = [
+        [q / 4.0 for q in draw(
+            st.lists(st.integers(-32, 32), min_size=_PQ_DIM, max_size=_PQ_DIM)
+        )]
+        for _ in range(n)
+    ]
+    return [(i, v) for i, v in enumerate(vecs)]
+
+
+def _pq_r(x, k):
+    """Spark F.round semantics: HALF_UP over the shortest decimal
+    repr (BigDecimal.valueOf(Double.toString)) — python's builtin
+    round() is banker's and diverges on the exact halves the
+    quarter-grid corpus produces (e.g. 10.3515625 at 6dp)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-k), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _py_pq_adc(rows):
+    """Independent pure-Python replay of _pq_fit + pq_adc_topk."""
+    sub = {
+        (i, mm): tuple(v[mm * _PQ_SD:(mm + 1) * _PQ_SD])
+        for i, v in rows
+        for mm in range(_PQ_M)
+    }
+    ids = sorted(i for i, _ in rows)
+    seeds = [i for i in ids if i % _PQ_STRIDE == 0][:_PQ_K]
+    cents = {
+        (mm, cid): sub[(sid, mm)]
+        for cid, sid in enumerate(seeds)
+        for mm in range(_PQ_M)
+    }
+
+    def sqd(a, b):
+        return _pq_r(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    assign = {}
+    for _ in range(_PQ_IT + 1):  # iters rounds + the final assignment
+        assign = {}
+        for (i, mm), sv in sub.items():
+            ds = [
+                (sqd(sv, cv), cid)
+                for (cm, cid), cv in cents.items()
+                if cm == mm
+            ]
+            bd = min(d for d, _ in ds)
+            cid = min(c for d, c in ds if d == bd)
+            assign[(i, mm)] = (cid, bd)
+        groups: dict = {}
+        for (i, mm), (cid, _) in assign.items():
+            groups.setdefault((mm, cid), []).append(sub[(i, mm)])
+        cents = {
+            key: tuple(
+                _pq_r(sum(sv[j] for sv in svs) / len(svs), 9)
+                for j in range(_PQ_SD)
+            )
+            for key, svs in groups.items()
+        }
+    # NOTE: the loop above re-centers AFTER the final assignment too,
+    # but `assign` already holds the final-round assignment
+    qids = [i for i in ids if i % _PQ_QSTRIDE == _PQ_QOFF][:_PQ_NQ]
+    # centroids as of the final assignment round = cents BEFORE the
+    # last re-centering: recompute them from the trace
+    cents_fit = {
+        (mm, cid): tuple(
+            _pq_r(sum(sv[j] for sv in svs) / len(svs), 9)
+            for j in range(_PQ_SD)
+        )
+        for (mm, cid), svs in _pq_groups_after(sub, seeds, _PQ_IT).items()
+    }
+    out = []
+    for q in qids:
+        lut = {
+            (mm, cid): int(_pq_r(sqd(sub[(q, mm)], cv) * 1_000_000, 0))
+            for (mm, cid), cv in cents_fit.items()
+        }
+        scored = []
+        for i in ids:
+            if i == q:
+                continue
+            adc = sum(lut[(mm, assign[(i, mm)][0])] for mm in range(_PQ_M))
+            scored.append((adc, i))
+        scored.sort()
+        for rk, (adc, i) in enumerate(scored[:_PQ_TOPK], start=1):
+            out.append((q, i, adc, rk))
+    return sorted(out)
+
+
+def _pq_groups_after(sub, seeds, iters):
+    """Assignment groups after exactly ``iters`` Lloyd rounds (the
+    codebook the final assignment is scored against)."""
+    cents = {
+        (mm, cid): sub[(sid, mm)]
+        for cid, sid in enumerate(seeds)
+        for mm in range(_PQ_M)
+    }
+
+    def sqd(a, b):
+        return _pq_r(sum((x - y) * (x - y) for x, y in zip(a, b)), 6)
+
+    groups: dict = {}
+    for _ in range(iters):
+        assign = {}
+        for (i, mm), sv in sub.items():
+            ds = [
+                (sqd(sv, cv), cid)
+                for (cm, cid), cv in cents.items()
+                if cm == mm
+            ]
+            bd = min(d for d, _ in ds)
+            assign[(i, mm)] = min(c for d, c in ds if d == bd)
+        groups = {}
+        for (i, mm), cid in assign.items():
+            groups.setdefault((mm, cid), []).append(sub[(i, mm)])
+        cents = {
+            key: tuple(
+                _pq_r(sum(sv[j] for sv in svs) / len(svs), 9)
+                for j in range(_PQ_SD)
+            )
+            for key, svs in groups.items()
+        }
+    return groups
+
+
+@SET
+@given(small_vector_corpora())
+def test_pq_adc_matches_python_trace(spark, rows):
+    from westtopologies_spark.scale.similarity import pq_adc_topk
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], ["vec_id", "embedding"]
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.adc_x1e6, r.rk)
+        for r in pq_adc_topk(
+            df,
+            nq=_PQ_NQ, topk=_PQ_TOPK, m=_PQ_M, sub_dim=_PQ_SD,
+            k=_PQ_K, iters=_PQ_IT, stride=_PQ_STRIDE,
+            qstride=_PQ_QSTRIDE, qoffset=_PQ_QOFF,
+        ).collect()
+    )
+    assert got == _py_pq_adc(rows)
+
+
+# ---------------------------------------------------------------------------
+# compaction planner: next-fit bin assignment vs pure Python
+# ---------------------------------------------------------------------------
+
+
+@SET
+@given(st.lists(st.integers(1, 9000), min_size=1, max_size=30))
+def test_compaction_bins_match_python_next_fit(spark, sizes):
+    import tempfile
+
+    from westtopologies_spark.queries_ext5 import (
+        COMPACT_TARGET_BYTES,
+        dv_compaction_plan,
+    )
+
+    rows = [
+        (d, EPOCH + dt.timedelta(days=d), 1, "t", 0.0, "x" * sz)
+        for d, sz in enumerate(sizes)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(f"{tmp}/events.parquet")
+        got = {
+            r.bin: (r.n_files, r.bytes)
+            for r in dv_compaction_plan(spark, tmp).collect()
+        }
+    expect: dict = {}
+    cum = 0
+    for sz in sizes:  # day order == list order
+        b = cum // COMPACT_TARGET_BYTES
+        n, tot = expect.get(b, (0, 0))
+        expect[b] = (n + 1, tot + sz)
+        cum += sz
+    assert got == expect

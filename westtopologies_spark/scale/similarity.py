@@ -597,6 +597,8 @@ def pq_adc_topk(
     stride: int = C.PQ_SEED_STRIDE,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    qstride: int = C.ADC_QUERY_STRIDE,
+    qoffset: int = C.ADC_QUERY_OFFSET,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over the PQ-compressed
     corpus (Jegou et al. 2011 §IV): each query keeps its RAW subspace
@@ -623,7 +625,7 @@ def pq_adc_topk(
     sub, cents, assign = _pq_fit(emb, m, sub_dim, k, iters, stride, vec_col, id_col)
     qids = (
         emb.select(F.col(id_col).alias("query_id"))
-        .filter(F.col("query_id") % C.ADC_QUERY_STRIDE == C.ADC_QUERY_OFFSET)
+        .filter(F.col("query_id") % qstride == qoffset)
         .orderBy("query_id")
         .limit(nq)
     )
