@@ -72,6 +72,11 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # global (total, n) value row (1 row) joined onto
                        # the per-part aggregate (TPC-H Q11 shape)
                        "sq_important_parts",
+                       # corpus-end day (1 row) joined onto user spans;
+                       # 4-row learned merge tables joined in-plan
+                       "ag_survival_lifetable", "tx_bpe_train", "tx_bpe_apply",
+                       # seed-count scalar (1 row) seeding the rank vector
+                       "gr_personalized_pagerank",
                        # node-count N (1 row) seeding the rank vector
                        "gr_pagerank",
                        # corpus token total (1 row) joined onto LM scores

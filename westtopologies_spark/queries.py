@@ -1297,6 +1297,10 @@ from . import queries_ext4  # noqa: E402, F401
 # Q11/Q16/Q20), compaction planner, hourly OHLC, PQ-ADC search
 from . import queries_ext5  # noqa: E402, F401
 
+# round-3 batch 6: personalized PageRank, survival life table,
+# iterative BPE trainer + fertility audit
+from . import queries_ext6  # noqa: E402, F401
+
 
 # ---------------------------------------------------------------------------
 # Hash-exact hardening sweep (round 3): every catalog query that has

@@ -739,3 +739,120 @@ def textrank_keywords(docs: DataFrame, top: int = C.TEXTRANK_TOP_K) -> DataFrame
         .where(F.col("rank") <= top)
         .select("rank", "term", "score_x1e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training + application (Sennrich et al. 2016): true iterative
+# merge learning — each round recounts adjacent TOKEN pairs after the
+# previous merge has been applied corpus-wide
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 4
+
+_BPE_WORDS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+_BPE_CHARS = (
+    "transform(" + _BPE_WORDS + ", w -> "
+    "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+)
+
+
+def _bpe_fold(arr: str, a: str, b: str) -> str:
+    """SQL expression: left-greedy single-merge pass over a token
+    array — append each token, or fuse it onto the previous one when
+    the (previous, current) pair equals the learned merge."""
+    return (
+        f"aggregate({arr}, CAST(array() AS array<string>), "
+        f"(acc, t) -> CASE WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = '{a}' AND t = '{b}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), "
+        f"array(concat(element_at(acc, -1), t))) "
+        f"ELSE concat(acc, array(t)) END)"
+    )
+
+
+def _bpe_pairs(tokens2d: str) -> str:
+    """SQL expression: all adjacent (a, b) token pairs across the
+    per-word token arrays of one document (words with < 2 tokens
+    contribute none)."""
+    return (
+        f"flatten(transform(filter({tokens2d}, ts -> size(ts) >= 2), "
+        f"ts -> transform(sequence(1, size(ts) - 1), "
+        f"i -> struct(element_at(ts, i) AS a, element_at(ts, i + 1) AS b))))"
+    )
+
+
+def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
+    """Learn ``rounds`` BPE merges by the real iterative rule: count
+    adjacent token pairs corpus-wide, take the most frequent pair
+    (ties broken lexicographically), fuse it EVERYWHERE, repeat on
+    the merged tokens — so later merges can pick up multi-character
+    symbols produced by earlier ones, unlike the single-round
+    candidate list of ``tx_bpe_merges``.
+
+    Returns ``(merges, tokens2d_expr)``: the learned
+    ``[(a, b, n_pair)]`` list and the SQL expression producing each
+    document's final per-word token arrays with all merges applied.
+
+    Scale shape: one corpus aggregation per round (in-row pair
+    generation, map-side-combined counts over a tiny key space, 1-row
+    argmax to the driver — the merge itself IS the model artifact);
+    merge application is a pure in-row expression, so the corpus is
+    never shuffled.
+    """
+    tokens2d = _BPE_CHARS
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        top = (
+            docs.select(F.explode(F.expr(_bpe_pairs(tokens2d))).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("n_pair"))
+            .orderBy(F.desc("n_pair"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0].a, top[0].b, top[0].n_pair
+        merges.append((a, b, n))
+        tokens2d = f"transform({tokens2d}, ts -> {_bpe_fold('ts', a, b)})"
+    return merges, tokens2d
+
+
+def bpe_train_table(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    """The learned merge table: (rank INT, merge_a, merge_b,
+    n_pair BIGINT) — rank is learning order."""
+    spark = docs.sparkSession
+    merges, _ = bpe_train(docs, rounds)
+    return spark.createDataFrame(
+        [(r + 1, a, b, n) for r, (a, b, n) in enumerate(merges)],
+        "rank int, merge_a string, merge_b string, n_pair bigint",
+    )
+
+
+def bpe_fertility(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    """Apply the learned merges and report per-document tokenizer
+    stats: (doc_id, n_words, n_chars, n_tokens, fertility_x1e4)
+    where fertility = tokens per character (scaled integer DIV) —
+    the compression/fertility audit run before committing to a
+    tokenizer at corpus scale. Documents with no alphabetic text are
+    excluded (no defined fertility)."""
+    _, tokens2d = bpe_train(docs, rounds)
+    out = docs.select(
+        "doc_id",
+        F.expr(f"size({_BPE_WORDS})").alias("n_words"),
+        F.expr(
+            f"aggregate({_BPE_WORDS}, 0, (acc, w) -> acc + length(w))"
+        ).alias("n_chars"),
+        F.expr(
+            f"aggregate({tokens2d}, 0, (acc, ts) -> acc + size(ts))"
+        ).alias("n_tokens"),
+    ).filter(F.col("n_chars") > 0)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("(n_tokens * 10000) DIV n_chars").cast("long").alias(
+            "fertility_x1e4"
+        ),
+    )
