@@ -230,3 +230,35 @@ def test_bpe_matches_python_trainer(spark, texts):
         for r in bpe_fertility(df).collect()
     }
     assert got == want_fert
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: same arithmetic as the unrestricted ADC scan, recall-only loss
+# ---------------------------------------------------------------------------
+
+
+def test_ivfadc_dominated_by_unrestricted_adc(spark, sf_dir):
+    """IVFADC searches a SUBSET of the corpus (the probed cells), so:
+    (a) any pair it returns carries the identical integer ADC distance
+    the unrestricted scan assigns, and (b) at every rank its distance
+    is >= the unrestricted scan's distance at that rank (it can only
+    miss neighbors, never invent closer ones)."""
+    from westtopologies_spark.queries_ext5 import ann_pq_adc
+    from westtopologies_spark.queries_ext6 import ann_ivfadc_topk
+
+    full = {
+        (r.query_id, r.vec_id): r.adc_x1e6
+        for r in ann_pq_adc(spark, sf_dir).collect()
+    }
+    full_by_rank: dict = {}
+    for (q, _), d in full.items():
+        full_by_rank.setdefault(q, []).append(d)
+    for q in full_by_rank:
+        full_by_rank[q].sort()
+    ivf = ann_ivfadc_topk(spark, sf_dir).collect()
+    assert ivf, "IVFADC returned nothing"
+    for r in ivf:
+        if (r.query_id, r.vec_id) in full:
+            assert full[(r.query_id, r.vec_id)] == r.adc_x1e6
+        if r.rk <= len(full_by_rank.get(r.query_id, [])):
+            assert r.adc_x1e6 >= full_by_rank[r.query_id][r.rk - 1]

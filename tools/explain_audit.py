@@ -47,6 +47,9 @@ VOCAB_RANK_OK = {
 # centroid rows — every IVF implementation scores all cells per row).
 BLOCK_JOIN_OK = {"dd_embedding_neardup", "ann_bruteforce_topk", "ann_lsh_bucketed",
                  "dd_exact", "ann_ivf_topk", "emb_kmeans",
+                 # composes ann_ivf_topk's broadcast-centroid scans
+                 # (corpus x <=16 cells, queries x cells) + pq_adc's LUT
+                 "ann_ivfadc_topk",
                  # composes kmeans_assignments: the BNLJ is the k-row
                  # broadcast-centroid assignment scan, not a pair grid
                  "dd_semantic_dedup"}

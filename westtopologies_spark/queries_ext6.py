@@ -267,6 +267,141 @@ def tx_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_train_table(_t(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# IVFADC — IVF cell restriction + PQ asymmetric-distance scoring
+# ---------------------------------------------------------------------------
+
+
+def _ivfadc_sql() -> str:
+    from .queries_ext3 import _pq_cte_parts
+    from .queries_scale import _DOT, _NORM
+    from .scale import constants as C
+
+    d = C.EMBEDDING_DIM
+    fin = C.PQ_ITERS
+    sd = C.PQ_SUB_DIM
+    mean_list = ", ".join(f"round(avg(n.v[{i + 1}]), 9)" for i in range(d))
+    sdot = _DOT.format(d=d, a="n.v", b="s.cv")
+    cdot = _DOT.format(d=d, a="n.v", b="c.cv")
+    pdot = _DOT.format(d=d, a="q.qv", b="c.cv")
+    qdist = (
+        f"round(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {sd} + 1), "
+        f"i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), "
+        f"(x, y) -> x + y), 6)"
+    )
+    parts = _pq_cte_parts()
+    parts.append(
+        f"""normed AS (
+      SELECT vec_id, v, {_NORM.format(v="v")} AS nrm FROM base
+    ),
+    iseeds AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cn FROM normed
+      WHERE vec_id % {C.IVF_SEED_STRIDE} = 0 ORDER BY vec_id LIMIT {C.IVF_N_LISTS}
+    ),
+    s_scored AS (
+      SELECT n.vec_id, s.cid, round({sdot} / (n.nrm * s.cn), 6) AS sim
+      FROM normed n CROSS JOIN iseeds s
+    ),
+    s_best AS (SELECT vec_id, max(sim) AS best FROM s_scored GROUP BY vec_id),
+    s_assign AS (
+      SELECT sc.vec_id, min(sc.cid) AS cid
+      FROM s_scored sc JOIN s_best b ON sc.vec_id = b.vec_id AND sc.sim = b.best
+      GROUP BY sc.vec_id
+    ),
+    icents AS (
+      SELECT a.cid, [{mean_list}]::DOUBLE[] AS cv
+      FROM s_assign a JOIN normed n USING (vec_id) GROUP BY a.cid
+    ),
+    icents_n AS (
+      SELECT cid, cv, {_NORM.format(v="cv")} AS cn FROM icents
+    ),
+    c_scored AS (
+      SELECT n.vec_id, c.cid, round({cdot} / (n.nrm * c.cn), 6) AS sim
+      FROM normed n CROSS JOIN icents_n c
+    ),
+    c_best AS (SELECT vec_id, max(sim) AS best FROM c_scored GROUP BY vec_id),
+    c_assign AS (
+      SELECT sc.vec_id, min(sc.cid) AS cid
+      FROM c_scored sc JOIN c_best b ON sc.vec_id = b.vec_id AND sc.sim = b.best
+      GROUP BY sc.vec_id
+    ),
+    qids AS (
+      SELECT vec_id AS query_id FROM base
+      WHERE vec_id % {C.ADC_QUERY_STRIDE} = {C.ADC_QUERY_OFFSET}
+      ORDER BY vec_id LIMIT {C.ADC_N_QUERIES}
+    ),
+    qn AS (
+      SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qnrm
+      FROM normed n JOIN qids q ON n.vec_id = q.query_id
+    ),
+    q_probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.q_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round({pdot} / (q.qnrm * c.cn), 6) DESC, c.cid ASC)
+                 AS pr
+        FROM qn q CROSS JOIN icents_n c)
+      WHERE pr <= {C.IVF_N_PROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM c_assign a JOIN q_probe p ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    qsub AS (
+      SELECT q.query_id, s.m, s.sv
+      FROM sub s JOIN qids q ON s.vec_id = q.query_id
+    ),
+    lut AS (
+      SELECT q.query_id, c.m, c.cid,
+             CAST(round({qdist} * 1000000) AS BIGINT) AS lut_x1e6
+      FROM qsub q JOIN c{fin} c ON c.m = q.m
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.vec_id,
+             CAST(sum(l.lut_x1e6) AS BIGINT) AS adc_x1e6
+      FROM cand cd
+      JOIN af a ON a.vec_id = cd.vec_id
+      JOIN lut l ON l.query_id = cd.query_id AND l.m = a.m AND l.cid = a.cid
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, adc_x1e6,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_x1e6, vec_id)
+               AS INT) AS rk
+      FROM adc
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ranked WHERE rk <= {C.ADC_TOP_K}"
+    )
+
+
+@_register(
+    "ann_ivfadc_topk",
+    _ivfadc_sql(),
+    doc="IVFADC (Jegou et al. 2011) — the production billion-scale "
+    "ANN composition: the IVF coarse quantizer (ann_ivf_topk's "
+    "deterministic cells) restricts each query to its 3 nearest "
+    "cells, and the candidates inside them are scored by PQ "
+    "asymmetric distance (ann_pq_adc's integer LUT sums) — the "
+    "corpus is searched as an inverted file of 4x4-bit codes, raw "
+    "vectors touched only to train the quantizers. Same query set "
+    "and arithmetic as ann_pq_adc, so the cell-restriction recall "
+    "loss is directly measurable against it. Per-query work is "
+    "(N/n_lists)*n_probe code lookups. LLM-pipeline extension "
+    "(similarity-search family).",
+)
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import similarity
+
+    return similarity.ann_ivfadc_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @_register(
     "tx_bpe_apply",
     _bpe_apply_sql(),

@@ -653,6 +653,96 @@ def pq_adc_topk(
     ).filter(F.col("rk") <= topk)
 
 
+def ann_ivfadc_topk(
+    emb: DataFrame,
+    nq: int = C.ADC_N_QUERIES,
+    topk: int = C.ADC_TOP_K,
+    n_probe: int = C.IVF_N_PROBE,
+    m: int = C.PQ_M,
+    sub_dim: int = C.PQ_SUB_DIM,
+    k: int = C.PQ_K,
+    iters: int = C.PQ_ITERS,
+    stride: int = C.PQ_SEED_STRIDE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qstride: int = C.ADC_QUERY_STRIDE,
+    qoffset: int = C.ADC_QUERY_OFFSET,
+) -> DataFrame:
+    """IVFADC (Jegou et al. 2011): the production billion-scale ANN
+    composition — an IVF coarse quantizer restricts each query to its
+    ``n_probe`` nearest cells, and the candidates inside them are
+    scored by PQ asymmetric distance (integer LUT sums), never by raw
+    vectors. Same queries and arithmetic as :func:`pq_adc_topk`, so
+    its recall loss vs the unrestricted ADC scan is directly
+    measurable.
+
+    Output: (query_id, vec_id, adc_x1e6 BIGINT, rk INT).
+
+    Scale shape: both codebooks are tiny broadcasts (IVF cells, PQ
+    codewords, per-query LUT); the corpus contributes one cell
+    assignment scan + one code join over ONLY the probed candidates —
+    per-query work is (N/n_lists)*n_probe code lookups, the inverted-
+    file contract that serves billion-vector search.
+    """
+    sub, cents_pq, assign = _pq_fit(
+        emb, m, sub_dim, k, iters, stride, vec_col, id_col
+    )
+    icents = ivf_centroids(emb, vec_col, id_col).persist()
+    c = _normed(emb, vec_col, id_col, "c_")
+    cell_of = _nearest_centroid(c, icents)
+    qids = (
+        emb.select(F.col(id_col).alias("query_id"))
+        .filter(F.col("query_id") % qstride == qoffset)
+        .orderBy("query_id")
+        .limit(nq)
+    )
+    qv = _normed(
+        emb.join(F.broadcast(qids), F.col(id_col) == F.col("query_id")),
+        vec_col,
+        id_col,
+        "q_",
+    )
+    qsim = F.round(
+        _dot(F.col("q_v"), F.col("cent_v")) / (F.col("q_n") * F.col("cent_n")),
+        6,
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.desc("_qsim"), F.asc("cid"))
+    probes = (
+        qv.crossJoin(F.broadcast(icents))
+        .select("q_id", "cid", qsim.alias("_qsim"))
+        .withColumn("_pr", F.row_number().over(qw))
+        .filter(F.col("_pr") <= n_probe)
+        .select(F.col("q_id").alias("query_id"), "cid")
+    )
+    cand = (
+        cell_of.join(F.broadcast(probes), "cid")
+        .select("query_id", F.col("c_id").alias("vec_id"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    qsub = sub.join(
+        F.broadcast(qids), sub.vec_id == qids.query_id
+    ).select("query_id", "m", "sv")
+    lut = qsub.join(F.broadcast(cents_pq), "m").select(
+        "query_id",
+        "m",
+        "cid",
+        F.round(_pq_sqdist() * 1_000_000).cast("long").alias("lut_x1e6"),
+    )
+    adc = (
+        cand.join(assign, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "cid"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lut_x1e6").cast("long").alias("adc_x1e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_x1e6", "vec_id")
+    return adc.select(
+        "query_id",
+        "vec_id",
+        "adc_x1e6",
+        F.row_number().over(w).cast("int").alias("rk"),
+    ).filter(F.col("rk") <= topk)
+
+
 def covariance_long(emb: DataFrame, dim: int = C.EMBEDDING_DIM) -> DataFrame:
     """Full symmetric sample-covariance matrix in long form
     (dim_i, dim_j, cov), cov rounded 6dp — the same arithmetic trace
