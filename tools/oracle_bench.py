@@ -36,8 +36,13 @@ def main() -> None:
         # in-memory database costs milliseconds and views are lazy,
         # so per-query timings are unaffected
         c = duckdb.connect()
-        c.execute("SET memory_limit='24GB'")
+        # same headroom recipe as check_oracle.py (ORACLE_DISCIPLINE:
+        # the recursive-replay peak lives in non-spillable hash ops
+        # and is scheduling-dependent around ~24 GB — 48 GB + bounded
+        # threads is what made dd_soft_weights reliable there)
+        c.execute("SET memory_limit='48GB'")
         c.execute("SET temp_directory='/tmp/duckdb_spill'")
+        c.execute("SET threads=16")
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(path):

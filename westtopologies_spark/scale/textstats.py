@@ -789,21 +789,42 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
     symbols produced by earlier ones, unlike the single-round
     candidate list of ``tx_bpe_merges``.
 
-    Returns ``(merges, tokens2d_expr)``: the learned
-    ``[(a, b, n_pair)]`` list and the SQL expression producing each
-    document's final per-word token arrays with all merges applied.
+    Returns ``(merges, tokens)``: the learned ``[(a, b, n_pair)]``
+    list and a frame ``(doc_id, n_words, n_chars, toks)`` holding
+    each document's final per-word token arrays with all merges
+    applied.
 
     Scale shape: one corpus aggregation per round (in-row pair
     generation, map-side-combined counts over a tiny key space, 1-row
     argmax to the driver — the merge itself IS the model artifact);
     merge application is a pure in-row expression, so the corpus is
-    never shuffled.
+    never shuffled. Each round's token frame is localCheckpoint-ed:
+    without it, round r re-executes (and Catalyst re-compiles) an
+    r-deep nested-lambda chain over the raw corpus — the checkpoint
+    keeps every round one shallow fold, the same lineage-cut move as
+    the k-means/components kernels (measured 12-16 s -> ~4 s per
+    catalog entry at sf0.1).
     """
-    tokens2d = _BPE_CHARS
+    cur = docs.select(
+        "doc_id",
+        F.expr(f"size({_BPE_WORDS})").cast("long").alias("n_words"),
+        F.expr(f"aggregate({_BPE_WORDS}, 0, (acc, w) -> acc + length(w))")
+        .cast("long")
+        .alias("n_chars"),
+        F.expr(_BPE_CHARS).alias("toks"),
+    )
+    # a small corpus arrives as one scan partition; the nested-lambda
+    # folds are CPU-bound, so spread them across the executor cores
+    # (at real scale the scan is already wider than this and the
+    # branch is a no-op)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if cur.rdd.getNumPartitions() < par:
+        cur = cur.repartition(par)
+    cur = cur.localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     for _ in range(rounds):
         top = (
-            docs.select(F.explode(F.expr(_bpe_pairs(tokens2d))).alias("p"))
+            cur.select(F.explode(F.expr(_bpe_pairs("toks"))).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.count(F.lit(1)).alias("n_pair"))
             .orderBy(F.desc("n_pair"), F.asc("a"), F.asc("b"))
@@ -814,8 +835,15 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
             break
         a, b, n = top[0].a, top[0].b, top[0].n_pair
         merges.append((a, b, n))
-        tokens2d = f"transform({tokens2d}, ts -> {_bpe_fold('ts', a, b)})"
-    return merges, tokens2d
+        cur = cur.select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            F.expr(f"transform(toks, ts -> {_bpe_fold('ts', a, b)})").alias(
+                "toks"
+            ),
+        ).localCheckpoint()
+    return merges, cur
 
 
 def bpe_train_table(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
@@ -836,22 +864,20 @@ def bpe_fertility(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
     the compression/fertility audit run before committing to a
     tokenizer at corpus scale. Documents with no alphabetic text are
     excluded (no defined fertility)."""
-    _, tokens2d = bpe_train(docs, rounds)
-    out = docs.select(
+    _, tokens = bpe_train(docs, rounds)
+    out = tokens.select(
         "doc_id",
-        F.expr(f"size({_BPE_WORDS})").alias("n_words"),
-        F.expr(
-            f"aggregate({_BPE_WORDS}, 0, (acc, w) -> acc + length(w))"
-        ).alias("n_chars"),
-        F.expr(
-            f"aggregate({tokens2d}, 0, (acc, ts) -> acc + size(ts))"
-        ).alias("n_tokens"),
+        "n_words",
+        "n_chars",
+        F.expr("aggregate(toks, 0, (acc, ts) -> acc + size(ts))")
+        .cast("long")
+        .alias("n_tokens"),
     ).filter(F.col("n_chars") > 0)
     return out.select(
         "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_words",
+        "n_chars",
+        "n_tokens",
         F.expr("(n_tokens * 10000) DIV n_chars").cast("long").alias(
             "fertility_x1e4"
         ),
