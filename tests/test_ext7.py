@@ -1,0 +1,115 @@
+"""Round-3 seventh extension batch: ACF correlogram, peak hours,
+Q-Q drift points, shard manifest — hand-computed and pure-Python
+references on constructed frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+
+def _write_events(spark, tmp, rows):
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.parquet(f"{tmp}/events.parquet")
+
+
+def test_acf_perfect_period_two(spark):
+    """An alternating 1,3,1,3,... hourly series has ACF(-1) at odd
+    lags and ACF(+1) at even lags."""
+    from westtopologies_spark.queries_ext7 import ts_acf_lags
+
+    h0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(24):
+        n = 1 if hour % 2 == 0 else 3
+        for i in range(n):
+            rows.append(
+                (eid, h0 + dt.timedelta(hours=hour, minutes=i), 1, "t", 0.0, "")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {r.lag: r.corr_x1e6 for r in ts_acf_lags(spark, tmp).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for lag, corr in got.items():
+        want = -1_000_000 if lag % 2 == 1 else 1_000_000
+        assert abs(corr - want) <= 1, (lag, corr)
+
+
+def test_peak_hours_strict_maxima_only(spark):
+    from westtopologies_spark.queries_ext7 import ts_peak_hours
+
+    h0 = dt.datetime(2024, 1, 1)
+    # counts per hour: 1, 3, 1, 2, 2, 5  -> peaks at hour 1 only
+    # (hour 5 is an endpoint; the 2,2 plateau is not strict)
+    counts = [1, 3, 1, 2, 2, 5]
+    rows = []
+    eid = 0
+    for hour, n in enumerate(counts):
+        for i in range(n):
+            rows.append(
+                (eid, h0 + dt.timedelta(hours=hour, minutes=i), 1, "t", 0.0, "")
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = [(r.n, r.prev_n, r.next_n) for r in ts_peak_hours(spark, tmp).collect()]
+    assert got == [(3, 1, 1)]
+
+
+def test_qq_points_match_sorted_deciles(spark):
+    from westtopologies_spark.queries_ext7 import ag_qq_points
+
+    h0 = dt.datetime(2024, 1, 1)
+    clicks = [float(v) for v in range(1, 21)]  # 1..20
+    purch = [float(v * 10) for v in range(1, 41)]  # 10..400
+    rows = []
+    eid = 0
+    for v in clicks:
+        rows.append((eid, h0, 1, "click", v, "")); eid += 1
+    for v in purch:
+        rows.append((eid, h0, 1, "purchase", v, "")); eid += 1
+    with tempfile.TemporaryDirectory() as tmp:
+        _write_events(spark, tmp, rows)
+        got = {
+            r.p10: (r.q_click, r.q_purchase)
+            for r in ag_qq_points(spark, tmp).collect()
+        }
+    for p10 in range(1, 10):
+        # lower-rule decile: first value whose rank*10 >= p*count
+        def q(sorted_vals, p):
+            n = len(sorted_vals)
+            return next(
+                v for i, v in enumerate(sorted_vals) if (i + 1) * 10 >= p * n
+            )
+
+        assert got[p10] == (q(clicks, p10), q(purch, p10))
+
+
+def test_shard_manifest_partitions_corpus(spark, sf_dir):
+    from westtopologies_spark.queries_ext7 import SHARD_N, tp_shard_manifest
+    from westtopologies_spark.scale.constants import FP_MULT, SHINGLE_P
+
+    rows = tp_shard_manifest(spark, sf_dir).collect()
+    import duckdb  # noqa: F401 — only to mirror conftest table source
+
+    n_docs_total = sum(r.n_docs for r in rows)
+    got_shards = {r.shard for r in rows}
+    assert got_shards <= set(range(SHARD_N))
+    # a partition: every doc in exactly one shard
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert n_docs_total == len(docs)
+
+    # pure-python replay of the polynomial hash for a few ids
+    def shard_of(doc_id):
+        a = 0
+        for ch in str(doc_id):
+            a = (a * FP_MULT + ord(ch)) % SHINGLE_P
+        return a % SHARD_N
+
+    by_shard: dict = {}
+    for d in docs:
+        by_shard[shard_of(d.doc_id)] = by_shard.get(shard_of(d.doc_id), 0) + 1
+    assert {r.shard: r.n_docs for r in rows} == by_shard

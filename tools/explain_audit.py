@@ -80,6 +80,11 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "ag_survival_lifetable", "tx_bpe_train", "tx_bpe_apply",
                        # seed-count scalar (1 row) seeding the rank vector
                        "gr_personalized_pagerank",
+                       # 6-row lag frame broadcast onto the hourly series
+                       "ts_acf_lags",
+                       # 9-row decile frame broadcast onto the ranked
+                       # values (same class as ag_pr_curve's sweep points)
+                       "ag_qq_points",
                        # node-count N (1 row) seeding the rank vector
                        "gr_pagerank",
                        # corpus token total (1 row) joined onto LM scores

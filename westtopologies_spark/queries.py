@@ -1301,6 +1301,10 @@ from . import queries_ext5  # noqa: E402, F401
 # iterative BPE trainer + fertility audit
 from . import queries_ext6  # noqa: E402, F401
 
+# round-3 batch 7: ACF correlogram, peak hours, Q-Q drift points,
+# training shard manifest
+from . import queries_ext7  # noqa: E402, F401
+
 
 # ---------------------------------------------------------------------------
 # Hash-exact hardening sweep (round 3): every catalog query that has
