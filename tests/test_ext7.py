@@ -113,3 +113,88 @@ def test_shard_manifest_partitions_corpus(spark, sf_dir):
     for d in docs:
         by_shard[shard_of(d.doc_id)] = by_shard.get(shard_of(d.doc_id), 0) + 1
     assert {r.shard: r.n_docs for r in rows} == by_shard
+
+
+# ---------------------------------------------------------------------------
+# batch 8: payload entropy, Pareto point, Cohen's d
+# ---------------------------------------------------------------------------
+
+
+def test_payload_entropy_bounds_and_uniform_case(spark):
+    import math
+    import tempfile
+
+    from westtopologies_spark.queries_ext7 import mm_payload_entropy
+
+    # doc 0: one repeated char -> entropy 0; doc 1: 8 ASCII chars
+    # spanning the 8 low bins exactly once -> entropy ln(8)
+    # (ASCII only: the payload is UTF-8 bytes, the oracle counts
+    # char codes — they coincide exactly on ASCII, per
+    # mm_byte_histogram's documented equivalence)
+    uniform = "".join(chr(16 * b + 1) for b in range(8))
+    docs = spark.createDataFrame(
+        [(0, "aaaaaaaa", "s", "x", 8), (1, uniform, "s", "x", 8)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_bytes, r.bin_entropy_x1e6)
+            for r in mm_payload_entropy(spark, tmp).collect()
+        }
+    assert got[0] == (8, 0)
+    assert got[1][0] == 8
+    assert abs(got[1][1] - round(math.log(8) * 1e6)) <= 1
+
+
+def test_pareto_8020_hand_case(spark):
+    import datetime as dt
+    import tempfile
+
+    from westtopologies_spark.queries_ext7 import sq_pareto_8020
+
+    d0 = dt.datetime(1997, 1, 1)
+    # revenue per customer: 50, 30, 10, 10 (total 100) -> top 80% needs
+    # 50+30=80 -> exactly 2 customers (5*80 >= 4*100)
+    orders = spark.createDataFrame(
+        [
+            (1, 101, "O", 50.0, d0, "1-URGENT"),
+            (2, 102, "O", 30.0, d0, "1-URGENT"),
+            (3, 103, "O", 10.0, d0, "1-URGENT"),
+            (4, 104, "O", 10.0, d0, "1-URGENT"),
+        ],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        orders.write.parquet(f"{tmp}/orders.parquet")
+        r = sq_pareto_8020(spark, tmp).collect()[0]
+    assert (r.n_customers, r.n_top80, r.top80_cents, r.total_cents) == (
+        4, 2, 8000, 10000,
+    )
+
+
+def test_effect_size_matches_statistics(spark, sf_dir):
+    """Cohen's d recomputed from raw values with python statistics."""
+    import statistics
+
+    from westtopologies_spark.queries_ext7 import ag_effect_size
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type: dict = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    got = {
+        (r.type_a, r.type_b): r.cohens_d_x1e6
+        for r in ag_effect_size(spark, sf_dir).collect()
+    }
+    for (ta, tb), d_scaled in got.items():
+        xa, xb = by_type[ta], by_type[tb]
+        va, vb = statistics.variance(xa), statistics.variance(xb)
+        pooled = ((len(xa) - 1) * va + (len(xb) - 1) * vb) / (
+            len(xa) + len(xb) - 2
+        )
+        want = (statistics.fmean(xa) - statistics.fmean(xb)) / pooled**0.5
+        # DECIMAL(18,4)-quantized inputs + 6dp rounding: allow 1e-3
+        # relative slack vs the raw-float reference
+        assert abs(d_scaled / 1e6 - want) < 1e-3, (ta, tb)

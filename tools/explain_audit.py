@@ -85,6 +85,11 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        # 9-row decile frame broadcast onto the ranked
                        # values (same class as ag_pr_curve's sweep points)
                        "ag_qq_points",
+                       # 1-row revenue total joined onto the rank frame
+                       "sq_pareto_8020",
+                       # 5-type stats broadcast joined on the < inequality
+                       # (same bounded pair grid as ag_welch_ttest)
+                       "ag_effect_size",
                        # node-count N (1 row) seeding the rank vector
                        "gr_pagerank",
                        # corpus token total (1 row) joined onto LM scores

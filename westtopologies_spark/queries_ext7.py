@@ -286,3 +286,219 @@ def tp_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc_id"),
         )
     )
+
+
+# ===========================================================================
+# batch 8: payload entropy, Pareto concentration, effect size
+# ===========================================================================
+
+from .queries import _as_scaled_int, _scaled_int_sql  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# byte-level payload entropy — the corruption/encryption QC gate
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mm_payload_entropy",
+    _scaled_int_sql(
+        """
+    WITH chars AS (
+      SELECT doc_id,
+             ascii(unnest(string_split(text, ''))) AS code
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, CAST(code // 16 AS INT) AS bin, count(*) AS c
+      FROM chars GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bytes,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS bin_entropy
+    FROM hist GROUP BY 1
+    """,
+        ["doc_id", "n_bytes"],
+        {"bin_entropy": 6},
+    ),
+    doc="Byte-level payload entropy: Shannon entropy of each binary "
+    "payload's 16-bin byte histogram — the multimodal QC gate that "
+    "flags corrupted, encrypted, or non-text payloads before "
+    "decode is attempted (near-uniform bins -> entropy near "
+    "ln(16)). Composes the mm_byte_histogram Arrow kernel with one "
+    "map-combinable per-doc rollup; ln-sum identity "
+    "(ln N - sum c*ln c / N) avoids materializing p_i fractions, "
+    "and the score ships with the catalog's standard scaled-BIGINT "
+    "wrap (ln parity has tx_entropy's green precedent). Multimodal "
+    "extension.",
+)
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import multimodal
+
+    hist = multimodal.byte_histogram(
+        multimodal.as_binary_docs(_t(spark, sf_dir, "documents"))
+    )
+    out = hist.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bytes"),
+        F.round(
+            F.log(F.sum("n")) - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
+            6,
+        ).alias("bin_entropy"),
+    )
+    return _as_scaled_int(out, {"bin_entropy": 6})
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration: how many top customers carry 80% of revenue
+# ---------------------------------------------------------------------------
+
+PARETO_NUM = 4
+PARETO_DEN = 5  # threshold = NUM/DEN of total revenue (80%)
+
+
+@_register(
+    "sq_pareto_8020",
+    f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM rev
+    )
+    SELECT t.n_customers,
+           CAST(min(r.rn) AS BIGINT) AS n_top80,
+           CAST(min(r.cum) AS BIGINT) AS top80_cents,
+           t.total_cents
+    FROM r CROSS JOIN tot t
+    WHERE {PARETO_DEN} * r.cum >= {PARETO_NUM} * t.total_cents
+    GROUP BY t.n_customers, t.total_cents
+    """,
+    doc="Pareto concentration (the 80/20 curve point): the minimal "
+    "number of top customers whose cumulative revenue reaches 80% "
+    "of the total — the concentration statistic behind skew "
+    "planning and account tiering. Revenue folds as exact integer "
+    "cents; the cumulative rank runs over the CUSTOMER-cardinality "
+    "aggregate (the ag_percentiles rank-plan class, one sort "
+    "shuffle, O(1) memory per row), and the 80% cut is an exact "
+    "integer cross-multiply against the 1-row total. All-integer "
+    "single-row output. Relational extension.",
+)
+def sq_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    r = rev.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .filter(PARETO_DEN * F.col("cum") >= PARETO_NUM * F.col("total_cents"))
+        .groupBy("n_customers", "total_cents")
+        .agg(
+            F.min("rn").cast("long").alias("n_top80"),
+            F.min("cum").cast("long").alias("top80_cents"),
+        )
+        .select("n_customers", "n_top80", "top80_cents", "total_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size between event-type value distributions
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ag_effect_size",
+    _scaled_int_sql(
+        """
+    WITH st AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(18,4))
+                      * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS na, b.n AS nb,
+             a.s / a.n AS ma, b.s / b.n AS mb,
+             (a.ss - a.s * a.s / a.n) / (a.n - 1) AS va,
+             (b.ss - b.s * b.s / b.n) / (b.n - 1) AS vb
+      FROM st a JOIN st b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, na, nb,
+           round((ma - mb)
+                 / sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)),
+                 6) AS cohens_d
+    FROM pairs
+    """,
+        ["type_a", "type_b", "na", "nb"],
+        {"cohens_d": 6},
+    ),
+    doc="Cohen's d effect size of `value` between every event-type "
+    "pair (pooled-variance standardized mean difference) — the "
+    "practical-significance companion to ag_welch_ttest's p-value "
+    "screen: a t-stat says WHETHER distributions differ, d says by "
+    "HOW MUCH in standard-deviation units. Identical sufficient-"
+    "statistic recipe (exact DECIMAL folds, one partial-agg "
+    "shuffle, 5-row pair broadcast, scaled-BIGINT output). "
+    "Aggregate-statistics extension.",
+)
+def ag_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    a = st.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"),
+        (F.col("s") / F.col("n")).alias("ma"),
+        var.alias("va"),
+    )
+    b = st.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"),
+        (F.col("s") / F.col("n")).alias("mb"),
+        var.alias("vb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    pooled = ((na - 1) * F.col("va") + (nb - 1) * F.col("vb")) / (na + nb - 2)
+    out = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(pooled), 6).alias(
+            "cohens_d"
+        ),
+    )
+    return _as_scaled_int(out, {"cohens_d": 6})
