@@ -198,3 +198,65 @@ def test_effect_size_matches_statistics(spark, sf_dir):
         # DECIMAL(18,4)-quantized inputs + 6dp rounding: allow 1e-3
         # relative slack vs the raw-float reference
         assert abs(d_scaled / 1e6 - want) < 1e-3, (ta, tb)
+
+
+# ---------------------------------------------------------------------------
+# batch 9: novelty curve, hot streaks
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_first_doc_is_fully_novel_then_decays(spark):
+    import tempfile
+
+    from westtopologies_spark.queries_ext7 import tx_ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "s", "x", 7),      # 2 shingles, all novel
+            (1, "a b c d", "s", "x", 7),      # exact repeat -> 0 novel
+            (2, "a b c z", "s", "x", 7),      # shares 'a b c' -> 1 of 2 novel
+            (3, "q", "s", "x", 1),            # < 3 tokens -> absent
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r.doc_id: (r.n_shingles, r.n_novel, r.novelty_x1e4)
+            for r in tx_ngram_novelty(spark, tmp).collect()
+        }
+    assert got == {
+        0: (2, 2, 10000),
+        1: (2, 0, 0),
+        2: (2, 1, 5000),
+    }
+
+
+def test_hot_streaks_islands(spark):
+    import datetime as dt
+    import tempfile
+
+    from westtopologies_spark.queries_ext7 import ts_hot_streaks
+
+    h0 = dt.datetime(2024, 1, 1)
+    # 12 hours: counts 1,1,1,1,1,1,5,5,5,1,5,5 -> avg = 28/12 ~ 2.33;
+    # hot hours are 6,7,8 (run of 3) and 10,11 (run of 2, dropped)
+    counts = [1, 1, 1, 1, 1, 1, 5, 5, 5, 1, 5, 5]
+    rows = []
+    eid = 0
+    for hour, n in enumerate(counts):
+        for i in range(n):
+            rows.append(
+                (eid, h0 + dt.timedelta(hours=hour, minutes=i), 1, "t", 0.0, "")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(f"{tmp}/events.parquet")
+        got = [
+            (r.len, r.n_events, r.end_h - r.start_h)
+            for r in ts_hot_streaks(spark, tmp).collect()
+        ]
+    assert got == [(3, 15, 2)]

@@ -502,3 +502,151 @@ def ag_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _as_scaled_int(out, {"cohens_d": 6})
+
+
+# ===========================================================================
+# batch 9: corpus novelty curve, hot-streak islands
+# ===========================================================================
+
+
+def _novelty_sql() -> str:
+    from .queries_scale import _SHINGLES_CTE, _TOKS_CHAR_CTE
+
+    return f"""
+    WITH {_TOKS_CHAR_CTE.strip()},
+    {_SHINGLES_CTE.strip()},
+    first AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 * 10000) // count(*) AS BIGINT) AS novelty_x1e4
+    FROM shingles s JOIN first f ON f.shingle = s.shingle
+    GROUP BY 1
+    """
+
+
+@_register(
+    "tx_ngram_novelty",
+    _novelty_sql(),
+    doc="Corpus novelty curve: per document (in doc_id ingest order), "
+    "the fraction of its distinct token 3-gram shingles never seen "
+    "in any earlier document — the marginal-diversity signal "
+    "curation uses to decide when a source is exhausted (novelty "
+    "decays toward 0 as a crawl saturates), built on the SAME "
+    "char-vocab shingle recipe as the dedup family (dd_minhash_lsh "
+    "et al.), so its numbers compose with theirs. One "
+    "shingle-keyed min aggregation + one doc-keyed rollup. "
+    "All-integer output. Text-analysis extension.",
+)
+def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(
+        dedup.doc_token_ids(dedup.tokens_with_ids(docs, vocab_mode="char"))
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 10000) DIV n_shingles")
+            .cast("long")
+            .alias("novelty_x1e4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# hot-streak islands: maximal runs of consecutive above-average hours
+# ---------------------------------------------------------------------------
+
+STREAK_MIN_LEN = 3
+
+
+@_register(
+    "ts_hot_streaks",
+    f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM hourly GROUP BY 1
+    ),
+    hot AS (
+      SELECT h.event_type, h.h, h.n
+      FROM hourly h JOIN stats s ON s.event_type = h.event_type
+      WHERE h.n * s.n_hours >= s.total
+    ),
+    grp AS (
+      SELECT event_type, h, n,
+             h - row_number() OVER (
+               PARTITION BY event_type ORDER BY h) AS g
+      FROM hot
+    )
+    SELECT event_type,
+           CAST(min(h) AS BIGINT) AS start_h,
+           CAST(max(h) AS BIGINT) AS end_h,
+           CAST(count(*) AS BIGINT) AS len,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM grp GROUP BY event_type, g
+    HAVING count(*) >= {STREAK_MIN_LEN}
+    """,
+    doc="Hot-streak detection: maximal runs of CONSECUTIVE hours at "
+    "or above the type's average hourly rate, kept when the run "
+    "lasts >= 3 hours — sustained-load windows for capacity review "
+    "(ts_peak_hours finds instants; this finds durations). The "
+    "gaps-and-islands rewrite: island id = h - row_number() over "
+    "the hot rows (constant exactly while hours are consecutive), "
+    "so runs fall out of one keyed window + one grouped rollup — "
+    "no self-join, no iteration. The hot threshold is an integer "
+    "cross-multiply (n * n_hours >= total), scale-independent by "
+    "construction. All-integer output. Temporal extension.",
+)
+def ts_hot_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").cast("long").alias("total"),
+    )
+    hot = hourly.join(F.broadcast(stats), "event_type").filter(
+        F.col("n") * F.col("n_hours") >= F.col("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    grp = hot.select(
+        "event_type",
+        "h",
+        "n",
+        (F.col("h") - F.row_number().over(w)).alias("g"),
+    )
+    return (
+        grp.groupBy("event_type", "g")
+        .agg(
+            F.min("h").cast("long").alias("start_h"),
+            F.max("h").cast("long").alias("end_h"),
+            F.count(F.lit(1)).alias("len"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .filter(F.col("len") >= STREAK_MIN_LEN)
+        .select("event_type", "start_h", "end_h", "len", "n_events")
+    )
