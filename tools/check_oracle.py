@@ -42,7 +42,14 @@ TABLES = (
 # type normalization
 # ---------------------------------------------------------------------------
 
-_INT_CLASS = {"tinyint", "smallint", "int", "integer", "bigint", "hugeint", "long", "short", "byte", "ubigint", "uinteger", "usmallint", "utinyint"}
+# Signed int widths up to 64-bit are one class — the driver hash is
+# demonstrably width-insensitive (t1_topk_per_group / x2_tokenize pass
+# with DuckDB BIGINT vs Spark INT across rounds 1-3).  HUGEINT /
+# unsigned are NOT in the class: the driver hash distinguishes int128
+# (r3 root cause — 6 red rows, all uncast DuckDB sum()), so they must
+# hard-fail here even when values match.
+_INT_CLASS = {"tinyint", "smallint", "int", "integer", "bigint", "long", "short", "byte"}
+_INT128_CLASS = {"hugeint", "uhugeint", "ubigint", "uinteger", "usmallint", "utinyint"}
 
 
 def _norm_type(t: str) -> str:
@@ -55,6 +62,8 @@ def _norm_type(t: str) -> str:
         return f"array<{_norm_type(t[6:-1])}>"
     if t in _INT_CLASS:
         return "int"
+    if t in _INT128_CLASS:
+        return "int128/unsigned (DRIVER-HASH-FATAL: cast to BIGINT)"
     if t in ("timestamp with time zone", "timestamptz"):
         return "timestamptz"
     if t in ("timestamp", "timestamp_ntz", "timestamp_ltz", "datetime"):

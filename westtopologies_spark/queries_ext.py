@@ -44,9 +44,12 @@ def _sessionize_sql() -> str:
       FROM lagd
     ),
     sess AS (
-      SELECT *, sum(is_new) OVER (
+      -- CAST: DuckDB types windowed sum() HUGEINT (int128); the
+      -- driver hash is value-type-sensitive (r3 root cause)
+      SELECT *, CAST(sum(is_new) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -311,7 +314,7 @@ def _pack_sql() -> str:
     )
     SELECT grp, CAST((cum - n_tokens) // {b} AS BIGINT) AS bin_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS sum_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
            CAST(sum(n_tokens) * 10000 // {b} AS BIGINT) AS fill_x1e4
     FROM c GROUP BY 1, 2
     """
@@ -418,7 +421,7 @@ def gs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
       GROUP BY 1, 2
     )
-    SELECT stratum, sum(c) AS n_tokens, count(*) AS n_types,
+    SELECT stratum, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
            round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
     FROM counts GROUP BY stratum
     """,
@@ -1791,7 +1794,7 @@ def _unigram_lm_sql() -> str:
     tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
     corpus AS (SELECT token, sum(tf) AS c FROM tf GROUP BY 1),
     tot AS (SELECT sum(c) AS total FROM corpus)
-    SELECT doc_id, sum(tf) AS n_tokens,
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
            round(CAST(sum(CAST(tf * (ln(c) - ln(total)) AS DECIMAL(27,12)))
                       AS DOUBLE) / sum(tf), 6) AS mean_logp
     FROM tf JOIN corpus USING (token) CROSS JOIN tot
@@ -1846,10 +1849,12 @@ def _bloom_sql() -> str:
       SELECT k FROM keys JOIN goodc ON k = c_custkey
     )
     SELECT count(*) AS n_probed,
-           sum(CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END) AS n_flagged,
-           sum(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END) AS n_members,
-           sum(CASE WHEN f.k IS NOT NULL AND m.k IS NULL THEN 1 ELSE 0 END)
-             AS n_false_pos
+           CAST(sum(CASE WHEN f.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN f.k IS NOT NULL AND m.k IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
     FROM orders o
     LEFT JOIN flagged f ON o.o_custkey = f.k
     LEFT JOIN members m ON o.o_custkey = m.k
@@ -2324,9 +2329,9 @@ def dv_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT o.o_orderpriority, count(*) AS n_rows,
-           sum(CASE WHEN o.o_totalprice < q1 - 1.5 * (q3 - q1)
-                      OR o.o_totalprice > q3 + 1.5 * (q3 - q1)
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(sum(CASE WHEN o.o_totalprice < q1 - 1.5 * (q3 - q1)
+                           OR o.o_totalprice > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            round(min(q1 - 1.5 * (q3 - q1)), 4) AS lo_fence,
            round(max(q3 + 1.5 * (q3 - q1)), 4) AS hi_fence
     FROM orders o JOIN q USING (o_orderpriority)
@@ -2509,7 +2514,7 @@ def _bigram_lm_sql() -> str:
     c_1 AS (SELECT w1, sum(c12) AS c1 FROM c_ab GROUP BY 1),
     c_2 AS (SELECT w2, sum(c12) AS c2 FROM c_ab GROUP BY 1),
     t AS (SELECT sum(c12) AS tt FROM c_ab)
-    SELECT doc_id, sum(cnt) AS n_bigrams,
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
            round(CAST(sum(CAST(cnt * ln({lam} * c12 / c1 + {1.0 - lam} * c2 / tt)
                                AS DECIMAL(27,12))) AS DOUBLE)
                  / sum(cnt), 6) AS mean_logp
@@ -3731,7 +3736,7 @@ def _len_buckets_sql() -> str:
     )
     SELECT grp, bucket,
            CAST((bucket + 1) * {w} AS BIGINT) AS bucket_cap,
-           n_docs, sum_tokens,
+           n_docs, CAST(sum_tokens AS BIGINT) AS sum_tokens,
            CAST({bs} AS BIGINT) AS batch_size,
            CAST((n_docs + {bs} - 1) // {bs} AS BIGINT) AS n_batches,
            CAST(n_docs * (bucket + 1) * {w} - sum_tokens AS BIGINT)
@@ -3932,9 +3937,10 @@ def _token_mixture_sql() -> str:
           FROM wt, lam),
     rk AS (
       SELECT stratum, doc_id, n_tokens,
-             sum(n_tokens) OVER (
+             CAST(sum(n_tokens) OVER (
                PARTITION BY stratum ORDER BY h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
       FROM base
     )
     SELECT rk.stratum, doc_id, n_tokens, cum_tokens, quota_tokens

@@ -695,7 +695,7 @@ HELDOUT_TRAIN_LT = 8  # doc_id % 10 < 8 trains, >= 8 evaluates
       SELECT doc_id, token, count(*) AS cnt FROM tok
       WHERE doc_id % {HELDOUT_MOD} >= {HELDOUT_TRAIN_LT} GROUP BY 1, 2
     )
-    SELECT doc_id, sum(cnt) AS n_tokens,
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
            round(CAST(sum(CAST(cnt * -ln((coalesce(cw, 0) + 1.0) / (tt + vv))
                                AS DECIMAL(27,12))) AS DOUBLE)
                  / sum(cnt), 6) AS mean_nll

@@ -887,7 +887,8 @@ def _dedup_funnel_sql() -> str:
     SELECT 'exact_dup_groups', count(*) FROM groups WHERE n_copies > 1
     UNION ALL
     SELECT 'exact_extra_copies',
-           coalesce(sum(n_copies - 1), 0) FROM groups WHERE n_copies > 1
+           CAST(coalesce(sum(n_copies - 1), 0) AS BIGINT)
+    FROM groups WHERE n_copies > 1
     UNION ALL
     SELECT 'neardup_pairs', count(*) FROM pairs
     UNION ALL
