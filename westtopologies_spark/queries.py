@@ -527,7 +527,8 @@ def a5_nb_logsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "t1_topk_per_group",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice, rank
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rank AS INTEGER) AS rank
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
@@ -661,7 +662,8 @@ _TOKEN_RE = "[#@]?[A-Za-z][A-Za-z'']*"
     "x2_tokenize",
     f"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '{_TOKEN_RE}', 0)) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE}', 0))
+                AS INTEGER) AS n_tokens,
            array_to_string(list_slice(regexp_extract_all(text, '{_TOKEN_RE}', 0), 1, 5), ' ')
              AS token_preview
     FROM documents
@@ -694,7 +696,11 @@ def x2_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  t -> list_contains(['le','la','les','et','est','que'], t))) AS score_fr
       FROM documents
     )
-    SELECT doc_id, score_en, score_de, score_es, score_fr,
+    SELECT doc_id,
+           CAST(score_en AS INTEGER) AS score_en,
+           CAST(score_de AS INTEGER) AS score_de,
+           CAST(score_es AS INTEGER) AS score_es,
+           CAST(score_fr AS INTEGER) AS score_fr,
            CASE WHEN score_en = greatest(score_en, score_de, score_es, score_fr)
                      AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'en'
                 WHEN score_de = greatest(score_en, score_de, score_es, score_fr)
@@ -725,11 +731,11 @@ def x1_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
     )
     SELECT doc_id,
-           len(tokens) AS n_before,
-           len(list_filter(tokens, t -> NOT list_contains(
+           CAST(len(tokens) AS INTEGER) AS n_before,
+           CAST(len(list_filter(tokens, t -> NOT list_contains(
              ['a','an','and','are','as','at','be','by','for','from','has','he','in','is',
               'it','its','of','on','that','the','to','was','were','will','with'],
-             lower(t)))) AS n_after
+             lower(t)))) AS INTEGER) AS n_after
     FROM toks
     """,
     doc="X3 stopword removal as a higher-order array filter (no UDF). "
@@ -827,7 +833,8 @@ def x5_term_index_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            unnest(string_split(text, ' ')) AS token,
-           generate_subscripts(string_split(text, ' '), 1) AS pos
+           CAST(generate_subscripts(string_split(text, ' '), 1)
+                AS INTEGER) AS pos
     FROM documents
     WHERE doc_id < 20
     """,
@@ -1193,7 +1200,8 @@ def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_role_features",
     _ROLES_FEATS_CTE
     + """
-    SELECT user_id, post_count, replied_posts, n_replying_users, n_neighbours,
+    SELECT user_id, post_count, replied_posts, n_replying_users,
+           CAST(n_neighbours AS INTEGER) AS n_neighbours,
            n_bidir_neighbours, bidir_threads,
            round(in_degree_ratio, 6) AS in_degree_ratio,
            round(posts_reply_ratio, 6) AS posts_reply_ratio,

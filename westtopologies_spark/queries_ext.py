@@ -282,7 +282,8 @@ def _chunk_sql() -> str:
     SELECT doc_id,
            CAST((start - 1) // {st} AS INT) AS chunk_id,
            substr(text, CAST(start AS INT), {sz}) AS chunk_text,
-           length(substr(text, CAST(start AS INT), {sz})) AS chunk_len
+           CAST(length(substr(text, CAST(start AS INT), {sz}))
+                AS INTEGER) AS chunk_len
     FROM starts
     """
 
@@ -839,7 +840,7 @@ def _mixture_sql() -> str:
                PARTITION BY lang ORDER BY {h}, doc_id) AS rk
       FROM documents
     )
-    SELECT rk.stratum, doc_id, rk, quota
+    SELECT rk.stratum, doc_id, CAST(rk AS INTEGER) AS rk, quota
     FROM rk JOIN q ON rk.stratum = q.stratum
     WHERE rk <= quota
     """
@@ -991,7 +992,8 @@ def emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_centroids",
     _scaled_int_sql(
         """
-    SELECT label, d AS dim, round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+    SELECT label, CAST(d AS INTEGER) AS dim,
+           round(avg(CAST(v AS DOUBLE)), 6) AS centroid
     FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS d
           FROM embeddings)
@@ -1025,7 +1027,7 @@ def _group_sample_sql() -> str:
 
     h = f"((doc_id * {C.SIMHASH_A} + {TP.SAMPLE_SALT}) % {C.FP_P}) % 1000"
     return f"""
-    SELECT stratum, doc_id, h, rk FROM (
+    SELECT stratum, doc_id, h, CAST(rk AS INTEGER) AS rk FROM (
       SELECT lang AS stratum, doc_id, CAST({h} AS BIGINT) AS h,
              row_number() OVER (PARTITION BY lang
                                 ORDER BY {h}, doc_id) AS rk
@@ -1062,7 +1064,7 @@ def _redact_sql() -> str:
         expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
     return f"""
     SELECT event_id, {expr} AS masked,
-           length({expr}) AS masked_len
+           CAST(length({expr}) AS INTEGER) AS masked_len
     FROM events
     """
 
@@ -1337,7 +1339,7 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wn_ntile_cume",
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice,
-           ntile(4) OVER w AS quartile,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist() OVER w, 6) AS cume
     FROM orders
@@ -1585,7 +1587,8 @@ def _diff_sql() -> str:
            CASE WHEN o IS NULL THEN 'insert'
                 WHEN n IS NULL THEN 'delete'
                 ELSE 'update' END AS op,
-           length(o) AS old_len, length(n) AS new_len
+           CAST(length(o) AS INTEGER) AS old_len,
+           CAST(length(n) AS INTEGER) AS new_len
     FROM j
     WHERE o IS NULL OR n IS NULL OR o IS DISTINCT FROM n
     """
@@ -1633,7 +1636,7 @@ def _tfidf_sql() -> str:
         PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
       FROM scored
     )
-    SELECT doc_id, term, tf, df, score, rank
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {TX.TFIDF_TOP_TERMS}
     """
 
@@ -1760,7 +1763,7 @@ def _ewma_sql() -> str:
       SELECT user_id, list(value ORDER BY ts, event_id) AS xs
       FROM events GROUP BY 1
     )
-    SELECT user_id, len(xs) AS n_events,
+    SELECT user_id, CAST(len(xs) AS INTEGER) AS n_events,
            round(list_reduce(list_prepend(xs[1], xs[2:]),
                              (a, x) -> a * {1.0 - a!r} + x * {a!r}), 6) AS ewma
     FROM ordered
@@ -2141,7 +2144,8 @@ def tp_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ORDER BY o_totalprice, o_orderkey) AS bin
       FROM orders
     )
-    SELECT o_orderpriority, bin, count(*) AS n_rows,
+    SELECT o_orderpriority, CAST(bin AS INTEGER) AS bin,
+           count(*) AS n_rows,
            round(min(o_totalprice), 2) AS bin_lo,
            round(max(o_totalprice), 2) AS bin_hi
     FROM b GROUP BY 1, 2
@@ -2777,7 +2781,7 @@ FUZZY_MAX_DIST = 2
     )
     SELECT a.p_name AS name_a, b.p_name AS name_b,
            a.n_parts AS parts_a, b.n_parts AS parts_b,
-           levenshtein(a.p_name, b.p_name) AS dist
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
     FROM names a JOIN names b
       ON a.block = b.block AND a.p_name < b.p_name
     WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}

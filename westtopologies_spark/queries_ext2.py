@@ -2226,7 +2226,7 @@ EMB_DIM = 64
       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
       GROUP BY 1, 2
     )
-    SELECT dim_i, dim_j,
+    SELECT CAST(dim_i AS INTEGER) AS dim_i, CAST(dim_j AS INTEGER) AS dim_j,
            round((sxy - sa.sx * sb.sx / n) / (n - 1), 6) AS cov
     FROM p
     JOIN s sa ON sa.d = dim_i

@@ -1276,7 +1276,7 @@ def _ann_multiprobe_sql() -> str:
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
     )
-    SELECT query_id, rank, neighbor_id,
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
            CAST(round(cosine * 1000000) AS BIGINT) AS cosine_x1e6
     FROM ranked WHERE rank <= {C.ANN_TOP_K}
     """

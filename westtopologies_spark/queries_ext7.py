@@ -186,7 +186,8 @@ def _qq_side_sql(etype: str, alias: str) -> str:
     f"""
     WITH {_qq_side_sql(QQ_TYPE_A, "a")},
     {_qq_side_sql(QQ_TYPE_B, "b")}
-    SELECT a.p10 AS p10, a.q AS q_{QQ_TYPE_A}, b.q AS q_{QQ_TYPE_B}
+    SELECT CAST(a.p10 AS INTEGER) AS p10,
+           a.q AS q_{QQ_TYPE_A}, b.q AS q_{QQ_TYPE_B}
     FROM a_q a JOIN b_q b ON a.p10 = b.p10
     """,
     doc="Q-Q drift points: the 9 decile quantiles of the click value "

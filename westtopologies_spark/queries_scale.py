@@ -146,7 +146,8 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT min(doc_id) AS keep_id,
            count(*) AS n_copies,
-           length(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_len
+           CAST(length(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                AS INTEGER) AS norm_len
     FROM documents
     GROUP BY regexp_replace(lower(text), '\\s+', ' ', 'g')
     """,
@@ -266,7 +267,7 @@ def _simhash_sql() -> str:
       {bands}
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {C.SIMHASH_MAX_HAMMING}
@@ -348,7 +349,8 @@ def _ann_bruteforce_sql() -> str:
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
     )
-    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+    FROM ranked
     WHERE rank <= {C.ANN_TOP_K}
     """
 
@@ -391,7 +393,8 @@ def _ann_lsh_sql() -> str:
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
     )
-    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+    FROM ranked
     WHERE rank <= {C.ANN_TOP_K}
     """
 
@@ -471,7 +474,8 @@ def _ann_ivf_sql() -> str:
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM scored
     )
-    SELECT query_id, rank, neighbor_id, cosine FROM ranked
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+    FROM ranked
     WHERE rank <= {C.ANN_TOP_K}
     """
 
@@ -511,7 +515,7 @@ def _quality_sql() -> str:
       FROM t
     )
     SELECT doc_id,
-           n_tokens,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
            round(avg_len, 4) AS avg_token_len,
            round(stop_ratio, 4) AS stopword_ratio,
            round(alpha_ratio, 4) AS alpha_ratio,
@@ -537,8 +541,9 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tx_token_count",
     f"""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+', 0)) AS word_tokens,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+', 0))
+                AS INTEGER) AS word_tokens,
            list_reduce(list_prepend(0::BIGINT,
              list_transform(regexp_extract_all(text, '[A-Za-z]+', 0),
                w -> CAST(ceil(length(w) / {float(C.SUBWORD_CHUNK)}) AS BIGINT))),
