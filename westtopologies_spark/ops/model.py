@@ -370,3 +370,261 @@ def deterministic_sample(df: DataFrame, id_col: str, keep_percent: int) -> DataF
     seeded PRNG sampling."""
     bucket = F.conv(F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2), 16, 10).cast("int")
     return df.filter(bucket < (256 * keep_percent) // 100)
+
+
+# ---------------------------------------------------------------------------
+# M1 fixed-point variant (oracle-checkable hard signal; VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+#
+# The collapsed scorer above is numpy-vectorized (reduceat segment
+# sums, one GEMM) — its float folds follow BLAS order, which no SQL
+# engine replays bit-for-bit, so m1_predict_locations is a rows-only
+# gate.  This variant restructures the SAME collapsed estimate
+# (per-doc mean token log-likelihood per topic -> softmax topic
+# mixture -> region mixing -> top-k regions) so that every
+# floating-point operation is bit-identical across Spark and DuckDB
+# (ORACLE_DISCIPLINE.md rules 2/3/6):
+#
+# * model log-probs are pre-quantized to BIGINT (1e9 for log tw / log
+#   pi, 1e6 for the region-topic rows) and embedded as literal arrays
+#   in BOTH engines' expressions — per-doc topic scores are exact
+#   integer folds over the token-id array (zero shuffle, scan-stage);
+# * token ids come from the char-fold hash (rule 9) — a pure
+#   expression both engines compute identically;
+# * the softmax/mixing stage is a fixed left-associated chain of the
+#   same IEEE ops (exp of an exact-int ratio, explicit (..((a+b)+c)..)
+#   sums), so every double is bit-identical by construction;
+# * the output probability ships as a half-up scaled BIGINT computed
+#   from those bit-identical doubles (rule 4b).
+#
+# Reference semantics: TopicModelBolt.java:87-99,168 (score docs
+# against every region, emit top-5 'lon,lat' keys); the region ids
+# here index LocationModel.regions.
+
+M1Q_TOPICS = 8
+M1Q_VOCAB = 256
+M1Q_REGIONS = 16
+M1Q_SEED = 42
+M1Q_TOP_K = 5
+M1Q_LOG_SCALE = 10**9
+M1Q_RT_SCALE = 10**6
+
+
+def quantized_model(
+    n_topics: int = M1Q_TOPICS,
+    vocab: int = M1Q_VOCAB,
+    n_regions: int = M1Q_REGIONS,
+    seed: int = M1Q_SEED,
+) -> tuple[list[list[int]], list[int], list[list[int]]]:
+    """Integer-quantized deterministic model: (log_tw_q [K][V] at
+    1e9, log_pi_q [K] at 1e9, rt_q [L][K] at 1e6).  Same generator
+    family as :meth:`LocationModel.deterministic`; quantization is
+    half-up via floor(x*s + 0.5) so the constants are reproducible
+    without relying on Python banker's rounding."""
+    rng = np.random.default_rng(seed)
+    tw = rng.dirichlet(np.ones(vocab), size=n_topics)
+    pi = rng.dirichlet(np.ones(n_topics))
+    rt = rng.dirichlet(np.ones(n_topics), size=n_regions)
+
+    def q(x: float, s: int) -> int:
+        return int(math.floor(x * s + 0.5))
+
+    log_tw_q = [
+        [q(math.log(tw[k, v] + 1e-12), M1Q_LOG_SCALE) for v in range(vocab)]
+        for k in range(n_topics)
+    ]
+    log_pi_q = [q(math.log(pi[k]), M1Q_LOG_SCALE) for k in range(n_topics)]
+    rt_q = [
+        [q(rt[l, k], M1Q_RT_SCALE) for k in range(n_topics)]
+        for l in range(n_regions)
+    ]
+    return log_tw_q, log_pi_q, rt_q
+
+
+def _m1q_scalar_exprs(engine: str) -> dict[str, str]:
+    """Shared expression fragments for the fixed-point scorer, in
+    Spark-SQL or DuckDB dialect.  Returns {name: sql} defining, from
+    a ``text`` column: tids, n_tok, per-topic integer scores s0..s7,
+    softmax e0..e7 / ssum, region probabilities p0..p15.  Both
+    dialects execute the identical arithmetic in the identical
+    order."""
+    from ..scale import constants as C
+
+    log_tw_q, log_pi_q, rt_q = quantized_model()
+    K, L, V = M1Q_TOPICS, M1Q_REGIONS, M1Q_VOCAB
+    spark = engine == "spark"
+
+    def lit_arr(vals):
+        body = ", ".join(str(v) for v in vals)
+        return f"array({body})" if spark else f"[{body}]"
+
+    def fold(arr, init, lam_args, lam_body):
+        if spark:
+            return f"aggregate({arr}, {init}, ({lam_args}) -> {lam_body})"
+        return (
+            f"list_reduce(list_prepend({init}, {arr}),"
+            f" ({lam_args}) -> {lam_body})"
+        )
+
+    if spark:
+        charfold = (
+            "aggregate(transform(sequence(1, length(t)),"
+            " i -> ascii(substring(t, i, 1))), 0L,"
+            f" (a, c) -> (a * {C.FP_MULT} + c) % {C.SHINGLE_P})"
+        )
+        toks = "filter(split(text, ' '), t -> length(t) > 1)"
+        tids = f"transform({toks}, t -> CAST({charfold} % {V} AS INT))"
+        init0 = "0L"
+        n_tok = "size(tids)"
+        at = lambda arr, idx: f"element_at({arr}, {idx})"
+    else:
+        charfold = (
+            "list_reduce(list_prepend(0::BIGINT,"
+            " list_transform(range(1, length(t) + 1),"
+            " i -> ord(t[i]))),"
+            f" (a, c) -> (a * {C.FP_MULT} + c) % {C.SHINGLE_P})"
+        )
+        toks = "list_filter(string_split(text, ' '), t -> length(t) > 1)"
+        tids = (
+            f"list_transform({toks},"
+            f" t -> CAST({charfold} % {V} AS INTEGER))"
+        )
+        init0 = "0::BIGINT"
+        n_tok = "len(tids)"
+        at = lambda arr, idx: f"{arr}[{idx}]"
+
+    out: dict[str, str] = {"tids": tids, "n_tok": n_tok}
+    for k in range(K):
+        arr = lit_arr(log_tw_q[k])
+        out[f"s{k}"] = fold("tids", init0, "a, t", f"a + {at(arr, 't + 1')}")
+    for k in range(K):
+        out[f"lt{k}"] = f"{log_pi_q[k]} * CAST(n_tok AS BIGINT) + s{k}"
+    out["ltmax"] = "greatest(" + ", ".join(f"lt{k}" for k in range(K)) + ")"
+    for k in range(K):
+        out[f"e{k}"] = (
+            f"exp(CAST(lt{k} - ltmax AS DOUBLE)"
+            f" / ({float(M1Q_LOG_SCALE)} * n_tok))"
+        )
+    ssum = "e0"
+    for k in range(1, K):
+        ssum = f"({ssum} + e{k})"
+    out["ssum"] = ssum
+    # region scores: integer rt_q literals * double theta, summed
+    # left-associated; the common 1/(ssum * RT_SCALE) factor cancels
+    # in the normalization, so thetas stay as e_k.
+    for l in range(L):
+        terms = [f"{rt_q[l][k]} * e{k}" for k in range(K)]
+        sc = terms[0]
+        for t in terms[1:]:
+            sc = f"({sc} + {t})"
+        out[f"sc{l}"] = sc
+    tot = "sc0"
+    for l in range(1, L):
+        tot = f"({tot} + sc{l})"
+    out["sctot"] = tot
+    for l in range(L):
+        out[f"p{l}"] = f"sc{l} / sctot"
+    return out
+
+
+def predict_regions_fixedpoint(docs: DataFrame) -> DataFrame:
+    """Spark side of the fixed-point M1 scorer: doc_id, rank (1..5),
+    region (0..L-1), prob_x1e6.  Entirely JVM-side expressions —
+    per-row integer folds in the scan stage, one keyed window for the
+    top-k."""
+    exprs = _m1q_scalar_exprs("spark")
+    L = M1Q_REGIONS
+    df = docs.select("doc_id", "text")
+    order = [
+        "tids", "n_tok",
+        *[f"s{k}" for k in range(M1Q_TOPICS)],
+        *[f"lt{k}" for k in range(M1Q_TOPICS)],
+        "ltmax",
+        *[f"e{k}" for k in range(M1Q_TOPICS)],
+        "ssum",
+        *[f"sc{l}" for l in range(L)],
+        "sctot",
+        *[f"p{l}" for l in range(L)],
+    ]
+    for name in order:
+        df = df.withColumn(name, F.expr(exprs[name]))
+    df = df.filter(F.col("n_tok") >= 1)
+    probs = F.array(*[F.col(f"p{l}") for l in range(L)])
+    exploded = df.select(
+        "doc_id", F.posexplode(probs).alias("region", "prob")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("prob").desc(), F.col("region").asc()
+    )
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= M1Q_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("region").cast("int").alias("region"),
+            F.floor(F.col("prob") * M1Q_RT_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("prob_x1e6"),
+        )
+    )
+
+
+def predict_regions_fixedpoint_sql() -> str:
+    """DuckDB oracle replaying :func:`predict_regions_fixedpoint`
+    bit-for-bit (same literals, same fold order, same IEEE chain)."""
+    exprs = _m1q_scalar_exprs("duckdb")
+    K, L = M1Q_TOPICS, M1Q_REGIONS
+    stages = []
+    stages.append(
+        "base AS (SELECT doc_id, {tids} AS tids FROM documents)".format(
+            tids=exprs["tids"]
+        )
+    )
+    stages.append(f"n AS (SELECT doc_id, tids, {exprs['n_tok']} AS n_tok FROM base)")
+    s_cols = ",\n             ".join(
+        f"{exprs[f's{k}']} AS s{k}" for k in range(K)
+    )
+    stages.append(
+        f"sums AS (SELECT doc_id, n_tok,\n             {s_cols}\n"
+        "      FROM n WHERE n_tok >= 1)"
+    )
+    lt_cols = ",\n             ".join(
+        f"{exprs[f'lt{k}']} AS lt{k}" for k in range(K)
+    )
+    stages.append(f"lts AS (SELECT doc_id, n_tok,\n             {lt_cols} FROM sums)")
+    stages.append(
+        f"mx AS (SELECT *, {exprs['ltmax']} AS ltmax FROM lts)"
+    )
+    e_cols = ",\n             ".join(
+        f"{exprs[f'e{k}']} AS e{k}" for k in range(K)
+    )
+    stages.append(f"es AS (SELECT doc_id,\n             {e_cols} FROM mx)")
+    sc_cols = ",\n             ".join(
+        f"{exprs[f'sc{l}']} AS sc{l}" for l in range(L)
+    )
+    stages.append(f"scs AS (SELECT doc_id,\n             {sc_cols} FROM es)")
+    stages.append(f"tt AS (SELECT *, {exprs['sctot']} AS sctot FROM scs)")
+    p_list = ", ".join(f"sc{l} / sctot" for l in range(L))
+    stages.append(
+        f"plist AS (SELECT doc_id, [{p_list}] AS ps FROM tt)"
+    )
+    stages.append(
+        "expl AS (SELECT doc_id,"
+        " CAST(generate_subscripts(ps, 1) - 1 AS INTEGER) AS region,"
+        " unnest(ps) AS prob FROM plist)"
+    )
+    stages.append(
+        "ranked AS (SELECT *, CAST(row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY prob DESC, region ASC)"
+        " AS INTEGER) AS rank FROM expl)"
+    )
+    body = ",\n    ".join(stages)
+    return f"""
+    WITH {body}
+    SELECT doc_id, rank, region,
+           CAST(floor(prob * {M1Q_RT_SCALE} + 0.5) AS BIGINT) AS prob_x1e6
+    FROM ranked WHERE rank <= {M1Q_TOP_K}
+    """
