@@ -726,3 +726,54 @@ def test_compaction_bins_match_python_next_fit(spark, sizes):
         expect[b] = (n + 1, tot + sz)
         cum += sz
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# ag_linfit bucketing parity on PRE-1996 timestamps (VERDICT r3 #4)
+# ---------------------------------------------------------------------------
+#
+# x = minutes since 1996-01-01 goes NEGATIVE for earlier events; DuckDB
+# integer `//` truncates toward zero while Spark F.floor floors, so the
+# oracle must use explicit floor() — this test pins that parity on
+# randomized timestamps straddling the epoch, end-to-end through the
+# hardened catalog entry (portable half-up K=6 wrap included).
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-3 * 365 * 24 * 60, 3 * 365 * 24 * 60),  # minutes vs 1996
+            st.integers(0, 60_000),  # value cents
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_ag_linfit_parity_pre_1996(spark, points):
+    import tempfile
+
+    import duckdb
+
+    from westtopologies_spark.queries import catalog
+
+    spec = next(s for s in catalog() if s.name == "ag_linfit")
+    epoch96 = dt.datetime(1996, 1, 1)
+    rows = [
+        (i, epoch96 + dt.timedelta(minutes=m, seconds=7), 1, "t", c / 100.0, "x")
+        for i, (m, c) in enumerate(points)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.coalesce(1).write.parquet(f"{tmp}/events.parquet")
+        sdf = spec.spark(spark, tmp)
+        s_rows = sorted(tuple(r) for r in sdf.collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp}/events.parquet/*.parquet')"
+        )
+        d_rows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+        con.close()
+    assert s_rows == d_rows

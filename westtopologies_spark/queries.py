@@ -78,6 +78,33 @@ def _as_scaled_int(df: DataFrame, scaled: dict[str, int]) -> DataFrame:
     return df
 
 
+def _as_scaled_int_portable(df: DataFrame, scaled: dict[str, int]) -> DataFrame:
+    """Like :func:`_as_scaled_int` but with the sign-symmetric
+    portable half-up (rule 4b: ``floor(x*s + 0.5)``) instead of
+    builtin ``round()`` — Spark's BigDecimal HALF_UP and DuckDB's
+    double scaling disagree exactly at representable-value
+    boundaries, while floor/mul/add are plain IEEE ops identical on
+    identical doubles.  Used for the entries whose doubles are
+    bit-identical shared expressions but land near the scaled ulp
+    (ADVICE r3: the former K=9 wraps)."""
+    for col, k in scaled.items():
+        x = F.col(col) * (10**k)
+        half_up = F.when(
+            F.col(col) >= 0, F.floor(x + F.lit(0.5))
+        ).otherwise(-F.floor(-x + F.lit(0.5)))
+        df = df.withColumn(f"{col}_x1e{k}", half_up.cast("long")).drop(col)
+    return df
+
+
+def _portable_scale_sql(c: str, k: int) -> str:
+    s = 10**k
+    ref = f'"{c}"'
+    return (
+        f"CAST(CASE WHEN {ref} >= 0 THEN floor({ref} * {s} + 0.5) "
+        f"ELSE -floor(-({ref}) * {s} + 0.5) END AS BIGINT) AS {c}_x1e{k}"
+    )
+
+
 def _scaled_int_sql(inner: str, keep: list[str], scaled: dict[str, int]) -> str:
     """Wrap oracle SQL with the same scaled-BIGINT projection."""
     items = list(keep) + [
@@ -1369,20 +1396,31 @@ def _scaled_int_sql_exclude(inner: str, scaled: dict[str, int]) -> str:
     return f"SELECT {', '.join(items)} FROM (\n{inner}\n)"
 
 
-def _harden(name: str, scaled: dict[str, int]) -> None:
+def _scaled_int_sql_exclude_portable(inner: str, scaled: dict[str, int]) -> str:
+    """Portable-half-up twin of :func:`_scaled_int_sql_exclude`."""
+    excl = ", ".join(f'"{c}"' for c in scaled)
+    items = [f"* EXCLUDE ({excl})"] + [
+        _portable_scale_sql(c, k) for c, k in scaled.items()
+    ]
+    return f"SELECT {', '.join(items)} FROM (\n{inner}\n)"
+
+
+def _harden(name: str, scaled: dict[str, int], portable: bool = False) -> None:
     for i, spec in enumerate(_CATALOG):
         if spec.name != name:
             continue
         fn = spec.spark
-
-        def wrapped(spark, sf_dir, _fn=fn, _s=scaled):
-            return _as_scaled_int(_fn(spark, sf_dir), _s)
-
-        oracle = (
-            _scaled_int_sql_exclude(spec.oracle, scaled)
-            if spec.oracle is not None
-            else None
+        to_int = _as_scaled_int_portable if portable else _as_scaled_int
+        to_sql = (
+            _scaled_int_sql_exclude_portable
+            if portable
+            else _scaled_int_sql_exclude
         )
+
+        def wrapped(spark, sf_dir, _fn=fn, _s=scaled, _w=to_int):
+            return _w(_fn(spark, sf_dir), _s)
+
+        oracle = to_sql(spec.oracle, scaled) if spec.oracle is not None else None
         _CATALOG[i] = QuerySpec(
             name,
             wrapped,
@@ -1443,8 +1481,7 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "sq_market_share": {"mkt_share": 6},
     "ts_seasonality": {"avg_value": 6},
     "ts_sliding_rollup": {"sum_value": 2},
-    "j12_geo_cell_join": {"dist": 9},
-    "ag_linfit": {"slope": 9, "intercept": 9},
+
     "ag_auc": {"auc": 6},
     "ag_pr_curve": {"precision": 6, "recall": 6},
     "ag_ks_test": {"ks_d": 6},
@@ -1453,6 +1490,16 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "sq_small_quantity_revenue": {"avg_yearly": 2},
     "ag_chisq_cells": {"expected": 4, "contrib": 6},
     "gr_assortativity": {"assortativity": 6},
+}
+
+# ADVICE r3 (low): the former K=9 wraps scaled raw doubles by 1e9 with
+# builtin round() — any 1-ulp upstream divergence lands the product
+# within ulp of a .5 boundary ~1000x more often than at K=6, and
+# round() itself is boundary-unportable (rule 4).  These two use the
+# portable sign-symmetric floor half-up at K=6 instead.
+_HARDEN_PORTABLE: dict[str, dict[str, int]] = {
+    "j12_geo_cell_join": {"dist": 6},
+    "ag_linfit": {"slope": 6, "intercept": 6},
 }
 
 # Applied LAZILY (first catalog access), not at module scope: if a
@@ -1467,6 +1514,8 @@ def _apply_hardening() -> None:
     if not _HARDENED:
         for _n, _s in _HARDEN_SCALES.items():
             _harden(_n, _s)
+        for _n, _s in _HARDEN_PORTABLE.items():
+            _harden(_n, _s, portable=True)
         _HARDENED = True
 
 
