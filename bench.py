@@ -25,7 +25,9 @@ from westtopologies_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("bench")
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     # one tiny untimed query first: pays the one-off session costs
     # (JVM class loading, codegen compiler warmup, shuffle machinery,
@@ -54,13 +56,48 @@ def main() -> None:
         spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
 
+    # The driver records a bounded tail of stdout and parses the final
+    # line as JSON; round 3's BENCH record came back `parsed: null`
+    # because the full 245-query timing map pushed the line past the
+    # capture window.  The contract line therefore carries a compact
+    # headline subset (one representative per operator family, ~1 KB);
+    # the COMPLETE per-query map goes to BENCH_FULL.json next to this
+    # script for the per-round per-query comparison.
+    headline = [
+        "w1_window_rollup", "s3_json_parse_filter", "a3_role_assignment",
+        "a5_nb_accept", "t1_topk_per_group", "x2_tokenize",
+        "x4_stem_rule_based", "j5_property_scan", "m1_region_topk",
+        "ts_sessionize", "ts_asof_join", "tp_pack_sequences",
+        "dd_exact", "dd_minhash_lsh", "dd_semantic_dedup",
+        "ann_bruteforce_topk", "ann_ivf_topk", "emb_kmeans",
+        "mm_phash", "mm_cdc_chunks", "tx_tfidf", "tx_bigram_lm",
+        "dv_scd2_history", "gr_pagerank", "ag_percentiles",
+        "sq_shipping_priority", "gs_cube", "w2_count_batches",
+    ]
+    compact = {q: timings[q] for q in headline if q in timings}
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(
+            {
+                "metric": "catalog_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            },
+            f,
+        )
+        f.write("\n")
     print(
         json.dumps(
             {
                 "metric": "catalog_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": compact,
                 "sf": sf,
             }
         )

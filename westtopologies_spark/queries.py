@@ -669,6 +669,12 @@ def p9_p10_geo_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="W1 EXACT semantics: window anchored at first buffered event, "
     "flush when an arriving event's ts >= start+10min (trigger included, "
     "final partial buffer never emitted). "
+    "SCALE BOUND (deliberate): this batch entry replays the reference's "
+    "parallelism-1 GLOBAL arrival order, so the scan runs as ONE pandas "
+    "group — a single task at any data size. That is reference parity, "
+    "not the scale path: data_driven_window_rollup_stream(key_cols=...) "
+    "(streaming/stateful.py, 64-shard keyed state, benched ~17k ev/s) "
+    "partitions the same window semantics by key and is the 100TB mode. "
     "Reference: DiscussionTreeBolt.java:45-51,107-110,130-168.",
 )
 def w1_exact_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

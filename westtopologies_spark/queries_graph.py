@@ -103,8 +103,11 @@ def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Neighbor-set Jaccard for user pairs sharing >=2 neighbors: "
     "wedge self-join on the shared-neighbor column (the same "
     "co-occurrence-join shape as MinHash-LSH candidate generation), "
-    "integer set arithmetic until the final division. Graph-analytics "
-    "extension.",
+    "integer set arithmetic until the final division. SCALE BOUND: "
+    "the wedge join is quadratic in hub-node degree (this uncapped "
+    "variant is the oracle-exact form); the 100TB path is the capped "
+    "variant gr_neighbor_jaccard_capped (degree-capped candidate "
+    "generation, driver-green r2). Graph-analytics extension.",
 )
 def gr_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.neighbor_jaccard(G.user_edges(_event_edges(spark, sf_dir)))

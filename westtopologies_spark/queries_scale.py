@@ -324,7 +324,11 @@ def _neardup_sql() -> str:
     "threshold are skipped before any GEMM — result set identical to "
     "all-pairs (the oracle replays the plain exact SQL, untouched; "
     "parity vs the unpruned kernel is pytest-pinned). Worst case "
-    "degrades to the all-pairs grid, which is inherent to exactness. "
+    "degrades to the all-pairs grid, which is inherent to exactness — "
+    "at 100TB use the PQ-blocked approximate sibling "
+    "(dd_pq_neardup, scale/similarity.py PQ codes: candidate pairs "
+    "only within matching coarse blocks) and reserve this exact "
+    "kernel for final verification of candidate pairs. "
     "Scale extension.",
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
