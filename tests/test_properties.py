@@ -777,3 +777,86 @@ def test_ag_linfit_parity_pre_1996(spark, points):
         d_rows = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
         con.close()
     assert s_rows == d_rows
+
+
+# ---------------------------------------------------------------------------
+# m1_region_topk: fixed-point scorer vs pure-Python reference
+# ---------------------------------------------------------------------------
+
+
+def _py_m1_topk(texts):
+    """Pure-Python replica of the fixed-point M1 pipeline (same
+    quantized model constants, same char-fold ids, same
+    left-associated float chain)."""
+    import math
+
+    from westtopologies_spark.ops.model import (
+        M1Q_LOG_SCALE,
+        M1Q_REGIONS,
+        M1Q_RT_SCALE,
+        M1Q_TOP_K,
+        M1Q_TOPICS,
+        M1Q_VOCAB,
+        quantized_model,
+    )
+    from westtopologies_spark.scale import constants as C
+
+    log_tw_q, log_pi_q, rt_q = quantized_model()
+    out = []
+    for doc_id, text in texts:
+        toks = [t for t in text.split(" ") if len(t) > 1]
+        tids = []
+        for t in toks:
+            a = 0
+            for ch in t:
+                a = (a * C.FP_MULT + ord(ch)) % C.SHINGLE_P
+            tids.append(a % M1Q_VOCAB)
+        n = len(tids)
+        if n < 1:
+            continue
+        lt = [
+            log_pi_q[k] * n + sum(log_tw_q[k][t] for t in tids)
+            for k in range(M1Q_TOPICS)
+        ]
+        m = max(lt)
+        es = [math.exp((x - m) / (float(M1Q_LOG_SCALE) * n)) for x in lt]
+        sc = []
+        for l in range(M1Q_REGIONS):
+            s = rt_q[l][0] * es[0]
+            for k in range(1, M1Q_TOPICS):
+                s = s + rt_q[l][k] * es[k]
+            sc.append(s)
+        tot = sc[0]
+        for l in range(1, M1Q_REGIONS):
+            tot = tot + sc[l]
+        probs = [s / tot for s in sc]
+        ranked = sorted(range(M1Q_REGIONS), key=lambda l: (-probs[l], l))
+        for r, l in enumerate(ranked[:M1Q_TOP_K], start=1):
+            out.append(
+                (doc_id, r, l, int(math.floor(probs[l] * M1Q_RT_SCALE + 0.5)))
+            )
+    return sorted(out)
+
+
+@SET
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdefgh XYZ'#@"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_m1_region_topk_matches_python(spark, texts):
+    import tempfile
+
+    from westtopologies_spark.queries import catalog
+
+    spec = next(s for s in catalog() if s.name == "m1_region_topk")
+    rows = [(i, t, "en", "src") for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = sorted(tuple(r) for r in spec.spark(spark, tmp).collect())
+    assert got == _py_m1_topk([(i, t) for i, t in enumerate(texts)])
