@@ -55,26 +55,51 @@ def main() -> None:
         # eventually evicts/OOMs the execution memory pool
         spark.catalog.clearCache()
     total = round(time.time() - t_all, 3)
+    write_full_report(timings, total, sf)
+    print(contract_line(timings, total, sf))
+    spark.stop()
 
-    # The driver records a bounded tail of stdout and parses the final
-    # line as JSON; round 3's BENCH record came back `parsed: null`
-    # because the full 245-query timing map pushed the line past the
-    # capture window.  The contract line therefore carries a compact
-    # headline subset (one representative per operator family, ~1 KB);
-    # the COMPLETE per-query map goes to BENCH_FULL.json next to this
-    # script for the per-round per-query comparison.
-    headline = [
-        "w1_window_rollup", "s3_json_parse_filter", "a3_role_assignment",
-        "a5_nb_accept", "t1_topk_per_group", "x2_tokenize",
-        "x4_stem_rule_based", "j5_property_scan", "m1_region_topk",
-        "ts_sessionize", "ts_asof_join", "tp_pack_sequences",
-        "dd_exact", "dd_minhash_lsh", "dd_semantic_dedup",
-        "ann_bruteforce_topk", "ann_ivf_topk", "emb_kmeans",
-        "mm_phash", "mm_cdc_chunks", "tx_tfidf", "tx_bigram_lm",
-        "dv_scd2_history", "gr_pagerank", "ag_percentiles",
-        "sq_shipping_priority", "gs_cube", "w2_count_batches",
-    ]
-    compact = {q: timings[q] for q in headline if q in timings}
+
+# The driver records a bounded tail of stdout and parses the final
+# line as JSON; round 3's BENCH record came back `parsed: null`
+# because the full 245-query timing map pushed the line past the
+# capture window.  The contract line therefore carries a compact
+# headline subset (one representative per operator family, ~1 KB);
+# the COMPLETE per-query map goes to BENCH_FULL.json next to this
+# script for the per-round per-query comparison.
+HEADLINE = [
+    "w1_window_rollup", "s3_json_parse_filter", "a3_role_assignment",
+    "a5_nb_accept", "t1_topk_per_group", "x2_tokenize",
+    "x4_stem_rule_based", "j5_property_scan", "m1_region_topk",
+    "ts_sessionize", "ts_asof_join", "tp_pack_sequences",
+    "dd_exact", "dd_minhash_lsh", "dd_semantic_dedup",
+    "ann_bruteforce_topk", "ann_ivf_topk", "emb_kmeans",
+    "mm_phash", "mm_cdc_chunks", "tx_tfidf", "tx_bigram_lm",
+    "dv_scd2_history", "gr_pagerank", "ag_percentiles",
+    "sq_shipping_priority", "gs_cube", "w2_count_batches",
+]
+
+# Keep the stdout contract line comfortably inside the driver's
+# capture window (r3's full map overflowed it).
+CONTRACT_LINE_MAX_BYTES = 1500
+
+
+def contract_line(timings: dict[str, float], total: float, sf: float) -> str:
+    compact = {q: timings[q] for q in HEADLINE if q in timings}
+    line = json.dumps(
+        {
+            "metric": "catalog_suite_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": compact,
+            "sf": sf,
+        }
+    )
+    assert "\n" not in line and len(line) <= CONTRACT_LINE_MAX_BYTES
+    return line
+
+
+def write_full_report(timings: dict[str, float], total: float, sf: float) -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
@@ -91,18 +116,6 @@ def main() -> None:
             f,
         )
         f.write("\n")
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": compact,
-                "sf": sf,
-            }
-        )
-    )
-    spark.stop()
 
 
 if __name__ == "__main__":

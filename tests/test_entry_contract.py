@@ -93,3 +93,25 @@ def test_submodule_first_import_order():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "ok" in r.stdout
+
+
+def test_bench_contract_line_is_one_compact_json_line():
+    """BENCH_r03.json came back parsed:null — the full per-query map
+    overflowed the driver's stdout capture.  Pin the contract: one
+    line, valid JSON, required keys, bounded size, even with every
+    catalog entry present in the timing map."""
+    import json
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import bench
+    from westtopologies_spark.queries import catalog
+
+    timings = {s.name: 123.456 for s in catalog()}
+    line = bench.contract_line(timings, 999.9, 0.1)
+    assert "\n" not in line
+    assert len(line) <= bench.CONTRACT_LINE_MAX_BYTES
+    parsed = json.loads(line)
+    assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
+    assert parsed["queries"]  # non-empty headline subset
+    assert set(parsed["queries"]) <= set(timings)
