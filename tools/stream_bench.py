@@ -40,8 +40,30 @@ def main() -> None:
     stage = os.path.join("/tmp", f"stream_bench_{os.getpid()}")
     os.makedirs(stage, exist_ok=True)
     pdf_all = batch.toPandas().sort_values("ts").reset_index(drop=True)
+
+    # SPARK_GRAFT_STREAM_REPEAT > 1 lays K time-shifted copies of the
+    # replay end-to-end (ids offset, event-time contiguous), so the
+    # ~5-8 s fixed stream-startup cost amortizes and the reported
+    # rate approaches the SUSTAINED per-event cost — the number that
+    # matters on a long-running cluster ingest. Default 1 keeps the
+    # historical end-to-end measurement BASELINE.md cites.
+    repeat = int(os.environ.get("SPARK_GRAFT_STREAM_REPEAT", "1"))
+    if repeat > 1:
+        import pandas as pd
+
+        span = (pdf_all["ts"].max() - pdf_all["ts"].min()) + pd.Timedelta(
+            minutes=11
+        )
+        id_span = int(pdf_all["event_id"].max()) + 1
+        copies = []
+        for j in range(repeat):
+            c = pdf_all.copy()
+            c["ts"] = c["ts"] + j * span
+            c["event_id"] = c["event_id"] + j * id_span
+            copies.append(c)
+        pdf_all = pd.concat(copies, ignore_index=True)
     n_events = len(pdf_all)
-    n_chunks = 8
+    n_chunks = 8 * repeat
     per = (n_events + n_chunks - 1) // n_chunks
     now = time.time()
     for i in range(n_chunks):
@@ -139,8 +161,12 @@ def main() -> None:
     os.makedirs(stage_d, exist_ok=True)
     dpdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
     n_docs = len(dpdf)
-    per_d = (n_docs + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
+    # docs are NOT repeated by SPARK_GRAFT_STREAM_REPEAT — keep their
+    # chunk count fixed so the micro-batch size (and therefore the
+    # measured per-doc cost) is independent of the events repeat
+    n_chunks_d = 8
+    per_d = (n_docs + n_chunks_d - 1) // n_chunks_d
+    for i in range(n_chunks_d):
         chunk = dpdf.iloc[i * per_d : (i + 1) * per_d]
         p = os.path.join(stage_d, f"part-{i:02d}.parquet")
         chunk.to_parquet(p, index=False)
@@ -184,6 +210,7 @@ def main() -> None:
                 "lsh_elapsed_sec": round(elapsed_lsh, 2),
                 "lsh_n_docs": n_docs,
                 "lsh_candidates_emitted": int(n_cand),
+                "repeat": repeat,
                 "sf": sf,
             }
         )
