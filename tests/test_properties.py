@@ -860,3 +860,124 @@ def test_m1_region_topk_matches_python(spark, texts):
         docs.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
         got = sorted(tuple(r) for r in spec.spark(spark, tmp).collect())
     assert got == _py_m1_topk([(i, t) for i, t in enumerate(texts)])
+
+
+# ---------------------------------------------------------------------------
+# ts_sessionize / tp_pack_sequences vs pure-Python references
+# (the two longest-red driver entries — HUGEINT-fixed in round 4)
+# ---------------------------------------------------------------------------
+
+
+def _py_sessionize(rows, gap_s):
+    """rows: (event_id, user_id, sec, cents). Replays the hardened
+    catalog semantics: per user in (ts, event_id) order, new session
+    on gap > gap_s, exact cent sums."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, uid, sec, cents in rows:
+        by_user[uid].append((sec, eid, cents))
+    out = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for sec, _eid, cents in evs:
+            if prev is None or sec - prev > gap_s:
+                sid += 1
+            key = (uid, sid)
+            lo, hi, n, s = out.get(key, (sec, sec, 0, 0))
+            out[key] = (min(lo, sec), max(hi, sec), n + 1, s + cents)
+            prev = sec
+    return sorted(
+        (u, sid, lo, hi, n, s) for (u, sid), (lo, hi, n, s) in out.items()
+    )
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 8000),  # seconds offset (gap 1800s)
+            st.integers(0, 50_000),  # value cents
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ts_sessionize_matches_python(spark, events):
+    import tempfile
+
+    from westtopologies_spark.queries import catalog
+    from westtopologies_spark.scale.temporal import SESSION_GAP_S
+
+    spec = next(s for s in catalog() if s.name == "ts_sessionize")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=sec), uid, "t", cents / 100.0, "x")
+        for i, (uid, sec, cents) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.coalesce(1).write.parquet(f"{tmp}/events.parquet")
+        got = sorted(tuple(r) for r in spec.spark(spark, tmp).collect())
+    base_sec = int(base.timestamp())
+    expect = [
+        (u, sid, base_sec + lo, base_sec + hi, n, s)
+        for (u, sid, lo, hi, n, s) in _py_sessionize(
+            [(i, uid, sec, cents) for i, (uid, sec, cents) in enumerate(events)],
+            SESSION_GAP_S,
+        )
+    ]
+    assert got == expect
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),  # source shard
+            st.integers(0, 120),  # token count per doc
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_tp_pack_sequences_matches_python(spark, docs):
+    import tempfile
+
+    from westtopologies_spark.queries import catalog
+    from westtopologies_spark.scale import trainprep as TP
+
+    spec = next(s for s in catalog() if s.name == "tp_pack_sequences")
+    b = TP.PACK_BUDGET
+    # n tokens == len(text.split(' ')): k words -> k tokens (k >= 1;
+    # an empty text still splits to one empty token, matching both
+    # engines' string_split semantics)
+    rows = [
+        (i, " ".join(["w"] * max(k, 1)) if k > 0 else "", src, src)
+        for i, (src, k) in enumerate(docs)
+    ]
+    ddf = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    with tempfile.TemporaryDirectory() as tmp:
+        ddf.coalesce(1).write.parquet(f"{tmp}/documents.parquet")
+        got = sorted(tuple(r) for r in spec.spark(spark, tmp).collect())
+    from collections import defaultdict
+
+    per_bin = defaultdict(lambda: [0, 0])
+    cum = defaultdict(int)
+    for i, (src, k) in enumerate(docs):  # doc_id order == index order
+        n_tok = max(k, 1) if k > 0 else 1  # ''.split(' ') -> ['']
+        start = cum[src]
+        bin_id = start // b
+        per_bin[(src, bin_id)][0] += 1
+        per_bin[(src, bin_id)][1] += n_tok
+        cum[src] = start + n_tok
+    expect = sorted(
+        (src, bid, n, s, s * 10000 // b)
+        for (src, bid), (n, s) in per_bin.items()
+    )
+    assert got == expect
