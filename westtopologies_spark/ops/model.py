@@ -546,9 +546,15 @@ def predict_regions_fixedpoint(docs: DataFrame) -> DataFrame:
         "sctot",
         *[f"p{l}" for l in range(L)],
     ]
+    # the non-empty-doc guard as a CHEAP pushdown predicate: Catalyst
+    # pushes filters below the projects by substituting the filtered
+    # column's defining expression — filtering on n_tok >= 1 directly
+    # would re-evaluate the whole char-fold chain inside the scan
+    # filter. exists(length>1) is equivalent (n_tok counts exactly
+    # those tokens) and costs one pass over the split array.
+    df = df.filter(F.expr("exists(split(text, ' '), t -> length(t) > 1)"))
     for name in order:
         df = df.withColumn(name, F.expr(exprs[name]))
-    df = df.filter(F.col("n_tok") >= 1)
     probs = F.array(*[F.col(f"p{l}") for l in range(L)])
     exploded = df.select(
         "doc_id", F.posexplode(probs).alias("region", "prob")
