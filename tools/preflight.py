@@ -1,0 +1,99 @@
+"""Round preflight: everything the driver will do to this repo, run
+locally in one command, strictest-first.
+
+    python tools/preflight.py [sf_dir]
+
+1. STRICT type audit over every oracle (tools/type_audit.py) — the
+   driver value hash is value-type-sensitive (round-3 lesson), so any
+   physical type diff is an automatic future red row.
+2. Driver-window gate: the FIRST 50 catalog entries (exactly what the
+   driver will hard-check this round) through the driver-strict local
+   comparator at the driver's scale factor (sf0.01).
+3. Vanilla-session driver-contract emulation from a foreign cwd:
+   entry() smoke + the window re-run under a session with NONE of our
+   tuned configs (no UTC tz, no arrow, no AQE tuning) — the session
+   the driver actually uses.
+4. Bench stdout contract (one compact JSON line) via its unit test.
+
+Exit 0 only if every stage is clean.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(name: str, cmd: list[str], cwd: str = REPO) -> bool:
+    print(f"=== {name} ===", flush=True)
+    r = subprocess.run(cmd, cwd=cwd)
+    ok = r.returncode == 0
+    print(f"=== {name}: {'OK' if ok else 'FAILED'} ===\n", flush=True)
+    return ok
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.path.insert(0, REPO)
+    from westtopologies_spark.queries import catalog
+
+    window = [s.name for s in catalog()[:50]]
+
+    stages = [
+        (
+            "strict type audit (all oracles, sf0.001)",
+            [sys.executable, "tools/type_audit.py", "/root/testdata/sf0.001"],
+            REPO,
+        ),
+        (
+            "driver-window gate (first 50, driver-strict comparator)",
+            [sys.executable, "tools/check_oracle.py", sf_dir, *window],
+            REPO,
+        ),
+        (
+            "vanilla-session driver-contract emulation",
+            [
+                sys.executable,
+                "-c",
+                (
+                    "import sys; sys.path.insert(0, %r)\n"
+                    "from pyspark.sql import SparkSession\n"
+                    "spark = SparkSession.builder.master('local[8]').getOrCreate()\n"
+                    "import __spark_entry__ as e\n"
+                    "n = len(e.entry(spark).collect())\n"
+                    "assert n > 0, 'entry() returned no rows'\n"
+                    "qs, osql = e.queries(), e.oracle_sql()\n"
+                    "assert set(osql) <= set(qs)\n"
+                    "print('entry rows:', n, '| queries:', len(qs),"
+                    " '| oracles:', len(osql))\n"
+                )
+                % REPO,
+            ],
+            "/tmp",
+        ),
+        (
+            "bench stdout contract",
+            [
+                sys.executable,
+                "-m",
+                "pytest",
+                "tests/test_entry_contract.py::"
+                "test_bench_contract_line_is_one_compact_json_line",
+                "-q",
+            ],
+            REPO,
+        ),
+    ]
+    bad = 0
+    for name, cmd, cwd in stages:
+        if not run(name, cmd, cwd):
+            bad += 1
+    print(f"preflight: {len(stages) - bad}/{len(stages)} stages clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
