@@ -146,3 +146,54 @@ def test_orders_entries_random_parity(spark, entry, tabs):
         "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     )
     _compare(spark, _spec(entry), {"customer": cust, "orders": orders})
+
+
+events_tables = st.lists(
+    st.tuples(
+        st.integers(0, 5),  # user
+        st.integers(0, 7200),  # seconds offset
+        st.sampled_from(["click", "purchase", "view", "error"]),
+        st.integers(0, 40_000),  # value cents
+        st.integers(0, 99),  # props k
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+def _events_df(spark, events):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(seconds=sec),
+            uid,
+            etype,
+            cents / 100.0,
+            '{"k": %d}' % k,
+        )
+        for i, (uid, sec, etype, cents, k) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "w1_window_rollup",
+        "w1_exact_windows",
+        "ts_asof_join",
+        "ts_ewma",
+        "a3_role_features",
+        "ag_qq_points",
+        "ts_sessionize",
+    ],
+)
+@SET
+@given(events=events_tables)
+def test_events_entries_random_parity(spark, entry, events):
+    _compare(spark, _spec(entry), {"events": _events_df(spark, events)})
