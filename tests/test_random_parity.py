@@ -197,3 +197,48 @@ def _events_df(spark, events):
 @given(events=events_tables)
 def test_events_entries_random_parity(spark, entry, events):
     _compare(spark, _spec(entry), {"events": _events_df(spark, events)})
+
+
+# algorithmically-risky batch: iterative graph traces (unrolled
+# deterministic-replay oracles), the inequality-bucketed interval
+# join, and the frequency-ranked dictionary encode
+
+
+@pytest.mark.parametrize(
+    "entry",
+    ["gr_pagerank", "gr_kcore", "gr_triangles", "ts_interval_join"],
+)
+@SET
+@given(events=events_tables)
+def test_graph_entries_random_parity(spark, entry, events):
+    _compare(spark, _spec(entry), {"events": _events_df(spark, events)})
+
+
+@pytest.mark.parametrize("entry", ["x5_term_index_encode", "x2_tokenize"])
+@SET
+@given(docs=documents_tables)
+def test_text_entries_random_parity(spark, entry, docs):
+    _compare(spark, _spec(entry), {"documents": _docs_df(spark, docs)})
+
+
+@pytest.mark.parametrize("entry", ["t1_topk_per_group"])
+@SET
+@given(tabs=orders_customer_tables)
+def test_topk_random_parity(spark, entry, tabs):
+    cust_rows, order_rows = tabs
+    base = dt.datetime(1998, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (
+                i,
+                ck % len(cust_rows),
+                "O",
+                cents / 100.0,
+                base + dt.timedelta(days=days),
+                prio,
+            )
+            for i, (ck, cents, prio, days) in enumerate(order_rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _compare(spark, _spec(entry), {"orders": orders})

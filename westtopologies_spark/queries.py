@@ -697,7 +697,10 @@ _TOKEN_RE = "[#@]?[A-Za-z][A-Za-z'']*"
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_TOKEN_RE}', 0))
                 AS INTEGER) AS n_tokens,
-           array_to_string(list_slice(regexp_extract_all(text, '{_TOKEN_RE}', 0), 1, 5), ' ')
+           -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' (found by random-parity fuzzing on a
+           -- zero-token document)
+           coalesce(array_to_string(list_slice(regexp_extract_all(text, '{_TOKEN_RE}', 0), 1, 5), ' '), '')
              AS token_preview
     FROM documents
     """,

@@ -64,10 +64,17 @@ def distributed_rank(
     for row in sorted(counts, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = acc
         acc += row["_n"]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    return ranked.withColumn(rank_col, F.col("_local") + off[F.col("_pid")]).drop(
+    if offsets:
+        off = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )[F.col("_pid")]
+    else:
+        # zero input rows: create_map() with no entries types as
+        # map<void,void> and map()[_pid] fails analysis (found by
+        # random-parity fuzzing on an all-empty corpus) — the offset
+        # is vacuously 0 on an empty frame
+        off = F.lit(0)
+    return ranked.withColumn(rank_col, F.col("_local") + off).drop(
         "_pid", "_local"
     )
 
