@@ -242,3 +242,41 @@ def test_topk_random_parity(spark, entry, tabs):
         "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     )
     _compare(spark, _spec(entry), {"orders": orders})
+
+
+# broad family sweep: shingle/band CTEs on degenerate docs (empty,
+# one-token, all-duplicates), windowed temporal kernels on dense ties
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "dd_minhash_lsh",
+        "dd_ngram_jaccard",
+        "dd_simhash",
+        "dd_ppjoin",
+        "dd_containment",
+        "dd_exact",
+        "dd_dup_spans",
+        "tx_fingerprint",
+        "tx_cooccurrence",
+        "tx_repetition",
+        "tx_boilerplate",
+        "tx_tfidf",
+        "tx_inverted_index",
+    ],
+)
+@SET
+@given(docs=documents_tables)
+def test_dedup_text_random_parity(spark, entry, docs):
+    _compare(spark, _spec(entry), {"documents": _docs_df(spark, docs)})
+
+
+@pytest.mark.parametrize(
+    "entry",
+    ["ts_gap_fill", "ts_funnel", "ts_moving_stats", "ag_percentiles", "ag_mad"],
+)
+@SET
+@given(events=events_tables)
+def test_temporal_agg_random_parity(spark, entry, events):
+    _compare(spark, _spec(entry), {"events": _events_df(spark, events)})
