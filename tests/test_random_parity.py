@@ -274,9 +274,32 @@ def test_dedup_text_random_parity(spark, entry, docs):
 
 @pytest.mark.parametrize(
     "entry",
-    ["ts_gap_fill", "ts_funnel", "ts_moving_stats", "ag_percentiles", "ag_mad"],
+    ["ts_gap_fill", "ts_funnel", "ts_moving_stats"],
 )
 @SET
 @given(events=events_tables)
 def test_temporal_agg_random_parity(spark, entry, events):
     _compare(spark, _spec(entry), {"events": _events_df(spark, events)})
+
+
+@pytest.mark.parametrize("entry", ["ag_percentiles", "ag_mad"])
+@SET
+@given(tabs=orders_customer_tables)
+def test_rankstats_random_parity(spark, entry, tabs):
+    cust_rows, order_rows = tabs
+    base = dt.datetime(1998, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (
+                i,
+                ck % len(cust_rows),
+                "O",
+                cents / 100.0,
+                base + dt.timedelta(days=days),
+                prio,
+            )
+            for i, (ck, cents, prio, days) in enumerate(order_rows)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    _compare(spark, _spec(entry), {"orders": orders})
