@@ -115,3 +115,33 @@ def test_bench_contract_line_is_one_compact_json_line():
     assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
     assert parsed["queries"]  # non-empty headline subset
     assert set(parsed["queries"]) <= set(timings)
+
+
+def test_pin_list_is_self_maintaining():
+    """The driver-window pin head derives from the committed
+    CORRECTNESS artifacts: latest-round failures re-check first,
+    fix-carrying never-checked entries stay pinned until their first
+    driver row, sentinels always present — and every pin is a real
+    catalog name inside the 50-entry window."""
+    from westtopologies_spark.queries import (
+        _PIN_UNTIL_CHECKED,
+        _SENTINELS,
+        _hard_signal_rounds,
+        _latest_round_failures,
+        _top_priority,
+        catalog,
+    )
+
+    pins = _top_priority()
+    names = {s.name for s in catalog()}
+    assert set(pins) <= names
+    assert len(pins) <= 25  # never starve the rotating backlog
+    window = [s.name for s in catalog()[:50]]
+    assert window[: len(pins)] == pins
+    for s in _SENTINELS:
+        assert s in pins
+    checked = _hard_signal_rounds()
+    for n in _PIN_UNTIL_CHECKED:
+        assert (n in pins) == (checked.get(n, 0) == 0)
+    for n in _latest_round_failures():
+        assert n in pins

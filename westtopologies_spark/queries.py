@@ -1554,23 +1554,81 @@ def _apply_hardening() -> None:
 # burning on err:no_oracle. Multi-round-green sentinels are trimmed
 # to three so ~36 slots rotate to the 146-entry never-checked
 # backlog (VERDICT r3 #3).
-_TOP_PRIORITY = [
-    "ts_sessionize",  # r1-r3 FAIL (HUGEINT, fixed): re-check first
-    "tp_pack_sequences",  # r2+r3 FAIL (HUGEINT, fixed)
-    "dd_funnel_report",  # r3 FAIL (HUGEINT, fixed)
-    "tx_entropy",  # r3 FAIL (HUGEINT, fixed)
-    "tx_unigram_lm",  # r3 FAIL (HUGEINT, fixed)
-    "tx_bigram_lm",  # r3 FAIL (HUGEINT, fixed)
-    "tx_heldout_nll",  # latent HUGEINT, fixed (never checked)
-    "j8_bloom_semi_join",  # latent HUGEINT, fixed (never checked)
-    "ag_iqr_outliers",  # latent HUGEINT, fixed (never checked)
-    "tp_length_buckets",  # latent HUGEINT, fixed (never checked)
-    "tp_token_mixture",  # latent HUGEINT, fixed (never checked)
-    "m1_region_topk",  # M1 hard signal (fixed-point oracle variant)
-    "w1_window_rollup",  # SURVEY sentinel (streaming window family)
-    "a3_role_assignment",  # SURVEY sentinel (role cascade family)
-    "x2_tokenize",  # SURVEY sentinel (text family)
+# Always-pinned SURVEY §2 sentinels (one per reference pipeline family).
+_SENTINELS = [
+    "w1_window_rollup",  # streaming window family
+    "a3_role_assignment",  # role cascade family
+    "x2_tokenize",  # text family
 ]
+
+# Pin WHILE UNPROVEN: entries that carry a targeted fix or a brand-new
+# hard-signal contract stay pinned until the driver records their
+# first row, then release automatically (checked count > 0). The
+# round-4 members: the five latent HUGEINT fixes and the fixed-point
+# M1 variant.
+_PIN_UNTIL_CHECKED = [
+    "tx_heldout_nll",
+    "j8_bloom_semi_join",
+    "ag_iqr_outliers",
+    "tp_length_buckets",
+    "tp_token_mixture",
+    "m1_region_topk",
+]
+
+
+def _latest_round_failures() -> list[str]:
+    """Names whose row in the NEWEST committed CORRECTNESS_r*.json has
+    any explicit false match flag — the automatic re-check set.
+    err-only rows (e.g. rows-only entries recorded as no_oracle) are
+    not failures to re-check; by-design gaps would pin forever."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest, newest_n = None, -1
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > newest_n:
+            newest, newest_n = path, int(m.group(1))
+    if newest is None:
+        return []
+    try:
+        with open(newest) as f:
+            rows = json.load(f)
+    except (OSError, ValueError):
+        return []
+    if not isinstance(rows, dict):
+        return []
+    return [
+        name
+        for name, r in rows.items()
+        if isinstance(r, dict)
+        and any(
+            r.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+    ]
+
+
+def _top_priority() -> list[str]:
+    """The pinned head of the driver window, SELF-MAINTAINING
+    (round-4 rework — the hand-edited list needed per-round pruning):
+    1. every entry the newest driver round FAILED (re-check the fix),
+    2. fix-carrying entries that have never received a driver row,
+    3. the three SURVEY sentinels.
+    Once a fix is driver-green its pin disappears on the next round's
+    ordering without an edit, freeing the slot for the never-checked
+    backlog."""
+    checked = _hard_signal_rounds()
+    pins = list(dict.fromkeys(
+        _latest_round_failures()
+        + [n for n in _PIN_UNTIL_CHECKED if checked.get(n, 0) == 0]
+        + _SENTINELS
+    ))
+    return pins
+
 
 # Families the judge grades as the LLM-pipeline headline (VERDICT r2
 # "do this" #1): among never-checked queries these rotate in first.
@@ -1605,7 +1663,7 @@ def _hard_signal_rounds() -> dict[str, int]:
 
 def _ordered() -> list[QuerySpec]:
     """Catalog order = the driver's per-round 50-query hard-signal
-    window, SELF-ROTATING: the always-pinned core (_TOP_PRIORITY —
+    window, SELF-ROTATING: the pinned core (_top_priority() —
     every SURVEY §2 operator plus family representatives) leads, and
     everything else sorts by how few driver rounds have already
     checked it (never-checked first; ties keep registration order).
@@ -1615,10 +1673,11 @@ def _ordered() -> list[QuerySpec]:
     rows with no manual re-rotation (the round-1 lesson: 84 of 134
     queries had no driver row because the order was static)."""
     _apply_hardening()
+    pins = _top_priority()
     by_name = {spec.name: spec for spec in _CATALOG}
-    top = [by_name[n] for n in _TOP_PRIORITY if n in by_name]
+    top = [by_name[n] for n in pins if n in by_name]
     checked = _hard_signal_rounds()
-    rest = [spec for spec in _CATALOG if spec.name not in set(_TOP_PRIORITY)]
+    rest = [spec for spec in _CATALOG if spec.name not in set(pins)]
     order = {spec.name: i for i, spec in enumerate(_CATALOG)}
     rest.sort(
         key=lambda s: (
