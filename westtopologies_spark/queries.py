@@ -697,11 +697,13 @@ _TOKEN_RE = "[#@]?[A-Za-z][A-Za-z'']*"
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_TOKEN_RE}', 0))
                 AS INTEGER) AS n_tokens,
-           -- coalesce: DuckDB array_to_string([]) is NULL where Spark
-           -- array_join([]) is '' (found by random-parity fuzzing on a
-           -- zero-token document)
-           coalesce(array_to_string(list_slice(regexp_extract_all(text, '{_TOKEN_RE}', 0), 1, 5), ' '), '')
-             AS token_preview
+           -- DuckDB array_to_string([]) is NULL where Spark
+           -- array_join([]) is '' (random-parity fuzzing find), but a
+           -- NULL text must stay NULL on both sides — hence the CASE,
+           -- not a bare coalesce
+           CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(array_to_string(list_slice(regexp_extract_all(text, '{_TOKEN_RE}', 0), 1, 5), ' '), '')
+           END AS token_preview
     FROM documents
     """,
     doc="X2 regex tokenizer (ckling.text.Text#getTerms [bytecode]): "

@@ -548,10 +548,14 @@ def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+', 0))
                 AS INTEGER) AS word_tokens,
-           list_reduce(list_prepend(0::BIGINT,
+           -- CASE: DuckDB folds a NULL token list to the 0 seed where
+           -- Spark aggregate(NULL, ...) is NULL (null-text domain edge)
+           CASE WHEN text IS NULL THEN NULL
+                ELSE list_reduce(list_prepend(0::BIGINT,
              list_transform(regexp_extract_all(text, '[A-Za-z]+', 0),
                w -> CAST(ceil(length(w) / {float(C.SUBWORD_CHUNK)}) AS BIGINT))),
-             (a, b) -> a + b) AS subword_est
+             (a, b) -> a + b)
+           END AS subword_est
     FROM documents
     """,
     doc="Token counting: whitespace, regex-word, and BPE-ish subword "
