@@ -30,7 +30,13 @@ _WORDS = ["the", "cat", "sat", "on", "a", "mat", "und", "der", "xyz", "q"]
 
 documents_tables = st.lists(
     st.tuples(
-        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=25),
+        # None = NULL text; [] = empty text — both are legal corpus
+        # rows the engine must survive (tx_quality_score used to THROW
+        # on an empty doc: ANSI divide-by-zero)
+        st.one_of(
+            st.none(),
+            st.lists(st.sampled_from(_WORDS), min_size=0, max_size=25),
+        ),
         st.sampled_from(["en", "de", "es", "fr", "zh"]),
         st.sampled_from(["web", "wiki"]),
     ),
@@ -90,7 +96,13 @@ def _compare(spark, spec, tables: dict):
 
 def _docs_df(spark, docs):
     rows = [
-        (i, " ".join(words), lang, src, len(" ".join(words)))
+        (
+            i,
+            None if words is None else " ".join(words),
+            lang,
+            src,
+            0 if words is None else len(" ".join(words)),
+        )
         for i, (words, lang, src) in enumerate(docs)
     ]
     return spark.createDataFrame(

@@ -514,8 +514,10 @@ def _quality_sql() -> str:
              CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS avg_len,
              CAST(len(list_filter(toks, x -> list_contains([{stop_list}], lower(x))))
                   AS DOUBLE) / len(toks) AS stop_ratio,
-             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-               / length(text) AS alpha_ratio
+             CASE WHEN length(text) > 0 THEN
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / length(text)
+             END AS alpha_ratio
       FROM t
     )
     SELECT doc_id,

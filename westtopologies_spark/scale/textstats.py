@@ -35,7 +35,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
     avg_len = (F.length("text") - (n_tokens - 1)) / n_tokens  # chars minus spaces
     stop_ratio = stop / n_tokens
-    alpha_ratio = alpha_chars / F.length("text")
+    # empty text would divide by zero (ANSI Spark THROWS, killing the
+    # whole job on one bad document — found by a NULL/empty-corpus
+    # probe); an empty doc has no defined alpha ratio -> NULL, which
+    # propagates into the composite score on both engines
+    alpha_ratio = F.when(
+        F.length("text") > 0, alpha_chars / F.length("text")
+    )
     score = (
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
         + F.least(stop_ratio * 4, F.lit(1.0)) * 0.25
