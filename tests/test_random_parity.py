@@ -165,7 +165,9 @@ events_tables = st.lists(
         st.integers(0, 5),  # user
         st.integers(0, 7200),  # seconds offset
         st.sampled_from(["click", "purchase", "view", "error"]),
-        st.integers(0, 40_000),  # value cents
+        # None = NULL measurement (w1's pandas scan used to CRASH on
+        # one; qq deciles diverged on NULLS FIRST-vs-LAST ordering)
+        st.one_of(st.none(), st.integers(0, 40_000)),  # value cents
         st.integers(0, 99),  # props k
     ),
     min_size=2,
@@ -181,7 +183,7 @@ def _events_df(spark, events):
             base + dt.timedelta(seconds=sec),
             uid,
             etype,
-            cents / 100.0,
+            None if cents is None else cents / 100.0,
             '{"k": %d}' % k,
         )
         for i, (uid, sec, etype, cents, k) in enumerate(events)

@@ -660,7 +660,8 @@ def p9_p10_geo_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT ts FROM ev WHERE pos = w.start_pos) AS window_start,
            (SELECT ts FROM ev WHERE pos = w.close_pos) AS window_end,
            w.close_pos - w.start_pos + 1 AS n_events,
-           CAST((SELECT sum(CAST(value AS DECIMAL(18,2))) FROM ev e
+           CAST((SELECT coalesce(sum(CAST(value AS DECIMAL(18,2))), 0)
+                 FROM ev e
                  WHERE e.pos BETWEEN w.start_pos AND w.close_pos) AS DOUBLE)
              AS sum_value
     FROM win w

@@ -171,7 +171,7 @@ def _qq_side_sql(etype: str, alias: str) -> str:
       SELECT value,
              row_number() OVER (ORDER BY value, event_id) AS rn,
              count(*) OVER () AS cnt
-      FROM events WHERE event_type = '{etype}'
+      FROM events WHERE event_type = '{etype}' AND value IS NOT NULL
     ),
     {alias}_q AS (
       SELECT p10, min(value) AS q FROM {alias}_r
@@ -205,7 +205,11 @@ def ag_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(etype: str) -> DataFrame:
         w = Window.orderBy("value", "event_id")
         r = (
+            # value IS NOT NULL on both engines: Spark ascending sorts
+            # NULLS FIRST, DuckDB NULLS LAST — a NULL measurement would
+            # land in opposite deciles (NULL-events probe find)
             ev.filter(F.col("event_type") == etype)
+            .filter(F.col("value").isNotNull())
             .select("value", "event_id")
             .withColumn("rn", F.row_number().over(w))
             .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))

@@ -51,7 +51,11 @@ def _scan_windows(pdf: pd.DataFrame, ts_col: str, value_col: str, seq_col: str, 
             n = 0
             total_c = 0
         n += 1
-        total_c += int(round(float(val) * 100))
+        # a NULL value is still an event (count it) but adds no value —
+        # exactly SQL sum() semantics; float(None)/NaN would crash or
+        # poison the integer-cents accumulator (NULL-events probe find)
+        if val is not None and not pd.isna(val):
+            total_c += int(round(float(val) * 100))
         if ts >= deadline:  # trigger included in the flushed buffer
             out.append((start, ts, n, total_c / 100.0))
             start = None
