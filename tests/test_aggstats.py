@@ -505,12 +505,12 @@ def test_weighted_quantiles_lower_rule(spark):
         [("g", 1.0, 5.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0)], ["k", "v", "w"]
     )
     out = {
-        r["p10"]: r["wq_value"]
+        r["p10"]: r["wq_cents"]
         for r in A.weighted_quantiles(df, "v", "w", ["k"]).collect()
     }
     # cum weights: v=1 -> 5, v=2 -> 8, v=3 -> 10 (total 10)
-    assert out[5] == 1.0  # 5*10 >= 5*10 at v=1
-    assert out[9] == 3.0  # first cum*10 >= 90 is v=3
+    assert out[5] == 100  # 5*10 >= 5*10 at v=1
+    assert out[9] == 300  # first cum*10 >= 90 is v=3
 
 
 def test_priority_sample_deterministic_and_complete(spark):

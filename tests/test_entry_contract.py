@@ -48,27 +48,14 @@ def test_window_queries_have_no_unprecedented_double_outputs(spark, entry_mod):
     """Hash-exact discipline (ORACLE_DISCIPLINE.md round-3 sweep):
     a correctness-window query may only emit double columns if it
     already has a driver value-hash PASS on record (precedent) or is
-    rows-only by design — a NEVER-driver-checked window entrant with
-    a double output would re-expose the ts_sessionize failure class."""
-    import glob
-    import json
+    rows-only by design (oracle=None — never hashed) — a NEVER-
+    driver-checked window entrant with a double output would re-expose
+    the ts_sessionize failure class. The rule itself lives in
+    queries.py::window_double_offenders and is SHARED with
+    tools/preflight.py stage 2 (VERDICT r4 #7)."""
+    from westtopologies_spark.queries import window_double_offenders
 
-    passed = set()
-    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        for name, row in json.load(open(p)).items():
-            if row.get("hash_match") or row.get("err") == "no_oracle":
-                passed.add(name)
-    qs = list(entry_mod.queries().items())[:50]
-    offenders = []
-    for name, fn in qs:
-        if name in passed:
-            continue
-        df = fn(spark, "/root/testdata/sf0.001")
-        for f in df.schema.fields:
-            t = f.dataType.simpleString()
-            if "double" in t or "float" in t:
-                offenders.append(f"{name}.{f.name}:{t}")
-    assert not offenders, offenders
+    assert not window_double_offenders(spark), window_double_offenders(spark)
 
 
 def test_submodule_first_import_order():

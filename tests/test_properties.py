@@ -190,7 +190,7 @@ def test_weighted_quantiles_match_bruteforce(spark, rows):
 
     df = spark.createDataFrame([("g", v, w) for v, w in rows], ["k", "v", "w"])
     got = {
-        r["p10"]: r["wq_value"]
+        r["p10"]: r["wq_cents"]
         for r in weighted_quantiles(df, "v", "w", ["k"]).collect()
     }
     # brute force: expand each value w times, take the lower-rule quantile
@@ -198,7 +198,7 @@ def test_weighted_quantiles_match_bruteforce(spark, rows):
     n = len(expanded)
     for p10 in (5, 9):
         idx = next(i for i in range(n) if (i + 1) * 10 >= p10 * n)
-        assert got[p10] == round(expanded[idx], 2)
+        assert got[p10] == round(expanded[idx] * 100)
 
 
 @given(weighted_values())

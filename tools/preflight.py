@@ -49,6 +49,27 @@ def main() -> int:
             REPO,
         ),
         (
+            "window double-output rule (shared with the contract pytest)",
+            [
+                sys.executable,
+                "-c",
+                (
+                    "import sys; sys.path.insert(0, %r)\n"
+                    "from pyspark.sql import SparkSession\n"
+                    "spark = (SparkSession.builder.master('local[8]')\n"
+                    "         .config('spark.sql.shuffle.partitions', '8')\n"
+                    "         .getOrCreate())\n"
+                    "from westtopologies_spark.queries import "
+                    "window_double_offenders\n"
+                    "bad = window_double_offenders(spark)\n"
+                    "assert not bad, bad\n"
+                    "print('window double rule: clean')\n"
+                )
+                % REPO,
+            ],
+            REPO,
+        ),
+        (
             "driver-window gate (first 50, driver-strict comparator)",
             [sys.executable, "tools/check_oracle.py", sf_dir, *window],
             REPO,

@@ -1456,12 +1456,10 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "ag_corr": {"covar": 4, "corr": 4},
     "tp_contamination": {"rate": 4},
     "ag_profile": {"min_num": 4, "max_num": 4},
-    "wn_ntile_cume": {"pct_rank": 6, "cume": 6},
     "wn_range_frame": {"sum_prev_hour": 2},
     "ud_geomean": {"geomean": 4},
     "ag_histogram": {"bin_min": 2, "bin_max": 2},
     "ts_ewma": {"ewma": 6},
-    "tp_zscore": {"z": 6},
     "tp_class_weights": {"weight": 6},
     "ag_pivot": {
         "event_type_click": 2,
@@ -1480,8 +1478,9 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "j10_salted_join": {"revenue": 2},
     "ag_winsorized_mean": {"winsorized_mean": 4, "cap_lo": 4, "cap_hi": 4},
     "gs_cube": {"sum_price": 2},
-    "sq_large_orders": {"total_qty": 2},
-    "ts_anomaly": {"zscore": 4},
+    # o_totalprice: raw 2-dp passthrough, but never driver-checked and
+    # window-eligible — zero-doubt cents wrap (r4 verdict #1)
+    "sq_large_orders": {"total_qty": 2, "o_totalprice": 2},
     "ag_gini": {"gini": 6},
     "gr_neighbor_jaccard": {"jaccard": 6},
     "gr_pagerank": {"pagerank": 6},
@@ -1512,6 +1511,12 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
 _HARDEN_PORTABLE: dict[str, dict[str, int]] = {
     "j12_geo_cell_join": {"dist": 6},
     "ag_linfit": {"slope": 6, "intercept": 6},
+    # pct_rank/cume are bit-identical exact-integer-ratio doubles —
+    # portable half-up is the correct wrap (builtin round's BigDecimal
+    # vs double-scaling paths can disagree ON THE SAME double at a
+    # boundary, rule 4); o_totalprice is the zero-doubt cents wrap of
+    # a raw 2-dp passthrough (r4 verdict #1)
+    "wn_ntile_cume": {"pct_rank": 6, "cume": 6, "o_totalprice": 2},
 }
 
 # Applied LAZILY (first catalog access), not at module scope: if a
@@ -1694,6 +1699,46 @@ def _ordered() -> list[QuerySpec]:
 
 def catalog() -> list[QuerySpec]:
     return _ordered()
+
+
+def window_double_offenders(spark, sf_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    """THE window hash-exactness rule, shared by
+    tests/test_entry_contract.py and tools/preflight.py (VERDICT r4
+    #7 — one implementation, never two drifting copies): a
+    driver-window entry may only emit double/float columns if it
+    (a) already has a driver value-hash PASS on record, or (b) is
+    rows-only BY DESIGN (oracle=None — the driver never hashes it,
+    so a double output cannot fail). Everything else is an offender:
+    a never-checked window entrant whose double output would re-expose
+    the ts_sessionize failure class the moment the driver hashes it.
+
+    Returns ['name.col:type', ...]; empty == clean."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    passed = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name, r in rows.items():
+                if isinstance(r, dict) and r.get("hash_match"):
+                    passed.add(name)
+    offenders = []
+    for spec in _ordered()[:50]:
+        if spec.oracle is None or spec.name in passed:
+            continue
+        df = spec.spark(spark, sf_dir)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if "double" in t or "float" in t:
+                offenders.append(f"{spec.name}.{f.name}:{t}")
+    return offenders
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

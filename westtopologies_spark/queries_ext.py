@@ -1340,8 +1340,8 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice,
            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice, o_orderkey)
@@ -1349,7 +1349,9 @@ def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Distribution-ranking window family (ntile / percent_rank / "
     "cume_dist) per priority class, totally ordered for cross-engine "
     "determinism. One key-partitioned sort serves all three. "
-    "Window extension.",
+    "Window extension. pct_rank/cume are single exact-integer-ratio "
+    "divisions (bit-identical cross-engine), shipped through the "
+    "portable half-up K=6 wrap, never builtin round (rule 4).",
 )
 def wn_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1362,8 +1364,8 @@ def wn_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "o_totalprice",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
@@ -1893,17 +1895,41 @@ def j8_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tp_zscore",
     """
-    WITH stats AS (
-      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sigma
-      FROM events GROUP BY 1
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, count(vc) AS n,
+             CAST(sum(vc) AS BIGINT) AS s,
+             CAST(sum(vc * vc) AS BIGINT) AS q
+      FROM c GROUP BY 1
+    ),
+    z AS (
+      SELECT c.user_id, c.event_id, c.vc, s.n, s.s, s.q,
+             (CAST(c.vc AS DOUBLE)
+              - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt((CAST(s.q AS DOUBLE)
+                     - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
+                       / CAST(s.n AS DOUBLE))
+                    / (CAST(s.n AS DOUBLE) - 1.0)) AS zv
+      FROM c JOIN s USING (user_id)
     )
-    SELECT e.user_id, e.event_id, e.value AS x,
-           round((e.value - s.mu) / s.sigma, 6) AS z
-    FROM events e JOIN stats s ON e.user_id = s.user_id
+    SELECT user_id, event_id, vc AS x_c,
+           CAST(CASE WHEN n >= 2 AND n * q > s * s THEN
+                  CASE WHEN zv >= 0 THEN floor(zv * 1000000 + 0.5)
+                       ELSE -floor(-(zv) * 1000000 + 0.5) END
+                END AS BIGINT) AS z_x1e6
+    FROM z
     """,
     doc="Per-key z-score standardization: grouped algebraic "
     "mean/stddev joined back onto rows — the vanilla feature-"
-    "normalization pass of an ML pipeline. Training-prep extension.",
+    "normalization pass of an ML pipeline. Training-prep extension. "
+    "Hash-exact: exact-cents sufficient statistics (n, S, Q) feed ONE "
+    "shared double tree, bit-identical cross-engine; z ships as a "
+    "portable half-up 1e6-scaled BIGINT, zero-variance and singleton "
+    "groups NULL via the exact integer guard n*Q > S*S (r4 verdict #1).",
 )
 def tp_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TP.zscore_standardize(_t(spark, sf_dir, "events"))
@@ -2177,7 +2203,8 @@ def ag_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY l_returnflag) AS tw
       FROM lineitem
     )
-    SELECT l_returnflag, p10, round(min(v), 2) AS wq_value
+    SELECT l_returnflag, p10,
+           CAST(CAST(min(v) AS DECIMAL(18,2)) * 100 AS BIGINT) AS wq_cents
     FROM r CROSS JOIN (SELECT unnest([5, 9]) AS p10) p
     WHERE cw * 10 >= p10 * tw
     GROUP BY 1, 2
@@ -2186,7 +2213,8 @@ def ag_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic — no floats anywhere): the price below which 50%/90% "
     "of QUANTITY sits, per return flag; RANGE-framed cumulative sums "
     "make ties deterministic and share one keyed sort. "
-    "Aggregate-statistics extension.",
+    "Aggregate-statistics extension. Hash-exact output (exact cents, "
+    "r4 verdict #1).",
 )
 def ag_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import aggstats as A
@@ -3419,26 +3447,48 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ts_anomaly",
     """
-    WITH s AS (
-      SELECT user_id, event_id, ts, value,
-             avg(value) OVER w AS mu,
-             stddev_samp(value) OVER w AS sigma,
-             count(*) OVER w AS n_prior
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
       FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, vc,
+             count(vc) OVER w AS n,
+             CAST(sum(vc) OVER w AS BIGINT) AS s,
+             CAST(sum(vc * vc) OVER w AS BIGINT) AS q
+      FROM c
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
-    SELECT user_id, event_id, round(value, 6) AS value,
-           round((value - mu) / sigma, 4) AS zscore
-    FROM s
-    WHERE n_prior >= 5 AND sigma > 0
-      AND abs((value - mu) / sigma) > 3
+    SELECT user_id, event_id, vc AS value_c,
+           CAST(CASE WHEN zv >= 0 THEN floor(zv * 10000 + 0.5)
+                     ELSE -floor(-(zv) * 10000 + 0.5) END
+                AS BIGINT) AS zscore_x1e4
+    FROM (
+      SELECT user_id, event_id, vc,
+             (CAST(vc AS DOUBLE)
+              - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt((CAST(q AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0)) AS zv
+      FROM s
+      WHERE n >= 5 AND n * q > s * s
+        AND (n * vc - s) * (n * vc - s) * (n - 1) > 9 * n * (n * q - s * s)
+    )
     """,
     doc="Streaming-style anomaly flags: each event scored against its "
     "own trailing-20 window (mean/stddev exclude the current row — "
     "no self-leakage), flagged at |z| > 3 with a 5-observation "
     "warm-up. One keyed sort feeds all three frame aggregates. "
-    "Temporal extension.",
+    "Temporal extension. Hash-exact: exact-cents windowed sufficient "
+    "statistics (segment-tree vs incremental frame evaluation is "
+    "irrelevant for integer sums), the |z|>3 flag as the exact "
+    "integer inequality (n*v-S)^2*(n-1) > 9*n*(n*Q-S^2), and the "
+    "emitted z from ONE shared double tree as a portable half-up "
+    "1e4-scaled BIGINT (r4 verdict #1). Integer headroom: safe to "
+    "~$5e5 values at frame 20; widen to DECIMAL at corpus scale.",
 )
 def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -3447,24 +3497,36 @@ def ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-20, -1)
     )
-    s = ev.select(
+    vc = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    s = ev.withColumn("vc", vc).select(
         "user_id",
         "event_id",
-        "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sigma"),
-        F.count(F.lit(1)).over(w).alias("n_prior"),
+        "vc",
+        F.count("vc").over(w).alias("n"),
+        F.sum("vc").over(w).alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).over(w).alias("q"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    n, sm, q = F.col("n"), F.col("s"), F.col("q")
+    nd, sd, qd = (c.cast("double") for c in (n, sm, q))
+    zv = (F.col("vc").cast("double") - sd / nd) / F.sqrt(
+        (qd - sd * sd / nd) / (nd - F.lit(1.0))
+    )
+    dev = n * F.col("vc") - sm
+    zs = zv * F.lit(10000)
     return (
         s.filter(
-            (F.col("n_prior") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 3)
+            (n >= 5)
+            & (n * q > sm * sm)
+            & (dev * dev * (n - 1) > 9 * n * (n * q - sm * sm))
         )
         .select(
             "user_id",
             "event_id",
-            F.round("value", 6).alias("value"),
-            F.round(z, 4).alias("zscore"),
+            F.col("vc").alias("value_c"),
+            F.when(zv >= 0, F.floor(zs + F.lit(0.5)))
+            .otherwise(-F.floor(-zs + F.lit(0.5)))
+            .cast("long")
+            .alias("zscore_x1e4"),
         )
     )
 

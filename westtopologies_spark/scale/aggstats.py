@@ -373,7 +373,15 @@ def weighted_quantiles(
     return (
         exploded.filter(F.col("_cw") * 10 >= F.col("p10") * F.col("_tw"))
         .groupBy(*keys, "p10")
-        .agg(F.round(F.min("_v"), 2).alias("wq_value"))
+        # exact cents, not round(min,2): min() never does arithmetic,
+        # and the DECIMAL(18,2) cast of a 2-dp-exact double is exact on
+        # both engines — the output is hash-exact BIGINT by
+        # construction (ORACLE_DISCIPLINE rules 1/4)
+        .agg(
+            (F.min("_v").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("wq_cents")
+        )
     )
 
 

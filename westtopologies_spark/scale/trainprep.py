@@ -444,17 +444,42 @@ def zscore_standardize(
 ) -> DataFrame:
     """Per-key z-score feature standardization — the vanilla ML-prep
     normalization. Grouped mean/stddev (algebraic, map-side partial)
-    broadcast back onto the rows via an equi join; single-row groups
-    yield NULL (sample stddev undefined), identically on both
-    engines."""
-    stats = events.groupBy(key).agg(
-        F.avg(value).alias("mu"), F.stddev_samp(value).alias("sigma")
+    broadcast back onto the rows via an equi join; single-row and
+    zero-variance groups yield NULL (sample stddev undefined/zero),
+    identically on both engines.
+
+    Hash-exact construction (ORACLE_DISCIPLINE rules 1/3/4b): the
+    measurements are exact cents, so the sufficient statistics
+    (n, S=sum, Q=sum of squares) are exact BIGINTs; z is then ONE
+    shared double expression tree over exact integers — bit-identical
+    across engines — emitted as a portable half-up 1e6-scaled BIGINT.
+    S/Q stay below 2^53 for ~1e9 rows x $500 per key; at corpus scale
+    move Q to DECIMAL(38,0)."""
+    vc = (F.col(value).cast("decimal(18,2)") * 100).cast("long")
+    with_c = events.withColumn("_vc", vc)
+    stats = with_c.groupBy(key).agg(
+        F.count("_vc").alias("_n"),
+        F.sum("_vc").alias("_s"),
+        F.sum(F.col("_vc") * F.col("_vc")).alias("_q"),
     )
-    return events.join(stats, key).select(
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    var = (q - s * s / n) / (n - F.lit(1.0))
+    z = (F.col("_vc").cast("double") - s / n) / F.sqrt(var)
+    zs = z * F.lit(1000000)
+    z_x1e6 = F.when(
+        (F.col("_n") >= 2)
+        & (F.col("_n") * F.col("_q") > F.col("_s") * F.col("_s")),
+        F.when(z >= 0, F.floor(zs + F.lit(0.5))).otherwise(
+            -F.floor(-zs + F.lit(0.5))
+        ),
+    ).cast("long")
+    return with_c.join(stats, key).select(
         key,
         "event_id",
-        F.col(value).alias("x"),
-        F.round((F.col(value) - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        F.col("_vc").alias("x_c"),
+        z_x1e6.alias("z_x1e6"),
     )
 
 
