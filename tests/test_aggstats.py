@@ -407,7 +407,7 @@ def test_mad_exact(spark):
     )
     row = A.mad(df, "v", ["k"]).collect()[0]
     # median of [1,2,3,100] = 2.5; devs [1.5,0.5,0.5,97.5] -> median 1.0
-    assert row["median"] == 2.5 and row["mad"] == 1.0
+    assert row["median_x1e4"] == 25000 and row["mad_x1e4"] == 10000
 
 
 def test_crosstab_pivot_dense_zero_fill(spark):
@@ -572,8 +572,10 @@ def test_iqr_outliers_flags_extreme(spark):
     df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
     row = A.iqr_outliers(df, "v", ["k"]).collect()[0]
     assert row["n_rows"] == 13 and row["n_outliers"] == 1
-    assert row["lo_fence"] < 1.0 < 1000.0
-    assert row["hi_fence"] < 1000.0
+    # n=13: q1 = v[4] = 4.0, q3 = v[10] = 10.0, IQR = 6.0
+    # lo = 4 - 9 = -5.0 -> -5*800; hi = 10 + 9 = 19.0 -> 19*800
+    assert row["lo_fence_x800"] == -5 * 800
+    assert row["hi_fence_x800"] == 19 * 800
 
 
 def test_cms_estimate_one_sided(spark):

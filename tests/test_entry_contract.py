@@ -112,9 +112,11 @@ def test_pin_list_is_self_maintaining():
     catalog name inside the 50-entry window."""
     from westtopologies_spark.queries import (
         _PIN_UNTIL_CHECKED,
+        _PIN_UNTIL_RECHECKED,
         _SENTINELS,
         _hard_signal_rounds,
         _latest_round_failures,
+        _rounds_with_row,
         _top_priority,
         catalog,
     )
@@ -130,5 +132,8 @@ def test_pin_list_is_self_maintaining():
     checked = _hard_signal_rounds()
     for n in _PIN_UNTIL_CHECKED:
         assert (n in pins) == (checked.get(n, 0) == 0)
+    rounds = _rounds_with_row()
+    for n, after in _PIN_UNTIL_RECHECKED.items():
+        assert (n in pins) == (not any(r > after for r in rounds.get(n, ())))
     for n in _latest_round_failures():
         assert n in pins

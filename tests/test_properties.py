@@ -210,10 +210,18 @@ def test_mad_matches_bruteforce(spark, rows):
 
     df = spark.createDataFrame([("g", float(v)) for v, _ in rows], ["k", "v"])
     r = mad(df, "v", ["k"]).collect()[0]
-    med = round(statistics.median(v for v, _ in rows), 4)
-    devs = [abs(v - med) for v, _ in rows]
-    assert r["median"] == med
-    assert abs(r["mad"] - round(statistics.median(devs), 4)) < 1e-6
+    # exact-integer reference: work in cents (values are 2-dp exact)
+    cents = sorted(round(v * 100) for v, _ in rows)
+
+    def med_x2(xs):
+        n = len(xs)
+        i, rem = divmod(n - 1, 2)
+        return (2 - rem) * xs[i] + (rem * xs[i + 1] if rem else 0)
+
+    m2 = med_x2(cents)
+    devs_x2 = sorted(abs(2 * c - m2) for c in cents)
+    assert r["median_x1e4"] == m2 * 50
+    assert r["mad_x1e4"] == med_x2(devs_x2) * 25
 
 
 @given(st.integers(1, 40), st.integers(1, 15))

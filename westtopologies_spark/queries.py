@@ -1470,7 +1470,6 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     },
     "tp_priority_sample": {"priority": 4},
     "ag_quantile_bins": {"bin_lo": 2, "bin_hi": 2},
-    "ag_iqr_outliers": {"lo_fence": 4, "hi_fence": 4},
     "sq_local_supplier_volume": {"revenue": 4},
     "ts_monthly_trend": {"revenue": 2, "mom_delta": 2, "ma3": 2},
     "ts_transitions": {"p_transition": 6},
@@ -1577,11 +1576,45 @@ _SENTINELS = [
 _PIN_UNTIL_CHECKED = [
     "tx_heldout_nll",
     "j8_bloom_semi_join",
-    "ag_iqr_outliers",
     "tp_length_buckets",
     "tp_token_mixture",
     "m1_region_topk",
 ]
+
+# Pin UNTIL RE-CHECKED: entries that were already driver-green but
+# received a semantic fix afterwards (their old rows prove the OLD
+# contract, not the fix). name -> round the fix landed after; the pin
+# releases once a CORRECTNESS row from a LATER round exists.
+# r5 member: ag_iqr_outliers' exact-integer fence rework (green r4 on
+# the fixed testdata, but the double fence was fuzzer-flipped —
+# VERDICT r4 #2 requires a fresh driver row on the new contract).
+_PIN_UNTIL_RECHECKED: dict[str, int] = {
+    "ag_iqr_outliers": 4,
+}
+
+
+def _rounds_with_row() -> dict[str, set]:
+    """name -> set of round numbers with a committed CORRECTNESS row."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, set] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                out.setdefault(name, set()).add(int(m.group(1)))
+    return out
 
 
 def _latest_round_failures() -> list[str]:
@@ -1630,9 +1663,15 @@ def _top_priority() -> list[str]:
     ordering without an edit, freeing the slot for the never-checked
     backlog."""
     checked = _hard_signal_rounds()
+    rounds = _rounds_with_row()
     pins = list(dict.fromkeys(
         _latest_round_failures()
         + [n for n in _PIN_UNTIL_CHECKED if checked.get(n, 0) == 0]
+        + [
+            n
+            for n, after in _PIN_UNTIL_RECHECKED.items()
+            if not any(r > after for r in rounds.get(n, ()))
+        ]
         + _SENTINELS
     ))
     return pins

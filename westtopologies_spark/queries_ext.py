@@ -1453,32 +1453,36 @@ def ud_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _percentiles_sql() -> str:
-    from .scale import aggstats as A
-
-    ps = ", ".join(f"CAST({p} AS DOUBLE)" for p in A.PERCENTILES)
-    idx = "(1 + (n - 1) * p)"
-    return f"""
-    WITH ranked AS (
-      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
-             row_number() OVER (
-               PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
-             count(*) OVER (PARTITION BY o_orderpriority) AS n
-      FROM orders
-    ),
-    x AS (
-      SELECT r.*, ps.p FROM ranked r
-      CROSS JOIN (SELECT unnest([{ps}]) AS p) ps
-    ),
-    b AS (
-      SELECT o_orderpriority, p,
-             CASE WHEN floor({idx}) = ceil({idx}) THEN v
-                  WHEN rn = floor({idx})
-                    THEN v * (1 - ({idx} - floor({idx})))
-                  ELSE v * ({idx} - floor({idx})) END AS part
-      FROM x WHERE rn = floor({idx}) OR rn = ceil({idx})
+    quantile = """
+             CAST(sum(CASE WHEN rk = ((n-1)*{p})//100 + 1
+                             THEN (100 - ((n-1)*{p})%100) * vc
+                           WHEN rk = ((n-1)*{p})//100 + 2
+                             THEN (((n-1)*{p})%100) * vc
+                           ELSE 0 END) AS BIGINT) AS _p{p}"""
+    ps = (50, 90, 99)
+    cols = ",".join(quantile.format(p=p) for p in ps)
+    arms = "\n      UNION ALL ".join(
+        f"SELECT o_orderpriority, {p} AS p100, _p{p} AS pct_x1e4 FROM q"
+        for p in ps
     )
-    SELECT o_orderpriority, p, round(sum(part), 4) AS pct_value
-    FROM b GROUP BY 1, 2
+    return f"""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    r AS (
+      SELECT o_orderpriority, vc,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY vc) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT o_orderpriority,{cols}
+      FROM r GROUP BY 1
+    )
+    {arms}
     """
 
 
@@ -1489,12 +1493,15 @@ def _percentiles_sql() -> str:
     "rank-based interpolation plan (row-number windows + boundary-row "
     "filter) — O(1) memory per row, unlike built-in percentile's "
     "per-group value buffer, so groups can be arbitrarily large. "
-    "Aggregate-statistics extension.",
+    "Aggregate-statistics extension. ALL-INTEGER: the interpolated "
+    "quantile is a denominator-100 rational of cents, emitted as "
+    "pct_x1e4 BIGINT (r4 verdict #2 sweep — the old interpolated-"
+    "double round(,4) was one boundary flip from a red row).",
 )
 def ag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import aggstats as A
 
-    return A.group_percentiles(
+    return A.group_percentiles_cents(
         _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
     )
 
@@ -2030,24 +2037,55 @@ def ag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ag_mad",
     """
-    WITH med AS (
+    WITH c AS (
       SELECT o_orderpriority,
-             round(quantile_cont(o_totalprice, 0.5), 4) AS median
-      FROM orders GROUP BY 1
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    r AS (
+      SELECT o_orderpriority, vc,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY vc) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN rk = (n-1)//2 + 1
+                             THEN (2 - (n-1)%2) * vc
+                           WHEN rk = (n-1)//2 + 2
+                             THEN ((n-1)%2) * vc
+                           ELSE 0 END) AS BIGINT) AS med_x2
+      FROM r GROUP BY 1
     ),
     d AS (
-      SELECT o.o_orderpriority, med.median,
-             abs(o.o_totalprice - med.median) AS dev
-      FROM orders o JOIN med USING (o_orderpriority)
+      SELECT c.o_orderpriority, med.med_x2,
+             abs(2 * c.vc - med.med_x2) AS dev_x2
+      FROM c JOIN med USING (o_orderpriority)
+    ),
+    rd AS (
+      SELECT o_orderpriority, med_x2, dev_x2,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY dev_x2) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM d
     )
-    SELECT o_orderpriority, round(min(median), 4) AS median,
-           round(quantile_cont(dev, 0.5), 4) AS mad
-    FROM d GROUP BY 1
+    SELECT o_orderpriority,
+           CAST(min(med_x2) * 50 AS BIGINT) AS median_x1e4,
+           CAST(sum(CASE WHEN rk = (n-1)//2 + 1
+                           THEN (2 - (n-1)%2) * dev_x2
+                         WHEN rk = (n-1)//2 + 2
+                           THEN ((n-1)%2) * dev_x2
+                         ELSE 0 END) * 25 AS BIGINT) AS mad_x1e4
+    FROM rd GROUP BY 1
     """,
     doc="Median absolute deviation per priority class: robust "
     "dispersion for outlier-immune quality gates, exact via the "
     "rank-based median plan run twice (values, then deviations) — "
-    "no per-group value buffering. Aggregate-statistics extension.",
+    "no per-group value buffering. Aggregate-statistics extension. "
+    "ALL-INTEGER: median = denominator-2 rational of cents, "
+    "deviations exact in doubled units, both emitted as dollars*1e4 "
+    "BIGINTs (r4 verdict #2 sweep).",
 )
 def ag_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import aggstats as A
@@ -2354,24 +2392,52 @@ def dv_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ag_iqr_outliers",
     """
-    WITH q AS (
+    WITH c AS (
       SELECT o_orderpriority,
-             round(quantile_cont(o_totalprice, 0.25), 4) AS q1,
-             round(quantile_cont(o_totalprice, 0.75), 4) AS q3
-      FROM orders GROUP BY 1
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    r AS (
+      SELECT o_orderpriority, vc,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY vc) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN rk = (n-1)//4 + 1
+                             THEN (4 - (n-1)%4) * vc
+                           WHEN rk = (n-1)//4 + 2
+                             THEN ((n-1)%4) * vc
+                           ELSE 0 END) AS BIGINT) AS q1x4,
+             CAST(sum(CASE WHEN rk = (3*(n-1))//4 + 1
+                             THEN (4 - (3*(n-1))%4) * vc
+                           WHEN rk = (3*(n-1))//4 + 2
+                             THEN ((3*(n-1))%4) * vc
+                           ELSE 0 END) AS BIGINT) AS q3x4
+      FROM r GROUP BY 1
+    ),
+    f AS (
+      SELECT o_orderpriority,
+             2*q1x4 - 3*(q3x4 - q1x4) AS lo8,
+             2*q3x4 + 3*(q3x4 - q1x4) AS hi8
+      FROM q
     )
-    SELECT o.o_orderpriority, count(*) AS n_rows,
-           CAST(sum(CASE WHEN o.o_totalprice < q1 - 1.5 * (q3 - q1)
-                           OR o.o_totalprice > q3 + 1.5 * (q3 - q1)
+    SELECT c.o_orderpriority, count(*) AS n_rows,
+           CAST(sum(CASE WHEN 8*c.vc < f.lo8 OR 8*c.vc > f.hi8
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           round(min(q1 - 1.5 * (q3 - q1)), 4) AS lo_fence,
-           round(max(q3 + 1.5 * (q3 - q1)), 4) AS hi_fence
-    FROM orders o JOIN q USING (o_orderpriority)
+           CAST(min(f.lo8) AS BIGINT) AS lo_fence_x800,
+           CAST(max(f.hi8) AS BIGINT) AS hi_fence_x800
+    FROM c JOIN f USING (o_orderpriority)
     GROUP BY 1
     """,
     doc="Tukey-fence outlier summary per priority class: exact "
     "rank-plan quartiles, 1.5*IQR fences broadcast back onto the "
-    "rows — the robust anomaly gate. Aggregate-statistics extension.",
+    "rows — the robust anomaly gate. Aggregate-statistics extension. "
+    "EXACT INTEGER fences (denominator-8 rationals of cents, emitted "
+    "as dollars*800 BIGINTs) — the double fence flipped a half-up "
+    "boundary digit under the fuzzer (r4 verdict #2).",
 )
 def ag_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import aggstats as A

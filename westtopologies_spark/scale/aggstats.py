@@ -82,6 +82,69 @@ def group_percentiles(
     )
 
 
+def _interp_xden(intcol: str, num: int, den: int):
+    """Aggregate expression: the linearly-interpolated quantile at
+    position ``(n-1)*num/den`` over an INTEGER column, scaled by
+    ``den`` — i.e. ``(den-rem)*v[i] + rem*v[i+1]`` — an exact BIGINT,
+    the cross-engine-safe form of every rank-interpolation statistic
+    (r4 verdict #2 sweep).  Expects ``_rk`` (1-based row_number over
+    the value order) and ``_n`` (group count) alongside ``intcol``."""
+    pos = (F.col("_n") - 1) * num
+    i = F.floor(pos / F.lit(den)) + 1  # 1-based lower rank
+    rem = pos % den
+    return F.sum(
+        F.when(F.col("_rk") == i, (den - rem) * F.col(intcol))
+        .when(F.col("_rk") == i + 1, rem * F.col(intcol))
+        .otherwise(F.lit(0))
+    )
+
+
+def _ranked_cents(df: DataFrame, value: str, keys: Sequence[str]) -> DataFrame:
+    """(keys, _vi cents, _rk, _n) with NULL measurements excluded —
+    the shared input of the exact rank-interpolation plans."""
+    vc = (F.col(value).cast("decimal(18,2)") * 100).cast("long")
+    c = df.where(F.col(value).isNotNull()).select(*keys, vc.alias("_vi"))
+    w = Window.partitionBy(*keys)
+    return c.select(
+        *keys,
+        "_vi",
+        F.row_number().over(w.orderBy("_vi")).alias("_rk"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+
+
+def group_percentiles_cents(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    ps100: Sequence[int] = (50, 90, 99),
+) -> DataFrame:
+    """Exact linear-interpolated percentiles per key group over an
+    exact-cents measure, ALL-INTEGER: position ``(n-1)*p100/100``,
+    output ``pct_x1e4`` = dollars*1e4 = ``(100-rem)*v[i] +
+    rem*v[i+1]`` cents*100 — bit-exact cross-engine by construction
+    (no interpolated double, no builtin round; r4 verdict #2 sweep).
+    Same one-sort O(1)-memory rank plan as :func:`group_percentiles`."""
+    r = _ranked_cents(df, value, keys)
+    aggs = [
+        _interp_xden("_vi", p, 100).alias(f"_p{p}") for p in ps100
+    ]
+    wide = r.groupBy(*keys).agg(*aggs)
+    per_p = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p100"), F.col(f"_p{p}").alias("pct_x1e4")
+                )
+                for p in ps100
+            ]
+        )
+    ).alias("_e")
+    return wide.select(*keys, per_p).select(
+        *keys, "_e.p100", "_e.pct_x1e4"
+    )
+
+
 def mad(
     df: DataFrame, value: str, keys: Sequence[str]
 ) -> DataFrame:
@@ -89,21 +152,32 @@ def mad(
     statistic quality-filter pipelines use where stddev is blown up
     by outliers.  Exact, via the rank-based median plan twice (values,
     then absolute deviations joined back) — O(1) memory per row, no
-    per-group buffering, same scale profile as
-    :func:`group_percentiles`."""
-    med = group_percentiles(df, value, keys, ps=(0.5,)).select(
-        *keys, F.col("pct_value").alias("median")
-    )
-    devs = df.join(med, list(keys)).select(
+    per-group buffering.
+
+    ALL-INTEGER (r4 verdict #2 sweep): the median of cents has
+    denominator 2 (``med_x2`` = cents*2 BIGINT), deviations stay
+    exact in the same doubled units (``|2*v - med_x2|``), and the
+    deviation median has denominator 4 — so ``median_x1e4`` =
+    ``med_x2*50`` and ``mad_x1e4`` = ``madq_x4*25`` (dollars*1e4)
+    are exact BIGINTs end-to-end."""
+    r = _ranked_cents(df, value, keys)
+    med = r.groupBy(*keys).agg(_interp_xden("_vi", 1, 2).alias("_med_x2"))
+    devs = r.join(F.broadcast(med), list(keys)).select(
         *keys,
-        "median",
-        F.abs(F.col(value).cast("double") - F.col("median")).alias("_dev"),
+        "_med_x2",
+        F.abs(2 * F.col("_vi") - F.col("_med_x2")).alias("_dev_x2"),
     )
-    mad_df = group_percentiles(devs, "_dev", keys, ps=(0.5,)).select(
-        *keys, F.col("pct_value").alias("mad")
+    wd = Window.partitionBy(*keys)
+    ranked_dev = devs.select(
+        *keys,
+        "_med_x2",
+        "_dev_x2",
+        F.row_number().over(wd.orderBy("_dev_x2")).alias("_rk"),
+        F.count(F.lit(1)).over(wd).alias("_n"),
     )
-    return med.join(mad_df, list(keys)).select(
-        *keys, F.round("median", 4).alias("median"), F.round("mad", 4).alias("mad")
+    return ranked_dev.groupBy(*keys).agg(
+        (F.min("_med_x2") * 50).alias("median_x1e4"),
+        (_interp_xden("_dev_x2", 1, 2) * 25).alias("mad_x1e4"),
     )
 
 
@@ -398,28 +472,59 @@ def iqr_outliers(
     rank-based exact plan, fences at q1/q3 -/+ ``fence``*IQR, and the
     count of rows outside them — the robust anomaly gate run before
     training-data aggregation.  The quartile subplan shares one keyed
-    sort; the fence check is a broadcast join back onto the rows."""
-    qs = (
-        group_percentiles(df, value, keys, ps=(0.25, 0.75))
-        .groupBy(*keys)
-        .pivot("p", [0.25, 0.75])
-        .sum("pct_value")
-        .select(
-            *keys,
-            F.col("`0.25`").alias("_q1"),
-            F.col("`0.75`").alias("_q3"),
-        )
+    sort; the fence check is a broadcast join back onto the rows.
+
+    EXACT INTEGER arithmetic end-to-end (r4 verdict #2 — the old
+    double fence flipped a half-up boundary digit under the fuzzer):
+    values are exact cents, the linearly-interpolated quartile has
+    denominator 4 and the 1.5 factor denominator 2, so the fence is
+    an exact denominator-8 rational of cents.  Outputs ship as
+    ``*_x800`` BIGINTs (dollars*800 == cents*8); the outlier test is
+    ``8*cents < lo_x800``.  NULL measurements are excluded from the
+    rank plan and the counts (rule 15)."""
+    m = round(fence * 2)
+    if m != fence * 2:
+        raise ValueError("fence must be a multiple of 0.5")
+    vc = (F.col(value).cast("decimal(18,2)") * 100).cast("long")
+    c = df.where(F.col(value).isNotNull()).select(
+        *keys, vc.alias("_vc")
     )
-    lo = F.col("_q1") - fence * (F.col("_q3") - F.col("_q1"))
-    hi = F.col("_q3") + fence * (F.col("_q3") - F.col("_q1"))
-    joined = df.join(F.broadcast(qs), list(keys))
+    w = Window.partitionBy(*keys)
+    r = c.select(
+        *keys,
+        "_vc",
+        F.row_number().over(w.orderBy("_vc")).alias("_rk"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    )
+
+    def q_x4(posnum: int):
+        # zero-based interpolation position (n-1)*posnum/4: quarter-
+        # cent quartile = (4-rem)*v[i] + rem*v[i+1], all BIGINT
+        pos = (F.col("_n") - 1) * posnum
+        i = F.floor(pos / F.lit(4)) + 1  # 1-based lower rank
+        rem = pos % 4
+        return F.sum(
+            F.when(F.col("_rk") == i, (4 - rem) * F.col("_vc"))
+            .when(F.col("_rk") == i + 1, rem * F.col("_vc"))
+            .otherwise(F.lit(0))
+        )
+
+    qs = r.groupBy(*keys).agg(q_x4(1).alias("_q1x4"), q_x4(3).alias("_q3x4"))
+    iqr_x4 = F.col("_q3x4") - F.col("_q1x4")
+    fences = qs.select(
+        *keys,
+        (2 * F.col("_q1x4") - m * iqr_x4).alias("_lo8"),
+        (2 * F.col("_q3x4") + m * iqr_x4).alias("_hi8"),
+    )
+    joined = c.join(F.broadcast(fences), list(keys))
+    v8 = 8 * F.col("_vc")
     return joined.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(
-            ((F.col(value) < lo) | (F.col(value) > hi)).cast("long")
+            ((v8 < F.col("_lo8")) | (v8 > F.col("_hi8"))).cast("long")
         ).alias("n_outliers"),
-        F.round(F.min(lo), 4).alias("lo_fence"),
-        F.round(F.max(hi), 4).alias("hi_fence"),
+        F.min("_lo8").alias("lo_fence_x800"),
+        F.max("_hi8").alias("hi_fence_x800"),
     )
 
 
