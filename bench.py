@@ -85,18 +85,26 @@ CONTRACT_LINE_MAX_BYTES = 1500
 
 
 def contract_line(timings: dict[str, float], total: float, sf: float) -> str:
+    # Degrade gracefully, never assert (ADVICE r4: an assert AFTER the
+    # whole timed suite ran would lose the round's BENCH record): drop
+    # trailing headline entries until the line fits.  The unit test
+    # pins that the full headline normally fits.
     compact = {q: timings[q] for q in HEADLINE if q in timings}
-    line = json.dumps(
-        {
-            "metric": "catalog_suite_wall_clock",
-            "value": total,
-            "unit": "sec",
-            "queries": compact,
-            "sf": sf,
-        }
-    )
-    assert "\n" not in line and len(line) <= CONTRACT_LINE_MAX_BYTES
-    return line
+    while True:
+        line = json.dumps(
+            {
+                "metric": "catalog_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": compact,
+                "sf": sf,
+            }
+        )
+        if "\n" not in line and (
+            len(line) <= CONTRACT_LINE_MAX_BYTES or not compact
+        ):
+            return line
+        compact.pop(next(reversed(compact)))
 
 
 def write_full_report(timings: dict[str, float], total: float, sf: float) -> None:

@@ -102,6 +102,12 @@ def test_bench_contract_line_is_one_compact_json_line():
     assert set(parsed) == {"metric", "value", "unit", "queries", "sf"}
     assert parsed["queries"]  # non-empty headline subset
     assert set(parsed["queries"]) <= set(timings)
+    # graceful degradation (ADVICE r4): pathological timing values must
+    # trim the headline map, not crash after the timed suite already ran
+    fat = {s.name: 1.23456789e12 for s in catalog()}
+    fat_line = bench.contract_line(fat, 9.9e12, 0.1)
+    assert len(fat_line) <= bench.CONTRACT_LINE_MAX_BYTES
+    assert json.loads(fat_line)["metric"] == "catalog_suite_wall_clock"
 
 
 def test_pin_list_is_self_maintaining():

@@ -805,6 +805,7 @@ def _py_m1_topk(texts):
         M1Q_TOP_K,
         M1Q_TOPICS,
         M1Q_VOCAB,
+        det_exp_py,
         quantized_model,
     )
     from westtopologies_spark.scale import constants as C
@@ -827,7 +828,9 @@ def _py_m1_topk(texts):
             for k in range(M1Q_TOPICS)
         ]
         m = max(lt)
-        es = [math.exp((x - m) / (float(M1Q_LOG_SCALE) * n)) for x in lt]
+        # deterministic exp (ADVICE r4): same exactly-rounded IEEE
+        # chain as both engines, not CPython's libm exp
+        es = [det_exp_py((x - m) / (float(M1Q_LOG_SCALE) * n)) for x in lt]
         sc = []
         for l in range(M1Q_REGIONS):
             s = rt_q[l][0] * es[0]
@@ -850,7 +853,10 @@ def _py_m1_topk(texts):
 @given(
     st.lists(
         st.text(
-            alphabet=st.sampled_from("abcdefgh XYZ'#@"), min_size=0, max_size=60
+            # éü日 pin codepoint-level char-fold parity (ADVICE r4)
+            alphabet=st.sampled_from("abcdefgh XYZ'#@éü日"),
+            min_size=0,
+            max_size=60,
         ),
         min_size=1,
         max_size=12,

@@ -391,9 +391,13 @@ def deterministic_sample(df: DataFrame, id_col: str, keep_percent: int) -> DataF
 #   integer folds over the token-id array (zero shuffle, scan-stage);
 # * token ids come from the char-fold hash (rule 9) — a pure
 #   expression both engines compute identically;
-# * the softmax/mixing stage is a fixed left-associated chain of the
-#   same IEEE ops (exp of an exact-int ratio, explicit (..((a+b)+c)..)
-#   sums), so every double is bit-identical by construction;
+# * the softmax/mixing stage is a fixed left-associated chain of
+#   EXACTLY-ROUNDED IEEE ops only — the transcendental exp is
+#   replaced by the deterministic 2^k * Horner(r) construction
+#   (_exp_poly_sql; ADVICE r4: JVM Math.exp and libm exp differ by
+#   1 ulp on ~10% of arguments, so a raw exp() call would NOT be
+#   bit-identical) — so every double IS bit-identical by
+#   construction;
 # * the output probability ships as a half-up scaled BIGINT computed
 #   from those bit-identical doubles (rule 4b).
 #
@@ -439,6 +443,43 @@ def quantized_model(
         for l in range(n_regions)
     ]
     return log_tw_q, log_pi_q, rt_q
+
+
+# -- deterministic exp (ADVICE r4 medium): JVM Math.exp and libm exp
+# are NOT correctly-rounded and empirically differ by 1 ulp on ~10%
+# of arguments — a scale-growing boundary-flip risk on a hashed,
+# driver-pinned entry.  exp(x) is therefore rebuilt from EXACTLY-
+# ROUNDED IEEE primitives only: k = round(x/ln2), r = x - k*ln2
+# (|r| <= 0.347), degree-13 Taylor Horner in r (truncation ~4e-18),
+# times the exact power-of-two 2^k.  mul/add/floor/power-of-two are
+# all correctly rounded per IEEE-754, so Spark, DuckDB, and CPython
+# produce bit-identical doubles; the transcendental is gone from the
+# hashed path entirely.
+_EXP_LN2 = "0.6931471805599453"
+_EXP_INVLN2 = "1.4426950408889634"
+
+
+def _exp_poly_sql(r: str, k: str) -> str:
+    """``P(r) * 2^k`` with the Horner polynomial inlined (dialect-
+    neutral: floor/power/arithmetic parse identically in Spark SQL
+    and DuckDB)."""
+    coeffs = [1.0 / math.factorial(i) for i in range(14)]
+    poly = repr(coeffs[13])
+    for c in reversed(coeffs[:13]):
+        poly = f"({poly} * {r} + {repr(c)})"
+    return f"{poly} * power(2.0, {k})"
+
+
+def det_exp_py(x: float) -> float:
+    """CPython replica of the deterministic exp — for pure-Python
+    property-test references (same ops, same order, same doubles)."""
+    coeffs = [1.0 / math.factorial(i) for i in range(14)]
+    k = math.floor(x * 1.4426950408889634 + 0.5)
+    r = x - k * 0.6931471805599453
+    p = coeffs[13]
+    for c in reversed(coeffs[:13]):
+        p = p * r + c
+    return p * (2.0 ** k)
 
 
 def _m1q_scalar_exprs(engine: str) -> dict[str, str]:
@@ -500,11 +541,22 @@ def _m1q_scalar_exprs(engine: str) -> dict[str, str]:
     for k in range(K):
         out[f"lt{k}"] = f"{log_pi_q[k]} * CAST(n_tok AS BIGINT) + s{k}"
     out["ltmax"] = "greatest(" + ", ".join(f"lt{k}" for k in range(K)) + ")"
+    # softmax exponentials via the deterministic exp (no libm/JVM
+    # exp in the hashed path — see _exp_poly_sql above): staged as
+    # named columns a{k} (argument), xk{k} (power-of-two index),
+    # xr{k} (Horner residual) so the polynomial references a column,
+    # not a re-expanded subtree.
     for k in range(K):
-        out[f"e{k}"] = (
-            f"exp(CAST(lt{k} - ltmax AS DOUBLE)"
-            f" / ({float(M1Q_LOG_SCALE)} * n_tok))"
+        out[f"a{k}"] = (
+            f"CAST(lt{k} - ltmax AS DOUBLE)"
+            f" / ({float(M1Q_LOG_SCALE)} * n_tok)"
         )
+    for k in range(K):
+        out[f"xk{k}"] = f"floor(a{k} * {_EXP_INVLN2} + 0.5)"
+    for k in range(K):
+        out[f"xr{k}"] = f"a{k} - xk{k} * {_EXP_LN2}"
+    for k in range(K):
+        out[f"e{k}"] = _exp_poly_sql(f"xr{k}", f"xk{k}")
     ssum = "e0"
     for k in range(1, K):
         ssum = f"({ssum} + e{k})"
@@ -540,6 +592,9 @@ def predict_regions_fixedpoint(docs: DataFrame) -> DataFrame:
         *[f"s{k}" for k in range(M1Q_TOPICS)],
         *[f"lt{k}" for k in range(M1Q_TOPICS)],
         "ltmax",
+        *[f"a{k}" for k in range(M1Q_TOPICS)],
+        *[f"xk{k}" for k in range(M1Q_TOPICS)],
+        *[f"xr{k}" for k in range(M1Q_TOPICS)],
         *[f"e{k}" for k in range(M1Q_TOPICS)],
         "ssum",
         *[f"sc{l}" for l in range(L)],
@@ -604,10 +659,22 @@ def predict_regions_fixedpoint_sql() -> str:
     stages.append(
         f"mx AS (SELECT *, {exprs['ltmax']} AS ltmax FROM lts)"
     )
+    a_cols = ",\n             ".join(
+        f"{exprs[f'a{k}']} AS a{k}" for k in range(K)
+    )
+    stages.append(f"aa AS (SELECT doc_id,\n             {a_cols} FROM mx)")
+    xk_cols = ",\n             ".join(
+        f"{exprs[f'xk{k}']} AS xk{k}" for k in range(K)
+    )
+    stages.append(f"kk AS (SELECT *,\n             {xk_cols} FROM aa)")
+    xr_cols = ",\n             ".join(
+        f"{exprs[f'xr{k}']} AS xr{k}" for k in range(K)
+    )
+    stages.append(f"rr AS (SELECT *,\n             {xr_cols} FROM kk)")
     e_cols = ",\n             ".join(
         f"{exprs[f'e{k}']} AS e{k}" for k in range(K)
     )
-    stages.append(f"es AS (SELECT doc_id,\n             {e_cols} FROM mx)")
+    stages.append(f"es AS (SELECT doc_id,\n             {e_cols} FROM rr)")
     sc_cols = ",\n             ".join(
         f"{exprs[f'sc{l}']} AS sc{l}" for l in range(L)
     )

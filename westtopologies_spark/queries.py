@@ -1590,6 +1590,9 @@ _PIN_UNTIL_CHECKED = [
 # VERDICT r4 #2 requires a fresh driver row on the new contract).
 _PIN_UNTIL_RECHECKED: dict[str, int] = {
     "ag_iqr_outliers": 4,
+    # r5: libm/JVM exp removed from the hashed softmax path
+    # (deterministic 2^k * Horner exp, ADVICE r4 medium)
+    "m1_region_topk": 4,
 }
 
 

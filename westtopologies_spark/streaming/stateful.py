@@ -29,11 +29,28 @@ state.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 W1_OUT_SCHEMA = "window_start timestamp, window_end timestamp, n_events long, sum_value double"
+
+
+def _cents(val) -> int:
+    """Half-up integer cents of a measurement, or 0 for NULL/NaN (SQL
+    ``sum()`` semantics — the event still counts, adds no value).
+
+    HALF-UP, not Python ``round()`` (ADVICE r4): builtin round is
+    banker's, so a sub-cent value like 0.125 became 12 cents while
+    the batch/oracle DECIMAL(18,2) casts round half away from zero
+    (13).  floor(x*100 + 0.5) matches the DECIMAL cast on both
+    engines across the whole double domain, not just exact cents."""
+    if val is None or pd.isna(val):
+        return 0
+    x = float(val) * 100
+    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
 
 
 def _scan_windows(pdf: pd.DataFrame, ts_col: str, value_col: str, seq_col: str, interval_sec: int):
@@ -51,11 +68,7 @@ def _scan_windows(pdf: pd.DataFrame, ts_col: str, value_col: str, seq_col: str, 
             n = 0
             total_c = 0
         n += 1
-        # a NULL value is still an event (count it) but adds no value —
-        # exactly SQL sum() semantics; float(None)/NaN would crash or
-        # poison the integer-cents accumulator (NULL-events probe find)
-        if val is not None and not pd.isna(val):
-            total_c += int(round(float(val) * 100))
+        total_c += _cents(val)
         if ts >= deadline:  # trigger included in the flushed buffer
             out.append((start, ts, n, total_c / 100.0))
             start = None
@@ -149,7 +162,7 @@ def data_driven_window_rollup_stream(
                     n = 0
                     total_c = 0
                 n += 1
-                total_c += int(round(float(val) * 100))
+                total_c += _cents(val)
                 if ts_us >= start_us + interval_sec * 1_000_000:
                     out.append(
                         (
@@ -226,7 +239,7 @@ def data_driven_window_rollup_stream_tws(
                     n = 0
                     total_c = 0
                 n += 1
-                total_c += int(round(float(val) * 100))
+                total_c += _cents(val)
                 if ts_us >= start_us + interval_sec * 1_000_000:
                     out.append(
                         (
