@@ -63,13 +63,15 @@ def test_heavy_hitters_order_and_ties(spark):
     ]
 
 
-def test_hll_distinct_error_bound(spark, sf_dir):
+@pytest.mark.parametrize("impl", ["builtin", "det"])
+def test_hll_distinct_error_bound(spark, sf_dir, impl):
     from westtopologies_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    fn = A.hll_distinct if impl == "builtin" else A.hll_distinct_det
     approx = {
         r["lang"]: r["approx_distinct"]
-        for r in A.hll_distinct(docs, ["lang"], "doc_id").collect()
+        for r in fn(docs, ["lang"], "doc_id").collect()
     }
     from pyspark.sql import functions as F
 

@@ -36,11 +36,12 @@ def test_oracle_keys_subset_of_queries(entry_mod):
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(osql) <= set(qs)
     # rows-only entries are the documented model/sketch exceptions
+    # (ag_hll_distinct graduated to a hard oracle in r5 — the
+    # deterministic fixed-hash HLL)
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "m1_predict_locations",
         "ag_approx_percentiles",
-        "ag_hll_distinct",
     }
 
 

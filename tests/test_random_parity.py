@@ -599,6 +599,7 @@ def test_events_window_random_parity(spark, entry, events):
         "tp_priority_sample",
         "ag_cms_heavy_hitters",
         "tp_epoch_shuffle",
+        "ag_hll_distinct",
     ],
 )
 @SET4

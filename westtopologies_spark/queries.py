@@ -1593,6 +1593,9 @@ _PIN_UNTIL_RECHECKED: dict[str, int] = {
     # r5: libm/JVM exp removed from the hashed softmax path
     # (deterministic 2^k * Horner exp, ADVICE r4 medium)
     "m1_region_topk": 4,
+    # r5: rows-only exemption retired — deterministic fixed-hash HLL
+    # now has a real oracle (verdict r4 #6); needs its first hash row
+    "ag_hll_distinct": 4,
 }
 
 

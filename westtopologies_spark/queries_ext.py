@@ -1552,20 +1552,28 @@ def ag_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.heavy_hitters(_t(spark, sf_dir, "documents"))
 
 
+def _hll_det_sql() -> str:
+    from .scale import aggstats as A
+
+    return A.hll_distinct_det_sql("documents", ["lang"], "doc_id")
+
+
 @_register(
     "ag_hll_distinct",
-    None,  # sketch estimates are engine-specific: rows-only check;
-    # tests/test_aggstats.py bounds the relative error vs exact
-    doc="HyperLogLog++ distinct doc count per language "
-    "(approx_count_distinct, rsd 5%): mergeable constant-memory "
-    "sketch — the only viable NDV at 100 TB. Rows-only oracle by "
-    "design; error-bound-tested against the exact count. "
-    "Aggregate-statistics extension.",
+    _hll_det_sql(),
+    doc="HyperLogLog distinct doc count per language under a FIXED "
+    "portable hash family (affine-square-affine mod 2^31-1, 512 "
+    "registers, exact harmonic fold, LUT linear counting — no "
+    "engine-internal hash, no transcendental): mergeable "
+    "constant-memory NDV, the 100 TB path, and now HARD-SIGNAL "
+    "oracle-checked (r4 verdict #6 — the CMS recipe; previously "
+    "rows-only via approx_count_distinct). Error-bound-tested vs "
+    "the exact count. Aggregate-statistics extension.",
 )
 def ag_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import aggstats as A
 
-    return A.hll_distinct(_t(spark, sf_dir, "documents"), ["lang"], "doc_id")
+    return A.hll_distinct_det(_t(spark, sf_dir, "documents"), ["lang"], "doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ runs.  Design notes:
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -249,11 +250,127 @@ def heavy_hitters(
 def hll_distinct(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
     """HyperLogLog++ distinct-count sketch per key group:
     (keys..., approx_distinct).  Constant memory, mergeable across
-    partitions — the 100 TB path for NDV; see module docstring for
-    why this is rows-only in the oracle catalog."""
+    partitions — the 100 TB path for NDV; engine-internal hash, so
+    not oracle-replayable (the catalog entry uses
+    :func:`hll_distinct_det` instead — r4 verdict #6)."""
     return df.groupBy(*keys).agg(
         F.approx_count_distinct(col, rsd=HLL_RSD).alias("approx_distinct")
     )
+
+
+# -- deterministic HLL (r4 verdict #6: give the sketch a HARD signal
+# the way the CMS entry did): a FIXED portable hash family makes the
+# register array — and therefore the estimate — identical on any
+# engine, so the DuckDB oracle replays the fold exactly and the
+# rows-only exemption is retired.
+HLL_DET_M = 512  # registers (2^9): rsd ~ 1.04/sqrt(512) ~ 4.6%
+_HLL_P = 2147483647  # 2^31 - 1 (same modulus class as MINHASH)
+# mix: affine -> square -> affine mod P.  A single affine map is
+# linear (sequential ids would give arithmetic-progression hashes and
+# a degenerate leading-zero profile); the middle squaring term breaks
+# linearity while every intermediate stays < 2^63.
+_HLL_A1, _HLL_B1 = 1103515245, 12345
+_HLL_A2, _HLL_B2 = 69069, 362437
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_DET_M)
+# linear-counting LUT: lc[v] = round(m * ln(m / v)) for v zero
+# registers — precomputed Python-side so no engine ever evaluates a
+# transcendental (ln is not correctly rounded; same discipline as the
+# m1 deterministic exp)
+_HLL_LC = [
+    round(HLL_DET_M * math.log(HLL_DET_M / v))
+    for v in range(1, HLL_DET_M + 1)
+]
+
+
+def _hll_register_exprs(table_or_df: str, keys: Sequence[str], col: str) -> dict:
+    """Dialect-neutral SQL fragments (identical text runs on Spark
+    and DuckDB) for the per-row register computation."""
+    h1 = f"(({col} % {_HLL_P}) * {_HLL_A1} + {_HLL_B1}) % {_HLL_P}"
+    h2 = f"(({h1}) * ({h1})) % {_HLL_P}"
+    h3 = f"(({h2}) * {_HLL_A2} + {_HLL_B2}) % {_HLL_P}"
+    j = f"({h3}) % {HLL_DET_M}"
+    # exact (h3 - j)/m: the quotient is an integer < 2^53, so the
+    # double division is exact and portable (no dialect-split // vs div)
+    w = f"CAST((({h3}) - (({h3}) % {HLL_DET_M})) / {HLL_DET_M} AS BIGINT)"
+    ladder = (
+        "CASE "
+        + " ".join(
+            f"WHEN ({w}) >= {2 ** (21 - i)} THEN {i + 1}" for i in range(22)
+        )
+        + " ELSE 23 END"
+    )
+    return {"j": j, "rank": ladder}
+
+
+def hll_distinct_det(df: DataFrame, keys: Sequence[str], col: str) -> DataFrame:
+    """Deterministic HLL distinct count per key group — identical
+    estimate on any engine (fixed hash family, exact register fold,
+    transcendental-free estimator):
+
+    * register index/rank are pure integer expressions (scan-stage
+      map — at 100 TB each executor folds its partition into m
+      registers per key before the shuffle; the shuffle carries only
+      (key, j, max_rank) partials);
+    * the harmonic sum is EXACT: every term 2^-rank is a multiple of
+      2^-23 and there are only m of them, so the double sum fits in
+      32 bits of mantissa — order-independent by construction;
+    * small range uses linear counting via a precomputed integer LUT
+      (no ln() in either engine), raw HLL estimate otherwise; the
+      HLL++ mid-range bias table is intentionally omitted (documented
+      accuracy tradeoff, bounded by the error test)."""
+    exprs = _hll_register_exprs("", keys, col)
+    rows = df.where(F.col(col).isNotNull()).select(
+        *keys,
+        F.expr(exprs["j"]).alias("_j"),
+        F.expr(exprs["rank"]).alias("_rank"),
+    )
+    regs = rows.groupBy(*keys, "_j").agg(F.max("_rank").alias("_m"))
+    per_key = regs.groupBy(*keys).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_s_present"),
+        F.count(F.lit(1)).alias("_n_reg"),
+    )
+    m = HLL_DET_M
+    s = F.col("_s_present") + (F.lit(m) - F.col("_n_reg")).cast("double")
+    raw = F.lit(_HLL_ALPHA * m * m) / s
+    v = (F.lit(m) - F.col("_n_reg")).cast("int")
+    lc = F.element_at(
+        F.array(*[F.lit(int(x)) for x in _HLL_LC]), v
+    )
+    est = F.when(v > 0, lc.cast("long")).otherwise(
+        F.floor(raw + F.lit(0.5)).cast("long")
+    )
+    return per_key.select(*keys, est.alias("approx_distinct"))
+
+
+def hll_distinct_det_sql(table: str, keys: Sequence[str], col: str) -> str:
+    """DuckDB oracle replaying :func:`hll_distinct_det` exactly."""
+    exprs = _hll_register_exprs(table, keys, col)
+    ks = ", ".join(keys)
+    lut = ", ".join(str(int(x)) for x in _HLL_LC)
+    m = HLL_DET_M
+    return f"""
+    WITH rows_ AS (
+      SELECT {ks}, {exprs['j']} AS j, {exprs['rank']} AS rank
+      FROM {table} WHERE {col} IS NOT NULL
+    ),
+    regs AS (
+      SELECT {ks}, j, max(rank) AS mreg FROM rows_ GROUP BY ALL
+    ),
+    agg AS (
+      SELECT {ks},
+             sum(power(2.0, -mreg)) AS s_present,
+             CAST(count(*) AS BIGINT) AS n_reg
+      FROM regs GROUP BY ALL
+    )
+    SELECT {ks},
+           CASE WHEN {m} - n_reg > 0
+                THEN CAST([{lut}][CAST({m} - n_reg AS INTEGER)] AS BIGINT)
+                ELSE CAST(floor({_HLL_ALPHA * m * m} /
+                       (s_present + CAST({m} - n_reg AS DOUBLE)) + 0.5)
+                     AS BIGINT)
+           END AS approx_distinct
+    FROM agg
+    """
 
 
 PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
