@@ -1578,7 +1578,6 @@ _PIN_UNTIL_CHECKED = [
     "j8_bloom_semi_join",
     "tp_length_buckets",
     "tp_token_mixture",
-    "m1_region_topk",
 ]
 
 # Pin UNTIL RE-CHECKED: entries that were already driver-green but
