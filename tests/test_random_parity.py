@@ -646,3 +646,113 @@ def test_mixed_window_random_parity(spark, entry, w, events):
         _spec(entry),
         {"orders": dfs["orders"], "events": _events_df(spark, events)},
     )
+
+
+# ---------------------------------------------------------------------------
+# rotation-backlog sweep (VERDICT r4 #4): the sq_/gs_/ag_/ts_/gr_
+# families that enter the driver window in rounds 6-7 — pre-verify
+# each on random tables before, not after, its driver row.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "sq_promo_revenue",
+        "sq_price_bands",
+        "sq_small_quantity_revenue",
+        "sq_nation_profit",
+        "sq_dominant_suppliers",
+        "sq_returned_revenue",
+        "sq_volume_shipping",
+        "gs_grouping_sets",
+        "sq_market_share",
+        "sq_waiting_suppliers",
+        "sq_top_supplier",
+        "sq_min_cost_supplier",
+        "sq_supplier_variety",
+        "sq_order_priority",
+        "sq_forecast_revenue",
+        "sq_important_parts",
+    ],
+)
+@SET4
+@given(w=warehouse_tables)
+def test_warehouse_backlog_random_parity(spark, entry, w):
+    _compare(spark, _spec(entry), _warehouse_dfs(spark, w))
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "sq_pareto_skyline",
+        "ag_benford",
+        "sq_pareto_8020",
+        "sq_customer_distribution",
+    ],
+)
+@SET4
+@given(w=warehouse_tables)
+def test_orders_backlog_random_parity(spark, entry, w):
+    dfs = _warehouse_dfs(spark, w)
+    _compare(
+        spark,
+        _spec(entry),
+        {"orders": dfs["orders"], "customer": dfs["customer"]},
+    )
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "gr_label_propagation",
+        "gr_modularity",
+        "gr_assortativity",
+        "ts_topk_hourly",
+        "ts_seasonality",
+        "ts_sliding_rollup",
+        "ag_ks_test",
+        "ts_autocorr",
+        "ag_chisq_cells",
+        "ts_cusum_changepoint",
+        "ag_welch_ttest",
+        "ts_sax_symbols",
+        "ts_holt_trend",
+        "ag_weight_bootstrap",
+        "gs_pivot_wide",
+        "gr_hits",
+        "gr_local_clustering",
+        "ts_mann_kendall",
+        "gr_khop_reach",
+        "ag_mutual_info",
+        "ts_lateness_profile",
+        "ts_fano_factor",
+        "ts_ohlc_hourly",
+        "gr_personalized_pagerank",
+        "ag_survival_lifetable",
+        "ts_acf_lags",
+        "ts_hot_streaks",
+        "ts_peak_hours",
+    ],
+)
+@SET4
+@given(events=events_tables)
+def test_events_backlog_random_parity(spark, entry, events):
+    _compare(spark, _spec(entry), {"events": _events_df(spark, events)})
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "ag_auc",
+        "ag_pr_curve",
+        "ag_calibration",
+        "tp_temp_mixture",
+        "tp_effective_mixture",
+        "tp_shard_manifest",
+    ],
+)
+@SET4
+@given(docs=documents_tables)
+def test_documents_backlog_random_parity(spark, entry, docs):
+    _compare(spark, _spec(entry), {"documents": _docs_df(spark, docs)})
