@@ -1471,7 +1471,6 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "tp_priority_sample": {"priority": 4},
     "ag_quantile_bins": {"bin_lo": 2, "bin_hi": 2},
     "sq_local_supplier_volume": {"revenue": 4},
-    "ts_monthly_trend": {"revenue": 2, "mom_delta": 2, "ma3": 2},
     "ts_transitions": {"p_transition": 6},
     "ag_contribution": {"revenue": 2, "pct_of_total": 4},
     "j10_salted_join": {"revenue": 2},

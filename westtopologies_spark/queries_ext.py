@@ -2720,40 +2720,51 @@ def ag_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_c,
              count(*) AS n_orders
       FROM orders GROUP BY 1
     )
-    SELECT month, revenue, n_orders,
-           round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
-           round(avg(revenue) OVER (ORDER BY month
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS ma3
+    SELECT month, rev_c AS revenue_x1e2, n_orders,
+           rev_c - lag(rev_c) OVER (ORDER BY month) AS mom_delta_x1e2,
+           CAST(sum(rev_c) OVER w3 * (6 // count(*) OVER w3) AS BIGINT)
+             AS ma3_x600
     FROM m
+    WINDOW w3 AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     doc="Calendar trend rollup: monthly revenue with month-over-month "
     "delta and 3-month moving average. The lag/moving windows run on "
     "the PRE-AGGREGATED ~80-row frame (allowlisted single-partition "
     "window: the heavy groupBy shuffled first, the window input is "
-    "tiny by construction). Temporal extension.",
+    "tiny by construction). Temporal extension. ALL-INTEGER (r5 "
+    "fuzzer find: a 2-month head window averages two cents values — "
+    "an exact half-cent tie where the engines' round() algorithms "
+    "legitimately disagree): revenue/delta in exact cents, the "
+    "moving average scaled by LCM(1,2,3)*100=600 so every 1/2/3-row "
+    "head frame stays integral.",
 )
 def ts_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     m = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.sum(rev_c).alias("rev_c"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
     w = Window.orderBy("month")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    n3 = F.count(F.lit(1)).over(w3)
+    ma3_x600 = F.sum("rev_c").over(w3) * (
+        F.when(n3 == 1, F.lit(6)).when(n3 == 2, F.lit(3)).otherwise(F.lit(2))
+    )
     return m.select(
         "month",
-        "revenue",
+        F.col("rev_c").alias("revenue_x1e2"),
         "n_orders",
-        F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias("mom_delta"),
-        F.round(
-            F.avg("revenue").over(w.rowsBetween(-2, Window.currentRow)), 2
-        ).alias("ma3"),
+        (F.col("rev_c") - F.lag("rev_c").over(w)).alias("mom_delta_x1e2"),
+        ma3_x600.cast("long").alias("ma3_x600"),
     )
 
 
