@@ -1450,17 +1450,10 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "dv_cdc_apply": {"last_value": 2},
     "ts_session_window": {"sum_value": 2},
     "gs_rollup": {"sum_qty": 2, "sum_price": 2},
-    "ag_trimmed_mean": {"trimmed_mean": 4},
-    "tp_quality_gate": {"quality_score": 4},
-    "ts_cohort": {"retention": 4},
-    "ag_corr": {"covar": 4, "corr": 4},
-    "tp_contamination": {"rate": 4},
     "ag_profile": {"min_num": 4, "max_num": 4},
     "wn_range_frame": {"sum_prev_hour": 2},
     "ud_geomean": {"geomean": 4},
     "ag_histogram": {"bin_min": 2, "bin_max": 2},
-    "ts_ewma": {"ewma": 6},
-    "tp_class_weights": {"weight": 6},
     "ag_pivot": {
         "event_type_click": 2,
         "event_type_error": 2,
@@ -1468,11 +1461,8 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
         "event_type_signup": 2,
         "event_type_view": 2,
     },
-    "tp_priority_sample": {"priority": 4},
     "ag_quantile_bins": {"bin_lo": 2, "bin_hi": 2},
     "sq_local_supplier_volume": {"revenue": 4},
-    "ts_transitions": {"p_transition": 6},
-    "ag_contribution": {"revenue": 2, "pct_of_total": 4},
     "j10_salted_join": {"revenue": 2},
     "ag_winsorized_mean": {"winsorized_mean": 4, "cap_lo": 4, "cap_hi": 4},
     "gs_cube": {"sum_price": 2},
@@ -1515,6 +1505,27 @@ _HARDEN_PORTABLE: dict[str, dict[str, int]] = {
     # boundary, rule 4); o_totalprice is the zero-doubt cents wrap of
     # a raw 2-dp passthrough (r4 verdict #1)
     "wn_ntile_cume": {"pct_rank": 6, "cume": 6, "o_totalprice": 2},
+    # r5 tie sweep (rule 16 + the ts_monthly_trend fuzzer find): every
+    # entry below now emits a RAW bit-identical double (single int/int
+    # or decimal-exact division, or the shared EWMA left-fold — inner
+    # builtin round(x, K>0) removed from BOTH dialects) and ships it
+    # through the portable half-up, which agrees across engines even
+    # at exact representable ties.
+    "ag_trimmed_mean": {"trimmed_mean": 4},
+    "tp_quality_gate": {"quality_score": 4},
+    "ts_cohort": {"retention": 4},
+    "tp_contamination": {"rate": 4},
+    "ts_ewma": {"ewma": 6},
+    "tp_class_weights": {"weight": 6},
+    "tp_priority_sample": {"priority": 4},
+    "ts_transitions": {"p_transition": 6},
+    "ag_contribution": {"revenue": 2, "pct_of_total": 4},
+    "tx_quality_score": {
+        "avg_token_len": 4,
+        "stopword_ratio": 4,
+        "alpha_ratio": 4,
+        "quality_score": 4,
+    },
 }
 
 # Applied LAZILY (first catalog access), not at module scope: if a
@@ -1594,6 +1605,10 @@ _PIN_UNTIL_RECHECKED: dict[str, int] = {
     # r5: rows-only exemption retired — deterministic fixed-hash HLL
     # now has a real oracle (verdict r4 #6); needs its first hash row
     "ag_hll_distinct": 4,
+    # r5 tie sweep: quality features now raw-double + portable wrap
+    # (shared kernel with the window entry tp_quality_gate) — the old
+    # r1-green row hashed the rounded-double contract
+    "tx_quality_score": 4,
 }
 
 

@@ -461,7 +461,8 @@ def _trimmed_sql() -> str:
       FROM orders
     )
     SELECT o_orderpriority, count(*) AS n_kept,
-           round(avg(v), 4) AS trimmed_mean
+           CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             AS trimmed_mean
     FROM ranked
     WHERE rn > floor(n * {f}) AND rn <= n - floor(n * {f})
     GROUP BY o_orderpriority
@@ -622,7 +623,7 @@ def _cohort_sql() -> str:
       FROM act a JOIN coh c ON a.user_id = c.user_id GROUP BY 1, 2
     )
     SELECT m.cohort_week, week_offset, n_active, cohort_size,
-           round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention
+           CAST(n_active AS DOUBLE) / cohort_size AS retention
     FROM m JOIN sz ON m.cohort_week = sz.cohort_week
     """
 
@@ -927,7 +928,7 @@ def _contamination_sql() -> str:
     )
     SELECT s.doc_id, count(*) AS n_shingles,
            count(t.shingle) AS n_contaminated,
-           round(CAST(count(t.shingle) AS DOUBLE) / count(*), 4) AS rate
+           CAST(count(t.shingle) AS DOUBLE) / count(*) AS rate
     FROM shingles s LEFT JOIN train t ON s.shingle = t.shingle
     WHERE s.doc_id {is_new}
     GROUP BY s.doc_id
@@ -1781,8 +1782,8 @@ def _ewma_sql() -> str:
       FROM events GROUP BY 1
     )
     SELECT user_id, CAST(len(xs) AS INTEGER) AS n_events,
-           round(list_reduce(list_prepend(xs[1], xs[2:]),
-                             (a, x) -> a * {1.0 - a!r} + x * {a!r}), 6) AS ewma
+           list_reduce(list_prepend(xs[1], xs[2:]),
+                       (a, x) -> a * {1.0 - a!r} + x * {a!r}) AS ewma
     FROM ordered
     """
 
@@ -1957,7 +1958,7 @@ def tp_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, count(*) AS n_c FROM embeddings GROUP BY 1
     ),
     tot AS (SELECT sum(n_c) AS n, count(*) AS n_classes FROM counts)
-    SELECT label, n_c, round(n / (n_classes * n_c), 6) AS weight
+    SELECT label, n_c, n / (n_classes * n_c) AS weight
     FROM counts CROSS JOIN tot
     """,
     doc="Inverse-frequency class weights (balanced convention "
@@ -2190,7 +2191,7 @@ def _priority_sample_sql() -> str:
     WITH pri AS (
       SELECT doc_id, n_chars AS weight, {pri} AS p FROM documents
     )
-    SELECT doc_id, weight, round(p, 4) AS priority
+    SELECT doc_id, weight, p AS priority
     FROM pri ORDER BY p DESC, doc_id ASC LIMIT {TP.PRIORITY_SAMPLE_N}
     """
 
@@ -2786,9 +2787,9 @@ def ts_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src, dst, count(*) AS n FROM seq
       WHERE dst IS NOT NULL GROUP BY 1, 2
     ),
-    t AS (SELECT src, sum(n) AS tot FROM c GROUP BY 1)
+    t AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
     SELECT c.src, c.dst, c.n,
-           round(c.n / t.tot, 6) AS p_transition
+           c.n / t.tot AS p_transition
     FROM c JOIN t USING (src)
     """,
     doc="First-order Markov transition matrix over per-user event "
@@ -2806,7 +2807,11 @@ def ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
     t = c.groupBy("src").agg(F.sum("n").alias("tot"))
     return c.join(t, "src").select(
-        "src", "dst", "n", F.round(F.col("n") / F.col("tot"), 6).alias("p_transition")
+        "src",
+        "dst",
+        "n",
+        # raw single int/int division; portable-wrapped (rule 4)
+        (F.col("n") / F.col("tot")).alias("p_transition"),
     )
 
 
@@ -2820,8 +2825,8 @@ def ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY 1
     )
     SELECT o_orderpriority, revenue, n_orders,
-           round(revenue * 100.0 / CAST(sum(CAST(revenue AS DECIMAL(18,2)))
-                 OVER () AS DOUBLE), 4) AS pct_of_total
+           revenue * 100.0 / CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+                 OVER () AS DOUBLE) AS pct_of_total
     FROM a
     """,
     doc="Ratio-to-report contribution analysis: per-class revenue "
@@ -2842,13 +2847,14 @@ def ag_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "revenue",
         "n_orders",
-        F.round(
+        # raw shared tree over DECIMAL-exact sums; portable-wrapped
+        # (rule 4)
+        (
             F.col("revenue")
             * 100.0
             / F.sum(F.col("revenue").cast("decimal(18,2)"))
             .over(Window.partitionBy())
-            .cast("double"),
-            4,
+            .cast("double")
         ).alias("pct_of_total"),
     )
 

@@ -522,13 +522,13 @@ def _quality_sql() -> str:
     )
     SELECT doc_id,
            CAST(n_tokens AS INTEGER) AS n_tokens,
-           round(avg_len, 4) AS avg_token_len,
-           round(stop_ratio, 4) AS stopword_ratio,
-           round(alpha_ratio, 4) AS alpha_ratio,
-           round(least(n_tokens / 100.0, 1.0) * 0.25
+           avg_len AS avg_token_len,
+           stop_ratio AS stopword_ratio,
+           alpha_ratio,
+           least(n_tokens / 100.0, 1.0) * 0.25
                  + least(stop_ratio * 4, 1.0) * 0.25
                  + alpha_ratio * 0.25
-                 + least(avg_len / 8, 1.0) * 0.25, 4) AS quality_score
+                 + least(avg_len / 8, 1.0) * 0.25 AS quality_score
     FROM feats
     """
 

@@ -479,7 +479,14 @@ def trimmed_mean(
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.avg("_v"), 4).alias("trimmed_mean"),
+            # DECIMAL-exact sum (rule 1) then ONE division — the mean
+            # double is bit-identical cross-engine; the catalog entry
+            # portable-wraps it (builtin avg is an order-dependent
+            # double fold, and builtin round(x,4) flips at ties)
+            (
+                F.sum(F.col("_v").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("trimmed_mean"),
         )
     )
 

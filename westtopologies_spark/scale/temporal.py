@@ -387,9 +387,10 @@ def cohort_retention(
         "week_offset",
         "n_active",
         "cohort_size",
-        F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
-            "retention"
-        ),
+        # raw single int/int division (bit-identical cross-engine);
+        # the catalog entry portable-wraps it — builtin round(x, 4)
+        # diverges at representable ties (rule 4)
+        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
     )
 
 
@@ -461,13 +462,12 @@ def ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
         .select(
             "user_id",
             F.size("xs").alias("n_events"),
-            F.round(
-                F.aggregate(
-                    F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
-                    F.element_at("xs", 1),
-                    lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
-                ),
-                6,
+            # raw fold result (bit-identical by the shared left-fold,
+            # rule 2); portable-wrapped by the catalog entry (rule 4)
+            F.aggregate(
+                F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+                F.element_at("xs", 1),
+                lambda acc, x: acc * F.lit(1.0 - a) + x * F.lit(a),
             ).alias("ewma"),
         )
     )

@@ -48,13 +48,18 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + alpha_ratio * 0.25
         + F.least(avg_len / 8, F.lit(1.0)) * 0.25
     )
+    # RAW doubles, no inner builtin round: every ratio is a single
+    # division of exact ints (bit-identical cross-engine), and builtin
+    # round(x, K>0) diverges between engines exactly at representable
+    # ties (rule 4 / the r5 ts_monthly_trend fuzzer find).  The catalog
+    # entries ship these through the portable half-up wrap instead.
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(avg_len, 4).alias("avg_token_len"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
     )
 
 

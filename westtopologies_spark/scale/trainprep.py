@@ -290,7 +290,8 @@ def contamination_rates(
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.count("_hit").alias("n_contaminated"),
-            F.round(F.count("_hit") / F.count(F.lit(1)), 4).alias("rate"),
+            # raw ratio; portable-wrapped by the catalog entry (rule 4)
+            (F.count("_hit") / F.count(F.lit(1))).alias("rate"),
         )
     )
 
@@ -496,9 +497,8 @@ def class_weights(labeled: DataFrame, label: str = "label") -> DataFrame:
     return counts.crossJoin(F.broadcast(tot)).select(
         label,
         "n_c",
-        F.round(F.col("n") / (F.col("n_classes") * F.col("n_c")), 6).alias(
-            "weight"
-        ),
+        # raw ratio; portable-wrapped by the catalog entry (rule 4)
+        (F.col("n") / (F.col("n_classes") * F.col("n_c"))).alias("weight"),
     )
 
 
@@ -536,5 +536,6 @@ def priority_sample(
         )
         .orderBy(F.desc("_pri"), F.asc(id_col))
         .limit(n)
-        .select(id_col, "weight", F.round("_pri", 4).alias("priority"))
+        # raw priority; portable-wrapped by the catalog entry (rule 4)
+        .select(id_col, "weight", F.col("_pri").alias("priority"))
     )
