@@ -470,6 +470,85 @@ def _exp_poly_sql(r: str, k: str) -> str:
     return f"{poly} * power(2.0, {k})"
 
 
+def det_exp_stages(a: str, prefix: str = "x") -> list:
+    """Staged (name, sql) pairs computing the deterministic exp of
+    column ``a``: {prefix}k (power-of-two index), {prefix}r (Horner
+    residual), {prefix}e (the result).  Dialect-neutral SQL."""
+    return [
+        (f"{prefix}k", f"floor({a} * {_EXP_INVLN2} + 0.5)"),
+        (f"{prefix}r", f"{a} - {prefix}k * {_EXP_LN2}"),
+        (f"{prefix}e", _exp_poly_sql(f"{prefix}r", f"{prefix}k")),
+    ]
+
+
+_LN_SQRT2 = "1.4142135623730951"
+_LN_LADDER_HI, _LN_LADDER_LO = 40, -10
+
+
+def det_ln_stages(x: str, prefix: str = "l") -> list:
+    """Staged (name, sql) pairs computing a DETERMINISTIC ln(x) for
+    positive ``x`` from exactly-rounded IEEE ops only (rule 17 — libm
+    vs JVM log differ by ulps): k = floor(log2 x) via a power-of-two
+    comparison ladder (exact literals, no log anywhere), m = x/2^k
+    reduced into [sqrt2/2, sqrt2), then ln m = 2*atanh(t) with
+    t = (m-1)/(m+1), |t| <= 0.1716, as a 12-term Horner in t^2
+    (truncation ~1e-18); ln x = 2*t*P(t^2) + k*ln2.  Every op is a
+    correctly-rounded mul/add/div/floor/power-of-two, so Spark,
+    DuckDB, and CPython agree bitwise.  Accuracy degrades (but stays
+    deterministic) below 2^-10."""
+    ladder = (
+        "CASE "
+        + " ".join(
+            f"WHEN {x} >= {repr(2.0 ** k)} THEN {k}"
+            for k in range(_LN_LADDER_HI, _LN_LADDER_LO, -1)
+        )
+        + f" ELSE {_LN_LADDER_LO} END"
+    )
+    coeffs = [1.0 / (2 * i + 1) for i in range(12)]
+    poly = repr(coeffs[11])
+    for c in reversed(coeffs[:11]):
+        poly = f"({poly} * {prefix}u + {repr(c)})"
+    return [
+        (f"{prefix}k", ladder),
+        (f"{prefix}m", f"{x} / power(2.0, {prefix}k)"),
+        (
+            f"{prefix}k2",
+            f"CASE WHEN {prefix}m > {_LN_SQRT2} THEN {prefix}k + 1"
+            f" ELSE {prefix}k END",
+        ),
+        (
+            f"{prefix}m2",
+            f"CASE WHEN {prefix}m > {_LN_SQRT2} THEN {prefix}m / 2.0"
+            f" ELSE {prefix}m END",
+        ),
+        (f"{prefix}t", f"({prefix}m2 - 1.0) / ({prefix}m2 + 1.0)"),
+        (f"{prefix}u", f"{prefix}t * {prefix}t"),
+        (
+            f"{prefix}ln",
+            f"2.0 * {prefix}t * {poly} + {prefix}k2 * {_EXP_LN2}",
+        ),
+    ]
+
+
+def det_ln_py(x: float) -> float:
+    """CPython replica of :func:`det_ln_stages` (same ops, order)."""
+    k = _LN_LADDER_LO
+    for kk in range(_LN_LADDER_HI, _LN_LADDER_LO, -1):
+        if x >= 2.0 ** kk:
+            k = kk
+            break
+    m = x / (2.0 ** k)
+    if m > 1.4142135623730951:
+        k, m = k + 1, m / 2.0
+    t = (m - 1.0) / (m + 1.0)
+    u = t * t
+    coeffs = [1.0 / (2 * i + 1) for i in range(12)]
+    p = coeffs[11]
+    for c in reversed(coeffs[:11]):
+        p = p * u + c
+    return 2.0 * t * p + k * 0.6931471805599453
+
+
 def det_exp_py(x: float) -> float:
     """CPython replica of the deterministic exp — for pure-Python
     property-test references (same ops, same order, same doubles)."""

@@ -1452,7 +1452,6 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "gs_rollup": {"sum_qty": 2, "sum_price": 2},
     "ag_profile": {"min_num": 4, "max_num": 4},
     "wn_range_frame": {"sum_prev_hour": 2},
-    "ud_geomean": {"geomean": 4},
     "ag_histogram": {"bin_min": 2, "bin_max": 2},
     "ag_pivot": {
         "event_type_click": 2,
@@ -1464,12 +1463,10 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "ag_quantile_bins": {"bin_lo": 2, "bin_hi": 2},
     "sq_local_supplier_volume": {"revenue": 4},
     "j10_salted_join": {"revenue": 2},
-    "ag_winsorized_mean": {"winsorized_mean": 4, "cap_lo": 4, "cap_hi": 4},
     "gs_cube": {"sum_price": 2},
     # o_totalprice: raw 2-dp passthrough, but never driver-checked and
     # window-eligible — zero-doubt cents wrap (r4 verdict #1)
     "sq_large_orders": {"total_qty": 2, "o_totalprice": 2},
-    "ag_gini": {"gini": 6},
     "gr_neighbor_jaccard": {"jaccard": 6},
     "gr_pagerank": {"pagerank": 6},
     "sq_returned_revenue": {"revenue": 4},
@@ -1512,6 +1509,10 @@ _HARDEN_PORTABLE: dict[str, dict[str, int]] = {
     # through the portable half-up, which agrees across engines even
     # at exact representable ties.
     "ag_trimmed_mean": {"trimmed_mean": 4},
+    "ag_gini": {"gini": 6},
+    "ag_winsorized_mean": {"winsorized_mean": 4},
+    "ud_geomean": {"geomean": 4},
+    "ag_corr": {"covar": 4, "corr": 4},
     "tp_quality_gate": {"quality_score": 4},
     "ts_cohort": {"retention": 4},
     "tp_contamination": {"rate": 4},

@@ -646,10 +646,40 @@ def ts_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORR_SQL = """
-SELECT l_returnflag, count(*) AS n,
-       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar,
-       round(corr(l_quantity, l_extendedprice), 4) AS corr
-FROM lineitem GROUP BY 1
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+a AS (
+  SELECT l_returnflag, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+         CAST(sum(y*y) // 1048576 AS BIGINT) AS syyh,
+         CAST(sum(y*y) % 1048576 AS BIGINT) AS syyl,
+         min(x) AS xmin, max(x) AS xmax,
+         min(y) AS ymin, max(y) AS ymax
+  FROM c GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CASE WHEN n >= 2 THEN
+         ((CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(n AS DOUBLE) - 1.0)) / 100.0
+       END AS covar,
+       CASE WHEN n >= 2 AND xmin < xmax AND ymin < ymax THEN
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE)
+                   * (CAST(syyh AS DOUBLE) * 1048576.0
+                      + CAST(syyl AS DOUBLE))
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr
+FROM a
 """
 
 
@@ -659,7 +689,11 @@ FROM lineitem GROUP BY 1
     doc="Per-group Pearson correlation / sample covariance "
     "(quantity vs extended price per return flag): algebraic "
     "aggregates, one map-side-combined shuffle, constant memory per "
-    "group. Aggregate-statistics extension.",
+    "group. Aggregate-statistics extension. EXACT sufficient "
+    "statistics (integer x, cents y; the one >2^63 sum split into "
+    "hi*2^20+lo BIGINTs for a portable double reconstruction) feed "
+    "ONE shared tree — the builtin covar_samp/corr accumulate "
+    "differently per engine (rules 5/16/17); portable wrap.",
 )
 def ag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale.aggstats import grouped_corr
@@ -1423,20 +1457,55 @@ def wn_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _geomean_sql() -> str:
+    from .ops.model import det_exp_stages, det_ln_stages
+
+    stages = [
+        "pos AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE)"
+        " AS x FROM orders WHERE o_totalprice > 0)"
+    ]
+    prev = "pos"
+    for i, (name, sql) in enumerate(det_ln_stages("x", "l")):
+        cte = f"l{i}"
+        stages.append(f"{cte} AS (SELECT *, {sql} AS {name} FROM {prev})")
+        prev = cte
+    stages.append(
+        "agg AS (SELECT o_orderpriority,"
+        " CAST(sum(CASE WHEN lln >= 0"
+        " THEN floor(lln * 1000000000 + 0.5)"
+        " ELSE -floor(-(lln) * 1000000000 + 0.5) END) AS BIGINT) AS s,"
+        " count(*) AS n FROM l6 GROUP BY 1)"
+    )
+    stages.append(
+        "ga0 AS (SELECT g.o_orderpriority,"
+        " CAST(agg.s AS DOUBLE) / (agg.n * 1000000000.0) AS ga"
+        " FROM (SELECT DISTINCT o_orderpriority FROM orders) g"
+        " LEFT JOIN agg USING (o_orderpriority))"
+    )
+    prev = "ga0"
+    for i, (name, sql) in enumerate(det_exp_stages("ga", "g")):
+        cte = f"g{i + 1}"
+        stages.append(f"{cte} AS (SELECT *, {sql} AS {name} FROM {prev})")
+        prev = cte
+    body = ",\n    ".join(stages)
+    return f"""
+    WITH {body}
+    SELECT o_orderpriority, ge AS geomean FROM {prev}
+    """
+
+
 @_register(
     "ud_geomean",
-    """
-    SELECT o_orderpriority,
-           round(exp(avg(ln(CASE WHEN o_totalprice > 0
-                                 THEN o_totalprice END))), 4) AS geomean
-    FROM orders GROUP BY o_orderpriority
-    """,
+    _geomean_sql(),
     doc="Geometric mean of order value per priority via a custom "
     "grouped-agg Pandas UDAF (Arrow-batched, slots into groupBy like "
     "a built-in). Documents the trade-off: the UDAF path skips "
     "map-side partial aggregation, so prefer the algebraic "
-    "exp(avg(ln x)) form — which the oracle uses — when the "
-    "aggregate decomposes. Custom-function extension.",
+    "exp(avg(ln x)) form when the aggregate decomposes. "
+    "Custom-function extension. DETERMINISTIC (rule 17): the UDAF "
+    "and the oracle share the exactly-rounded det-ln/det-exp chains "
+    "with an exact integer-quantized log sum — no libm anywhere, so "
+    "CPython, Spark and DuckDB agree bitwise.",
 )
 def ud_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.udafs import geometric_mean
@@ -1444,7 +1513,7 @@ def ud_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.round(geometric_mean("o_totalprice"), 4).alias("geomean"))
+        .agg(geometric_mean("o_totalprice").alias("geomean"))
     )
 
 
@@ -3087,22 +3156,47 @@ def mm_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ag_winsorized_mean",
     """
-    WITH q AS (
+    WITH c AS (
       SELECT o_orderpriority,
-             round(quantile_cont(o_totalprice, 0.1), 4) AS lo,
-             round(quantile_cont(o_totalprice, 0.9), 4) AS hi
-      FROM orders GROUP BY 1
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    r AS (
+      SELECT o_orderpriority, vc,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY vc) AS rk,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ),
+    q AS (
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN rk = (n-1)//10 + 1
+                             THEN (10 - (n-1)%10) * vc
+                           WHEN rk = (n-1)//10 + 2
+                             THEN ((n-1)%10) * vc
+                           ELSE 0 END) AS BIGINT) AS lo10,
+             CAST(sum(CASE WHEN rk = (9*(n-1))//10 + 1
+                             THEN (10 - (9*(n-1))%10) * vc
+                           WHEN rk = (9*(n-1))//10 + 2
+                             THEN ((9*(n-1))%10) * vc
+                           ELSE 0 END) AS BIGINT) AS hi10
+      FROM r GROUP BY 1
     )
-    SELECT o.o_orderpriority, count(*) AS n_rows,
-           round(avg(least(greatest(o.o_totalprice, lo), hi)), 4)
+    SELECT r.o_orderpriority, count(*) AS n_rows,
+           CAST(CAST(sum(least(greatest(10 * r.vc, q.lo10), q.hi10))
+                     AS BIGINT) AS DOUBLE) / (count(*) * 1000.0)
              AS winsorized_mean,
-           round(min(lo), 4) AS cap_lo, round(max(hi), 4) AS cap_hi
-    FROM orders o JOIN q USING (o_orderpriority)
+           CAST(min(q.lo10) * 10 AS BIGINT) AS cap_lo_x1e4,
+           CAST(max(q.hi10) * 10 AS BIGINT) AS cap_hi_x1e4
+    FROM r JOIN q USING (o_orderpriority)
     GROUP BY 1
     """,
     doc="Winsorized mean per priority class: exact rank-plan p10/p90 "
     "caps broadcast back, outlier rows kept but clamped (vs trimmed "
-    "mean which drops them). Aggregate-statistics extension.",
+    "mean which drops them). Aggregate-statistics extension. Exact "
+    "denominator-10 integer caps (cents*10 BIGINTs) and an exact "
+    "clamped integer sum; the mean is one shared double division, "
+    "portable-wrapped (rule 16).",
 )
 def ag_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import aggstats as A
@@ -3666,43 +3760,49 @@ def tx_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ag_gini",
     """
     WITH r AS (
-      SELECT o_orderpriority, o_totalprice,
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
              row_number() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice, o_orderkey) AS i,
-             count(*) OVER (PARTITION BY o_orderpriority) AS n,
-             sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
       FROM orders
     )
     SELECT o_orderpriority,
-           round(2.0 * sum(i * o_totalprice) / (max(n) * max(tot))
-                 - (max(n) + 1.0) / max(n), 6) AS gini
+           2.0 * CAST(CAST(sum(i * vc) AS BIGINT) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * CAST(CAST(sum(vc) AS BIGINT)
+                                              AS DOUBLE))
+             - (CAST(max(n) AS DOUBLE) + 1.0) / CAST(max(n) AS DOUBLE)
+             AS gini
     FROM r GROUP BY 1
     """,
     doc="Gini concentration index of order value per priority class "
     "(G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over rank-sorted values): "
     "the inequality metric for corpus/source concentration audits; "
     "one keyed sort feeds rank, count and total. Aggregate-"
-    "statistics extension.",
+    "statistics extension. Exact BIGINT sufficient statistics "
+    "(sum(i*cents), sum(cents) — the old double sums were partition-"
+    "order-dependent) feed ONE shared tree; portable half-up wrap "
+    "(rule 16).",
 )
 def ag_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     kw = Window.partitionBy("o_orderpriority")
+    vc = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     r = o.select(
         "o_orderpriority",
         "o_totalprice",
-        F.row_number()
-        .over(kw.orderBy("o_totalprice", "o_orderkey"))
-        .alias("i"),
+        "o_orderkey",
+        vc.alias("vc"),
         F.count(F.lit(1)).over(kw).alias("n"),
-        F.sum("o_totalprice").over(kw).alias("tot"),
+    ).withColumn(
+        "i",
+        F.row_number().over(kw.orderBy("o_totalprice", "o_orderkey")),
     )
+    w = F.sum(F.col("i") * F.col("vc")).cast("double")
+    t = F.sum("vc").cast("double")
+    nd = F.max("n").cast("double")
     return r.groupBy("o_orderpriority").agg(
-        F.round(
-            2.0 * F.sum(F.col("i") * F.col("o_totalprice"))
-            / (F.max("n") * F.max("tot"))
-            - (F.max("n") + 1.0) / F.max("n"),
-            6,
-        ).alias("gini")
+        (2.0 * w / (nd * t) - (nd + F.lit(1.0)) / nd).alias("gini")
     )
 
 

@@ -498,18 +498,61 @@ def grouped_corr(
     df: DataFrame, x: str, y: str, keys: Sequence[str]
 ) -> DataFrame:
     """Per-group Pearson correlation and sample covariance of two
-    numeric columns: (keys..., n, covar, corr), rounded to 4dp —
-    coarse enough to absorb summation-order ulps across engines.
+    numeric columns: (keys..., n, covar, corr) — still one
+    map-side-combined shuffle on the keys, constant memory per group.
 
-    ``corr``/``covar_samp`` are algebraic aggregates (sum, sum of
-    squares, cross product): one map-side-combined shuffle on the
-    keys, constant memory per group at any group size — the
-    feature-relationship screen a profiling pass runs next to
-    :func:`profile`."""
-    return df.groupBy(*keys).agg(
+    EXACT sufficient statistics, not the builtin covar_samp/corr
+    (whose internal accumulation differs between engines): x as exact
+    integers, y as exact cents; Sx/Sy/Sxy/Sxx as exact BIGINTs; Syy
+    (which can pass 2^63) as a DECIMAL sum split into
+    hi*2^20 + lo BIGINT halves so its double reconstruction is the
+    IDENTICAL two-op expression on every engine (rule 5: int128/
+    decimal -> double casts are not cross-engine portable above 2^53,
+    exact small ints are).  covar/corr are then ONE shared double
+    tree (bit-identical); zero-variance guards are exact
+    (min==max).  The catalog entry portable-wraps the outputs."""
+    xi = F.col(x).cast("decimal(18,2)").cast("long")
+    yi = (F.col(y).cast("decimal(18,2)") * 100).cast("long")
+    rows = df.where(F.col(x).isNotNull() & F.col(y).isNotNull()).select(
+        *keys, xi.alias("_x"), yi.alias("_y")
+    )
+    agg = rows.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.covar_samp(x, y), CORR_ROUND_DP).alias("covar"),
-        F.round(F.corr(x, y), CORR_ROUND_DP).alias("corr"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum((F.col("_y") * F.col("_y")).cast("decimal(38,0)")).alias(
+            "_syy"
+        ),
+        F.min("_x").alias("_xmin"),
+        F.max("_x").alias("_xmax"),
+        F.min("_y").alias("_ymin"),
+        F.max("_y").alias("_ymax"),
+    )
+    syy_hi = (
+        (F.col("_syy") - F.col("_syy") % 1048576) / 1048576
+    ).cast("long")
+    syy_lo = (F.col("_syy") % 1048576).cast("long")
+    syy_d = syy_hi.cast("double") * F.lit(1048576.0) + syy_lo.cast("double")
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxyd, sxxd = F.col("_sxy").cast("double"), F.col("_sxx").cast("double")
+    covar = F.when(
+        F.col("n") >= 2,
+        ((sxyd - sxd * syd / nd) / (nd - F.lit(1.0))) / F.lit(100.0),
+    )
+    corr = F.when(
+        (F.col("n") >= 2)
+        & (F.col("_xmin") < F.col("_xmax"))
+        & (F.col("_ymin") < F.col("_ymax")),
+        (nd * sxyd - sxd * syd)
+        / F.sqrt(
+            (nd * sxxd - sxd * sxd) * (nd * syy_d - syd * syd)
+        ),
+    )
+    return agg.select(
+        *keys, "n", covar.alias("covar"), corr.alias("corr")
     )
 
 
@@ -748,28 +791,30 @@ def winsorized_mean(
     cap identically), then averaged — the robust mean that keeps
     outlier rows (unlike the trimmed mean, which drops them)."""
     lo_p, hi_p = ps
-    qs = (
-        group_percentiles(df, value, keys, ps=ps)
-        .groupBy(*keys)
-        .pivot("p", [lo_p, hi_p])
-        .sum("pct_value")
-        .select(
-            *keys,
-            F.col(f"`{lo_p}`").alias("_lo"),
-            F.col(f"`{hi_p}`").alias("_hi"),
-        )
+    # EXACT INTEGER caps (rule 16): the p10/p90 interpolation has
+    # denominator 10, so caps live in cents*10 units as BIGINTs;
+    # clamping and summing stay integral, and the mean is ONE shared
+    # double division (portable-wrapped by the catalog entry).
+    num_lo, num_hi = round(lo_p * 10), round(hi_p * 10)
+    r = _ranked_cents(df, value, keys)
+    caps = r.groupBy(*keys).agg(
+        _interp_xden("_vi", num_lo, 10).alias("_lo10"),
+        _interp_xden("_vi", num_hi, 10).alias("_hi10"),
     )
-    capped = F.least(
-        F.greatest(F.col(value).cast("double"), F.col("_lo")), F.col("_hi")
+    capped10 = F.least(
+        F.greatest(10 * F.col("_vi"), F.col("_lo10")), F.col("_hi10")
     )
     return (
-        df.join(F.broadcast(qs), list(keys))
+        r.join(F.broadcast(caps), list(keys))
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.avg(capped), 4).alias("winsorized_mean"),
-            F.round(F.min("_lo"), 4).alias("cap_lo"),
-            F.round(F.max("_hi"), 4).alias("cap_hi"),
+            (
+                F.sum(capped10).cast("double")
+                / (F.count(F.lit(1)) * F.lit(1000.0))
+            ).alias("winsorized_mean"),
+            (F.min("_lo10") * 10).alias("cap_lo_x1e4"),
+            (F.max("_hi10") * 10).alias("cap_hi_x1e4"),
         )
     )
 
