@@ -645,6 +645,7 @@ def test_winsorized_mean_caps(spark):
     df = spark.createDataFrame([("g", v) for v in vals], ["k", "v"])
     row = A.winsorized_mean(df, "v", ["k"]).collect()[0]
     # capped mean sits strictly between the raw mean w/o outliers and w/
-    assert row["cap_lo"] > 1.0 and row["cap_hi"] < 1000.0
+    # (caps are exact dollars*1e4 BIGINTs after the rule-16 rework)
+    assert row["cap_lo_x1e4"] > 1.0 * 1e4 and row["cap_hi_x1e4"] < 1000.0 * 1e4
     assert row["winsorized_mean"] < 100.0  # the 1000 outlier is clamped
     assert row["n_rows"] == 12

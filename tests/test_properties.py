@@ -995,3 +995,49 @@ def test_tp_pack_sequences_matches_python(spark, docs):
         for (src, bid), (n, s) in per_bin.items()
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# deterministic exp/ln (rule 17): accuracy vs libm + engine parity
+# ---------------------------------------------------------------------------
+
+
+@given(st.floats(min_value=-40.0, max_value=0.0))
+def test_det_exp_accuracy(x):
+    import math
+
+    import pytest
+
+    from westtopologies_spark.ops.model import det_exp_py
+
+    got, ref = det_exp_py(x), math.exp(x)
+    assert got == pytest.approx(ref, rel=1e-14)
+
+
+@given(st.floats(min_value=0.01, max_value=1e6))
+def test_det_ln_accuracy_and_roundtrip(x):
+    import math
+
+    import pytest
+
+    from westtopologies_spark.ops.model import det_exp_py, det_ln_py
+
+    got, ref = det_ln_py(x), math.log(x)
+    assert got == pytest.approx(ref, abs=1e-13, rel=1e-13)
+    assert det_exp_py(min(det_ln_py(x), 0.0)) == pytest.approx(
+        min(x, 1.0), rel=1e-12
+    )
+
+
+def test_det_ln_matches_spark_sql(spark):
+    """The staged det-ln SQL on Spark equals the CPython replica
+    BITWISE (the whole point: one chain, three runtimes)."""
+    from westtopologies_spark.ops.model import det_ln_py, det_ln_stages
+
+    vals = [0.01, 0.99, 1.0, 1.5, 2.0, 123.45, 99999.99, 3.14159]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    for name, sql in det_ln_stages("x", "l"):
+        df = df.withColumn(name, __import__("pyspark.sql.functions", fromlist=["expr"]).expr(sql))
+    got = {r["x"]: r["lln"] for r in df.collect()}
+    for v in vals:
+        assert got[v] == det_ln_py(v), v
