@@ -1471,11 +1471,8 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "gr_pagerank": {"pagerank": 6},
     "sq_returned_revenue": {"revenue": 4},
     "sq_volume_shipping": {"revenue": 4},
-    "sq_promo_revenue": {"promo_pct": 6},
     "sq_price_bands": {"revenue": 4},
     "gs_grouping_sets": {"sum_price": 2},
-    "sq_market_share": {"mkt_share": 6},
-    "ts_seasonality": {"avg_value": 6},
     "ts_sliding_rollup": {"sum_value": 2},
 
     "ag_auc": {"auc": 6},
@@ -1485,7 +1482,6 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     "ts_autocorr": {"lag1_corr": 6},
     "sq_small_quantity_revenue": {"avg_yearly": 2},
     "ag_chisq_cells": {"expected": 4, "contrib": 6},
-    "gr_assortativity": {"assortativity": 6},
 }
 
 # ADVICE r3 (low): the former K=9 wraps scaled raw doubles by 1e9 with
@@ -1513,6 +1509,10 @@ _HARDEN_PORTABLE: dict[str, dict[str, int]] = {
     "ag_winsorized_mean": {"winsorized_mean": 4},
     "ud_geomean": {"geomean": 4},
     "ag_corr": {"covar": 4, "corr": 4},
+    "sq_promo_revenue": {"promo_pct": 6},
+    "sq_market_share": {"mkt_share": 6},
+    "ts_seasonality": {"avg_value": 6},
+    "gr_assortativity": {"assortativity": 6},
     "tp_quality_gate": {"quality_score": 4},
     "ts_cohort": {"retention": 4},
     "tp_contamination": {"rate": 4},

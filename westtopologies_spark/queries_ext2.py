@@ -147,12 +147,10 @@ def sq_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "sq_promo_revenue",
     f"""
-    SELECT CAST(round(
-             100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN {_REV_DEC}
-                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                   / CAST(sum({_REV_DEC}) AS DOUBLE),
-             6) AS DOUBLE) AS promo_pct
+    SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN {_REV_DEC}
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(sum({_REV_DEC}) AS DOUBLE) AS promo_pct
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate < TIMESTAMP '1997-10-01'
@@ -178,14 +176,13 @@ def sq_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
+            # raw shared tree over DECIMAL-exact sums; portable wrap
+            # (rule 16 — builtin round(x,6) flips at representable ties)
+            (
                 F.lit(100.0)
                 * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
-                6,
-            )
-            .cast("double")
-            .alias("promo_pct")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
         )
     )
 
@@ -832,13 +829,12 @@ def sq_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
+            # raw shared tree over DECIMAL-exact sums; portable wrap
+            # (rule 16)
+            (
                 F.sum(nation_rev).cast("double")
-                / F.sum("rev").cast("double"),
-                6,
-            )
-            .cast("double")
-            .alias("mkt_share")
+                / F.sum("rev").cast("double")
+            ).alias("mkt_share")
         )
     )
 
@@ -854,8 +850,8 @@ def sq_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(isodow(ts) AS INT) AS dow,
            CAST(hour(ts) AS INT) AS hod,
            count(*) AS n_events,
-           CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                      / count(*), 6) AS DOUBLE) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*) AS avg_value
     FROM events GROUP BY 1, 2
     """,
     doc="Seasonality profile: (ISO weekday x hour-of-day) activity "
@@ -872,13 +868,11 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("int").alias("hod"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
+        # raw DECIMAL-exact mean; portable wrap (rule 16)
+        (
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        )
-        .cast("double")
-        .alias("avg_value"),
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
     )
 
 

@@ -431,8 +431,8 @@ def gr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_edge_ends, sx AS sum_deg, sxx AS sum_deg_sq,
            sxy AS sum_deg_prod,
-           round(CAST(n * sxy - sx * sx AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+           CAST(n * sxy - sx * sx AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
     FROM stats
     """,
     doc="Degree assortativity of the reply graph: Pearson correlation "
@@ -468,12 +468,10 @@ def gr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxy.alias("sum_deg_prod"),
         # try_divide: a degree-regular graph has zero variance; NULL
         # matches DuckDB's x/0.0 (its double division yields NULL,
-        # not inf) — verified parity class, ANSI mode raises otherwise
-        F.round(
-            F.try_divide(
-                (n * sxy - sx * sx).cast("double"),
-                (n * sxx - sx * sx).cast("double"),
-            ),
-            6,
+        # not inf) — verified parity class, ANSI mode raises otherwise.
+        # Raw single division of exact ints; portable wrap (rule 16).
+        F.try_divide(
+            (n * sxy - sx * sx).cast("double"),
+            (n * sxx - sx * sx).cast("double"),
         ).alias("assortativity"),
     )
