@@ -59,22 +59,40 @@ def test_window_queries_have_no_unprecedented_double_outputs(spark, entry_mod):
     assert not window_double_offenders(spark), window_double_offenders(spark)
 
 
-def test_submodule_first_import_order():
-    """Importing a catalog submodule BEFORE the root queries module
-    must still yield the full hardened catalog (regression: the
+@pytest.mark.parametrize(
+    "submodule",
+    [
+        "queries_ext",
+        "queries_ext2",
+        "queries_ext3",
+        "queries_ext4",
+        "queries_ext5",
+        "queries_ext6",
+        "queries_ext7",
+        "queries_scale",
+        "queries_graph",
+    ],
+)
+def test_submodule_first_import_order(submodule):
+    """Importing ANY catalog submodule BEFORE the root queries module
+    must still yield the full hardened catalog (regression class: the
     hash-exact sweep used to run at module scope and saw a partial
-    _CATALOG under this circular-import order)."""
+    _CATALOG; r5 found SEVEN more first-import breaks — eager oracle
+    builders importing sibling-submodule helpers at registration time.
+    Fixed via lazy-callable oracles + early pure-literal CTE blocks;
+    every lazy oracle must resolve to a string at catalog access)."""
     import subprocess
 
     code = (
         "import sys; sys.path.insert(0, %r)\n"
-        "import westtopologies_spark.queries_ext\n"
+        "import westtopologies_spark.%s\n"
         "import westtopologies_spark.queries as q\n"
         "specs = q._ordered()\n"
         "assert len(specs) >= 181, len(specs)\n"
+        "assert all(isinstance(s.oracle, (str, type(None))) for s in specs)\n"
         "assert any('_x1e' in (s.oracle or '')\n"
         "           for s in specs if s.name == 'ag_pivot')\n"
-        "print('ok')\n" % REPO
+        "print('ok')\n" % (REPO, submodule)
     )
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=120

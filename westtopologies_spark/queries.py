@@ -41,7 +41,16 @@ class QuerySpec:
 _CATALOG: list[QuerySpec] = []
 
 
-def _register(name: str, oracle: str | None, doc: str = ""):
+def _register(name: str, oracle, doc: str = ""):
+    """``oracle`` may be the SQL string, None (rows-only), or a
+    ZERO-ARG CALLABLE returning the SQL.  The callable form exists for
+    oracle builders that import helpers from a SIBLING submodule:
+    evaluating those at registration time re-enters the sibling while
+    it is still partially initialized whenever a caller imports that
+    sibling first (circular import — the queries_ext3-first failure
+    class).  Lazy oracles are resolved once, at first catalog
+    access (_apply_hardening), when every submodule has finished."""
+
     def deco(fn):
         # a silently-duplicated name would run one query twice in the
         # driver gate and shadow the other in queries() (caught live:
@@ -1539,6 +1548,15 @@ _HARDENED = False
 def _apply_hardening() -> None:
     global _HARDENED
     if not _HARDENED:
+        # resolve LAZY oracles first (callables registered to dodge
+        # sibling-submodule circular imports — see _register): by the
+        # time the catalog is read, every submodule has finished
+        # initializing, so the builders can import freely
+        for _i, _spec in enumerate(_CATALOG):
+            if callable(_spec.oracle):
+                _CATALOG[_i] = QuerySpec(
+                    _spec.name, _spec.spark, _spec.oracle(), _spec.doc
+                )
         for _n, _s in _HARDEN_SCALES.items():
             _harden(_n, _s)
         for _n, _s in _HARDEN_PORTABLE.items():

@@ -507,7 +507,7 @@ def _quality_gate_sql() -> str:
 
 @_register(
     "tp_quality_gate",
-    _quality_gate_sql(),
+    _quality_gate_sql,  # lazy: builder imports a queries_scale helper
     doc="Quality-proportional retention: keep each document with "
     "probability == its composite quality score, realized as a "
     "deterministic hash threshold (reproducible, repartition-stable, "
@@ -1783,7 +1783,7 @@ def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dd_cluster_components",
-    _components_sql(),
+    _components_sql,  # lazy: builder imports sibling-submodule helpers
     doc="Duplicate-cluster assignment: connected components over the "
     "MinHash near-dup pair graph via iterative min-label propagation "
     "(one shuffle per round, localCheckpoint-truncated lineage, "
@@ -3087,7 +3087,7 @@ def _semantic_dedup_sql() -> str:
 
 @_register(
     "dd_semantic_dedup",
-    _semantic_dedup_sql(),
+    _semantic_dedup_sql,  # lazy: builder imports sibling-submodule helpers
     doc="SemDeDup semantic dedup keep-list, cluster-blocked (the "
     "SemDeDup recipe proper, Abbas et al. 2023): deterministic "
     "spherical-k-means clusters -> EXACT GEMM pairs within each "
@@ -4039,7 +4039,7 @@ def _soft_weights_sql() -> str:
 
 @_register(
     "dd_soft_weights",
-    _soft_weights_sql(),
+    _soft_weights_sql,  # lazy: builder imports sibling-submodule helpers
     doc="Soft dedup: instead of DROPPING near-duplicates, every "
     "document gets training weight 1/|duplicate cluster| (clusters "
     "from the MinHash pair graph's connected components; singletons "
@@ -4269,7 +4269,7 @@ def _prefix_recall_sql() -> str:
 
 @_register(
     "emb_prefix_recall",
-    _prefix_recall_sql(),
+    _prefix_recall_sql,  # lazy: builder imports sibling-submodule helpers
     doc="Matryoshka-style prefix-dimension audit: top-k neighbor "
     "recall when cosine search runs on the first 16 of 64 dims vs "
     "the full vector — the measurement that decides whether "

@@ -459,7 +459,7 @@ def _pq_neardup_sql() -> str:
 
 @_register(
     "dd_pq_neardup",
-    _pq_neardup_sql(),
+    _pq_neardup_sql,  # lazy: builder imports sibling-submodule helpers
     doc="Near-dup candidate generation by product-quantization "
     "blocking: pairs sharing the FULL 4-code tuple (16^4 blocks -> "
     "near-linear candidate mass) confirmed with the exact cosine "
@@ -582,7 +582,7 @@ def _rrf_sql() -> str:
 
 @_register(
     "ann_rrf_fusion",
-    _rrf_sql(),
+    _rrf_sql,  # lazy: builder imports sibling-submodule helpers
     doc="Reciprocal-rank fusion of the exact brute-force and "
     "sign-LSH ANN rankings: per (query, neighbor), score = sum of "
     "SCALE div (60 + rank) over the rankers that returned it "

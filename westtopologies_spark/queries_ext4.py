@@ -505,7 +505,6 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import math  # noqa: E402
 
-from .queries_scale import _ann_bruteforce_sql, _ann_lsh_sql  # noqa: E402
 from .scale import constants as C  # noqa: E402
 from .scale import similarity  # noqa: E402
 
@@ -795,6 +794,9 @@ def _ndcg_ideal_x1e6(k: int) -> int:
 
 
 def _ann_ndcg_sql() -> str:
+    # deferred sibling import (circular-import class, r5 fix)
+    from .queries_scale import _ann_bruteforce_sql, _ann_lsh_sql
+
     k = C.ANN_TOP_K
     ideal = _ndcg_ideal_x1e6(k)
     return f"""
@@ -822,7 +824,7 @@ def _ann_ndcg_sql() -> str:
 
 @_register(
     "ann_ndcg",
-    _ann_ndcg_sql(),
+    _ann_ndcg_sql,  # lazy: sibling-submodule helper import
     doc="nDCG@k audit of the sign-LSH search against the exact "
     "brute-force ranking, graded relevance k+1-i by ground-truth "
     "position — the position-weighted companion of ann_recall_audit "
@@ -1333,7 +1335,7 @@ def _multiprobe_recall_sql() -> str:
 
 @_register(
     "ann_multiprobe_recall",
-    _multiprobe_recall_sql(),
+    _multiprobe_recall_sql,  # lazy: sibling-submodule helper import
     doc="Recall-uplift audit: per query, recall@k of single-probe "
     "LSH vs multi-probe LSH against the brute-force ground truth in "
     "one row — the measurement that justifies the 9x probe cost "
@@ -1469,7 +1471,7 @@ def _dd_sweep_sql() -> str:
 
 @_register(
     "dd_threshold_sweep",
-    _dd_sweep_sql(),
+    _dd_sweep_sql,  # lazy: sibling-submodule helper import
     doc="Dedup threshold sweep: cumulative LSH-candidate pair counts "
     "at each near-dup Jaccard cutoff (0.30..0.90) in ONE confirm "
     "pass — the tuning curve read before choosing the destructive "
@@ -1597,7 +1599,7 @@ def _ivf_sweep_sql() -> str:
 
 @_register(
     "ann_ivf_probe_sweep",
-    _ivf_sweep_sql(),
+    _ivf_sweep_sql,  # lazy: sibling-submodule helper import
     doc="IVF probe sweep: recall@k at n_probe=1 vs n_probe=3 against "
     "the brute-force ground truth, per query, from ONE scored pass — "
     "probe sets are nested, so the probe-1 top-k is a re-rank of the "

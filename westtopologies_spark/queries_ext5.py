@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import _register, _t
-from .queries_ext3 import _pq_cte_parts
 from .scale import constants as C
 
 # ---------------------------------------------------------------------------
@@ -562,6 +561,12 @@ def _pq_adc_sql() -> str:
         f"i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), "
         f"(x, y) -> x + y), 6)"
     )
+    # deferred import (same pattern as queries_ext6): a module-level
+    # `from .queries_ext3 import ...` breaks when a caller imports
+    # queries_ext3 FIRST — queries_ext3 -> queries -> queries_ext5
+    # re-enters the still-partially-initialized queries_ext3
+    from .queries_ext3 import _pq_cte_parts
+
     parts = _pq_cte_parts()
     parts.append(
         f"""qids AS (
@@ -610,7 +615,7 @@ def _pq_adc_sql() -> str:
 
 @_register(
     "ann_pq_adc",
-    _pq_adc_sql(),
+    _pq_adc_sql,  # lazy: builder imports a queries_ext3 helper
     doc="PQ asymmetric-distance (ADC) top-k search (Jegou et al. "
     "2011 §IV — the query path of IVFADC): each query precomputes "
     "an m*k lookup table of squared distances from its RAW subspace "

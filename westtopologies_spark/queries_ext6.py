@@ -383,7 +383,7 @@ def _ivfadc_sql() -> str:
 
 @_register(
     "ann_ivfadc_topk",
-    _ivfadc_sql(),
+    _ivfadc_sql,  # lazy: builder imports queries_ext3/queries_scale helpers
     doc="IVFADC (Jegou et al. 2011) — the production billion-scale "
     "ANN composition: the IVF coarse quantizer (ann_ivf_topk's "
     "deterministic cells) restricts each query to its 3 nearest "

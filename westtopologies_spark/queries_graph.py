@@ -13,9 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ops import graph as G
-from .queries import _event_edges, _register
-
+# shared CTE constants FIRST (pure literals): submodules like
+# queries_ext4/queries_ext6 import them, and a graph-FIRST import
+# re-enters this module via .queries before anything below the
+# .queries import line exists (circular-import class, r5 fix)
 # identical tweet/parent derivation to _ROLES_FEATS_CTE (queries.py)
 _TW_CTE = """
 WITH raw AS (
@@ -50,6 +51,9 @@ dedges AS (
 )
 """
 
+
+from .ops import graph as G
+from .queries import _event_edges, _register
 
 @_register(
     "gr_triangles",

@@ -14,10 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import _as_scaled_int, _register, _scaled_int_sql, _t
 from .scale import constants as C
-from .scale import dedup, multimodal, similarity, textstats
 
+# shared SQL fragment constants FIRST (pure literals over the leaf
+# scale.constants): sibling submodules import them, and a
+# queries_scale-FIRST import re-enters this module via .queries
+# before anything below the .queries import exists (circular-import
+# class, r5 fix)
 # ---------------------------------------------------------------------------
 # shared SQL fragments (documents tokenization / vocabulary / shingles)
 # ---------------------------------------------------------------------------
@@ -77,6 +80,18 @@ _SHINGLES_CTE = f"""
     sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id)
 """
 
+
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {d} + 1), "
+    "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({v}, "
+    "x -> x * x)), (x, y) -> x + y))"
+)
+
+from .queries import _as_scaled_int, _register, _scaled_int_sql, _t
+from .scale import dedup, multimodal, similarity, textstats
 
 def _minhash_sql(threshold: float = C.MINHASH_JACCARD_THRESHOLD) -> str:
     mins = ",\n             ".join(
@@ -290,14 +305,6 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding similarity
 # ---------------------------------------------------------------------------
 
-_DOT = (
-    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {d} + 1), "
-    "i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
-)
-_NORM = (
-    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({v}, "
-    "x -> x * x)), (x, y) -> x + y))"
-)
 
 
 def _neardup_sql() -> str:
