@@ -1369,9 +1369,11 @@ def ag_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("np").alias("n_pos"),
         F.col("nn").alias("n_neg"),
-        (
-            (F.col("u2").cast("double") / 2.0 - npd * (npd + 1.0) / 2.0)
-            / (npd * nnd)
+        # try_divide: a single-class eval set has np*nn == 0 — NULL,
+        # matching DuckDB's x/0 (rule 15; fuzzer-found ANSI crash)
+        F.try_divide(
+            F.col("u2").cast("double") / 2.0 - npd * (npd + 1.0) / 2.0,
+            npd * nnd,
         ).alias("auc"),
     )
 
@@ -1439,9 +1441,11 @@ def ag_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tp").cast("double") / F.col("predicted").cast("double")).alias(
             "precision"
         ),
-        (F.col("tp").cast("double") / F.col("all_pos").cast("double")).alias(
-            "recall"
-        ),
+        # try_divide: zero positives anywhere -> NULL recall, matching
+        # DuckDB's x/0 (rule 15; fuzzer-found ANSI crash)
+        F.try_divide(
+            F.col("tp").cast("double"), F.col("all_pos").cast("double")
+        ).alias("recall"),
     )
 
 
@@ -1771,9 +1775,11 @@ def ag_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.rank().over(wr).cast("bigint") - 1).alias("r0"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
+    # try_divide: a 1-row eval set has n-1 == 0 — NULL bin / NULL
+    # mean_pred, matching DuckDB's x/0 (rule 15; fuzzer-found crash)
     binned = ranked.select(
         F.least(
-            F.floor(F.col("r0") * CALIB_BINS / (F.col("n") - 1)),
+            F.floor(F.try_divide(F.col("r0") * CALIB_BINS, F.col("n") - 1)),
             F.lit(CALIB_BINS - 1),
         )
         .cast("int")
@@ -1784,12 +1790,10 @@ def ag_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (
-            F.sum("r0").cast("double")
-            / (
-                F.count(F.lit(1)).cast("double")
-                * (F.max("n") - 1).cast("double")
-            )
+        F.try_divide(
+            F.sum("r0").cast("double"),
+            F.count(F.lit(1)).cast("double")
+            * (F.max("n") - 1).cast("double"),
         ).alias("mean_pred"),
         (
             F.sum("label").cast("double") / F.count(F.lit(1)).cast("double")
@@ -1861,9 +1865,11 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxyd = F.col("sxy").cast("double")
     return s.select(
         F.col("np").alias("n_pairs"),
-        (
-            (npd * sxyd - sxd * syd)
-            / F.sqrt((npd * sxxd - sxd * sxd) * (npd * syyd - syd * syd))
+        # try_divide: a constant (or <2-point) hourly series has zero
+        # variance — NULL, matching DuckDB's x/0 (rule 15)
+        F.try_divide(
+            npd * sxyd - sxd * syd,
+            F.sqrt((npd * sxxd - sxd * sxd) * (npd * syyd - syd * syd)),
         ).alias("lag1_corr"),
     )
 
@@ -2345,17 +2351,22 @@ def ag_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec).cast("double").alias("s"),
         F.sum(dec * dec).cast("double").alias("ss"),
     )
+    # try_divide: a single-row group has n-1 == 0 — NULL variance,
+    # matching DuckDB's x/0 (rule 15; fuzzer-found ANSI crash)
+    var = F.try_divide(
+        F.col("ss") - F.col("s") * F.col("s") / F.col("n"), F.col("n") - 1
+    )
     a = st.select(
         F.col("event_type").alias("type_a"),
         F.col("n").alias("na"),
         (F.col("s") / F.col("n")).alias("ma"),
-        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("va"),
+        var.alias("va"),
     )
     b = st.select(
         F.col("event_type").alias("type_b"),
         F.col("n").alias("nb"),
         (F.col("s") / F.col("n")).alias("mb"),
-        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("vb"),
+        var.alias("vb"),
     )
     na, nb = F.col("na"), F.col("nb")
     va, vb = F.col("va"), F.col("vb")
@@ -2367,12 +2378,14 @@ def ag_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_b",
             "na",
             "nb",
-            F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
             F.round(
-                F.pow(se2, F.lit(2))
-                / (
-                    F.pow(va / na, F.lit(2)) / (na - 1)
-                    + F.pow(vb / nb, F.lit(2)) / (nb - 1)
+                F.try_divide(F.col("ma") - F.col("mb"), F.sqrt(se2)), 6
+            ).alias("t_stat"),
+            F.round(
+                F.try_divide(
+                    F.pow(se2, F.lit(2)),
+                    F.try_divide(F.pow(va / na, F.lit(2)), na - 1)
+                    + F.try_divide(F.pow(vb / nb, F.lit(2)), nb - 1),
                 ),
                 2,
             ).alias("df_welch"),
@@ -2451,13 +2464,16 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("seg_n"),
     )
     cnt, s, ss = F.col("cnt"), F.col("s"), F.col("ss")
+    # try_divide x2: a single-hour series has cnt-1 == 0 and a
+    # constant series zero variance — NULL z, matching DuckDB's x/0
+    # (rule 15; fuzzer-found ANSI crash)
     zval = F.round(
-        (
+        F.try_divide(
             F.col("seg_n").cast("double") / F.col("seg_hours")
-            - s.cast("double") / cnt
-        )
-        / F.sqrt(
-            (cnt * ss - s * s) / (cnt.cast("double") * (cnt - 1))
+            - s.cast("double") / cnt,
+            F.sqrt(
+                F.try_divide(cnt * ss - s * s, cnt.cast("double") * (cnt - 1))
+            ),
         ),
         6,
     )

@@ -300,15 +300,22 @@ def tp_temp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("long").alias("st"),
         F.sum("n_docs").cast("long").alias("nd"),
     )
+    # st == 0 when every document is NULL/empty: Spark DIV throws
+    # under ANSI while DuckDB // yields NULL — guard to NULL (rule 15;
+    # fuzzer-found crash). NULL then propagates through the outer DIV.
     return sq.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_chars_total",
-        F.expr("(s * 1000000) DIV st").alias("w_x1e6"),
-        F.expr("(s * nd) DIV st").alias("target_docs"),
-        F.expr("(((s * nd) DIV st) * 10000) DIV n_docs").alias(
-            "oversample_x1e4"
-        ),
+        F.expr(
+            "CASE WHEN st <> 0 THEN (s * 1000000) DIV st END"
+        ).alias("w_x1e6"),
+        F.expr(
+            "CASE WHEN st <> 0 THEN (s * nd) DIV st END"
+        ).alias("target_docs"),
+        F.expr(
+            "CASE WHEN st <> 0 THEN (((s * nd) DIV st) * 10000) DIV n_docs END"
+        ).alias("oversample_x1e4"),
     )
 
 

@@ -92,8 +92,11 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxyd = F.col("sxy").cast("double")
-    r = (npd * sxyd - sxd * syd) / F.sqrt(
-        (npd * sxxd - sxd * sxd) * (npd * syyd - syd * syd)
+    # try_divide: a constant hourly series has zero variance — NULL,
+    # matching DuckDB's x/0 (rule 15; fuzzer-found ANSI crash)
+    r = F.try_divide(
+        npd * sxyd - sxd * syd,
+        F.sqrt((npd * sxxd - sxd * sxd) * (npd * syyd - syd * syd)),
     )
     return s.select(
         F.col("lag").cast("bigint").alias("lag"),

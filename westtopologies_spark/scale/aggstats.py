@@ -862,9 +862,12 @@ def bootstrap_ci(events: DataFrame, b: int = BOOT_B) -> DataFrame:
         )
         .select(
             "event_type",
-            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
-                "m"
-            ),
+            # try_divide: a replicate can draw all-zero multiplier
+            # weights (sw == 0) — NULL, matching DuckDB's x/0
+            # (rule 15; fuzzer-found ANSI crash)
+            F.try_divide(
+                F.col("swx").cast("double"), F.col("sw").cast("double")
+            ).alias("m"),
         )
     )
     boot = res.groupBy("event_type").agg(
