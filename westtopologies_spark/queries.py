@@ -1476,6 +1476,16 @@ _HARDEN_SCALES: dict[str, dict[str, int]] = {
     # o_totalprice: raw 2-dp passthrough, but never driver-checked and
     # window-eligible — zero-doubt cents wrap (r4 verdict #1)
     "sq_large_orders": {"total_qty": 2, "o_totalprice": 2},
+    # r5 catalog-wide double scan: the LAST two never-checked entries
+    # with raw-double outputs — all passthroughs (lower-rule quantile
+    # = min; OHLC = first/last/min/max), zero-doubt cents wraps
+    "ag_qq_points": {"q_click": 2, "q_purchase": 2},
+    "ts_ohlc_hourly": {
+        "open_v": 2,
+        "high_v": 2,
+        "low_v": 2,
+        "close_v": 2,
+    },
     "gr_neighbor_jaccard": {"jaccard": 6},
     "gr_pagerank": {"pagerank": 6},
     "sq_returned_revenue": {"revenue": 4},
