@@ -654,6 +654,17 @@ def test_mixed_window_random_parity(spark, entry, w, events):
 # each on random tables before, not after, its driver row.
 # ---------------------------------------------------------------------------
 
+# 2 examples per backlog entry: the 4-example discovery pass already
+# ran this round (found ts_monthly_trend's half-cent tie + nine ANSI
+# divide-by-zero crashes, all fixed); the permanent suite keeps a
+# bounded regression probe so full-pytest wall-clock stays sane.
+SET2 = settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
 
 @pytest.mark.parametrize(
     "entry",
@@ -676,7 +687,7 @@ def test_mixed_window_random_parity(spark, entry, w, events):
         "sq_important_parts",
     ],
 )
-@SET4
+@SET2
 @given(w=warehouse_tables)
 def test_warehouse_backlog_random_parity(spark, entry, w):
     _compare(spark, _spec(entry), _warehouse_dfs(spark, w))
@@ -691,7 +702,7 @@ def test_warehouse_backlog_random_parity(spark, entry, w):
         "sq_customer_distribution",
     ],
 )
-@SET4
+@SET2
 @given(w=warehouse_tables)
 def test_orders_backlog_random_parity(spark, entry, w):
     dfs = _warehouse_dfs(spark, w)
@@ -735,7 +746,7 @@ def test_orders_backlog_random_parity(spark, entry, w):
         "ts_peak_hours",
     ],
 )
-@SET4
+@SET2
 @given(events=events_tables)
 def test_events_backlog_random_parity(spark, entry, events):
     _compare(spark, _spec(entry), {"events": _events_df(spark, events)})
@@ -752,7 +763,7 @@ def test_events_backlog_random_parity(spark, entry, events):
         "tp_shard_manifest",
     ],
 )
-@SET4
+@SET2
 @given(docs=documents_tables)
 def test_documents_backlog_random_parity(spark, entry, docs):
     _compare(spark, _spec(entry), {"documents": _docs_df(spark, docs)})
