@@ -192,7 +192,10 @@ def personalized_pagerank(
         F.count(F.lit(1)).cast("double").alias("ns")
     )
     outdeg = dedges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    reset = F.round(is_seed / F.col("ns"), 9)
+    # try_divide: a graph with NO seed nodes has ns == 0 — every rank
+    # becomes NULL, matching DuckDB's x/0 in the unrolled replay
+    # (rule 15; fuzzer-found ANSI crash)
+    reset = F.round(F.try_divide(is_seed, F.col("ns")), 9)
     pr = nodes.crossJoin(F.broadcast(ns_df)).select(
         "node", reset.alias("pr"), "ns"
     )
@@ -209,7 +212,7 @@ def personalized_pagerank(
             .select(
                 "node",
                 F.round(
-                    (1.0 - damping) * (is_seed / F.col("ns"))
+                    (1.0 - damping) * F.try_divide(is_seed, F.col("ns"))
                     + damping * F.coalesce(F.col("in_mass"), F.lit(0.0)),
                     9,
                 ).alias("pr"),

@@ -1466,6 +1466,7 @@ KS_TYPE_B = "purchase"
              CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END AS b
       FROM events
       WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        AND value IS NOT NULL
     ),
     by_val AS (
       SELECT value, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
@@ -1495,8 +1496,14 @@ KS_TYPE_B = "purchase"
     "D un-rounded. Aggregate-statistics extension.",
 )
 def ag_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL measurements are not points of a value CDF — and an
+    # order-by column must never be nullable without an explicit
+    # filter (Spark ascending = NULLS FIRST vs DuckDB NULLS LAST
+    # flipped the cumulative gap; rule 15 / the ag_qq_points class,
+    # re-found here by the backlog fuzzer)
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+        & F.col("value").isNotNull()
     )
     pts = ev.select(
         "value",
@@ -1522,10 +1529,13 @@ def ag_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
-            (
-                F.max(F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")))
-                .cast("double")
-                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            # try_divide: one sample empty -> NULL, matching DuckDB's
+            # x/0 (rule 15; fuzzer-found ANSI crash)
+            F.try_divide(
+                F.max(
+                    F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+                ).cast("double"),
+                F.col("n1").cast("double") * F.col("n2").cast("double"),
             ).alias("ks_d")
         )
     )
