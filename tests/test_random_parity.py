@@ -744,6 +744,9 @@ def test_orders_backlog_random_parity(spark, entry, w):
         "ts_acf_lags",
         "ts_hot_streaks",
         "ts_peak_hours",
+        "j12_geo_cell_join",
+        "ag_linfit",
+        "ag_effect_size",
     ],
 )
 @SET2
@@ -767,3 +770,27 @@ def test_events_backlog_random_parity(spark, entry, events):
 @given(docs=documents_tables)
 def test_documents_backlog_random_parity(spark, entry, docs):
     _compare(spark, _spec(entry), {"documents": _docs_df(spark, docs)})
+
+
+# deterministic rule-15 pins: the divide-by-zero domains hypothesis
+# at 2 examples won't reliably generate — single-member groups
+# (n-1 == 0 variance), pairs of constant groups (pooled variance 0),
+# and all-NULL measurement groups. ag_effect_size CRASHED on the
+# constant-group corpus (Spark ANSI DIVIDE_BY_ZERO vs DuckDB NULL)
+# until the try_divide fix; welch shares the recipe, so pin both.
+_DEGENERATE_EVENT_CORPORA = [
+    # (uid, sec, etype, cents, k) rows per _events_df's convention
+    [(1, 0, "click", 100, 0), (1, 1, "view", 200, 0), (1, 2, "view", 300, 0)],
+    [(1, 0, "click", 100, 0), (1, 1, "view", 200, 0)],
+    [(1, 0, "click", 500, 0), (1, 1, "click", 500, 0),
+     (1, 2, "view", 700, 0), (1, 3, "view", 700, 0)],
+    [(1, 0, "click", None, 0), (1, 1, "click", None, 0),
+     (1, 2, "view", 100, 0), (1, 3, "view", 200, 0)],
+]
+
+
+@pytest.mark.parametrize("entry", ["ag_effect_size", "ag_welch_ttest"])
+@pytest.mark.parametrize("corpus", range(len(_DEGENERATE_EVENT_CORPORA)))
+def test_zero_variance_groups_parity(spark, entry, corpus):
+    events = _DEGENERATE_EVENT_CORPORA[corpus]
+    _compare(spark, _spec(entry), {"events": _events_df(spark, events)})

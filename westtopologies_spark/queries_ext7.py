@@ -483,8 +483,12 @@ def ag_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec).cast("double").alias("s"),
         F.sum(dec * dec).cast("double").alias("ss"),
     )
-    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (
-        F.col("n") - 1
+    # try_divide throughout: a single-row group has n-1 == 0 and a
+    # pair of constant groups has pooled variance 0 — DuckDB's x/0
+    # yields NULL in both spots while Spark ANSI division throws
+    # (rule 15; fuzzer-found crash, same fix as ag_welch_ttest)
+    var = F.try_divide(
+        F.col("ss") - F.col("s") * F.col("s") / F.col("n"), F.col("n") - 1
     )
     a = st.select(
         F.col("event_type").alias("type_a"),
@@ -499,15 +503,17 @@ def ag_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("vb"),
     )
     na, nb = F.col("na"), F.col("nb")
-    pooled = ((na - 1) * F.col("va") + (nb - 1) * F.col("vb")) / (na + nb - 2)
+    pooled = F.try_divide(
+        (na - 1) * F.col("va") + (nb - 1) * F.col("vb"), na + nb - 2
+    )
     out = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b")).select(
         "type_a",
         "type_b",
         "na",
         "nb",
-        F.round((F.col("ma") - F.col("mb")) / F.sqrt(pooled), 6).alias(
-            "cohens_d"
-        ),
+        F.round(
+            F.try_divide(F.col("ma") - F.col("mb"), F.sqrt(pooled)), 6
+        ).alias("cohens_d"),
     )
     return _as_scaled_int(out, {"cohens_d": 6})
 
