@@ -679,12 +679,19 @@ def p9_p10_geo_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="W1 EXACT semantics: window anchored at first buffered event, "
     "flush when an arriving event's ts >= start+10min (trigger included, "
     "final partial buffer never emitted). "
-    "SCALE BOUND (deliberate): this batch entry replays the reference's "
-    "parallelism-1 GLOBAL arrival order, so the scan runs as ONE pandas "
-    "group — a single task at any data size. That is reference parity, "
-    "not the scale path: data_driven_window_rollup_stream(key_cols=...) "
-    "(streaming/stateful.py, 64-shard keyed state, benched ~17k ev/s) "
-    "partitions the same window semantics by key and is the 100TB mode. "
+    "SCALE: mode='auto' — below ~2M rows the reference's parallelism-1 "
+    "GLOBAL arrival order replays as ONE pandas scan (optimal: one "
+    "pass, no shuffle); above it the SAME semantics run fully "
+    "executor-parallel via data_driven_windows_distributed "
+    "(streaming/stateful.py): per-block record-high scans resolve each "
+    "row's trigger, window starts are the orbit of the first arrival "
+    "under f(s)=succ(next(s)) enumerated by pointer doubling in "
+    "ceil(log2(W)) join rounds, and membership is a block-bucketed "
+    "equi-join — bit-identical to the scan (property-tested on "
+    "non-monotone/NaT/NULL corpora) and with no single task ever "
+    "holding more than one range block. The keyed variant "
+    "data_driven_window_rollup_stream(key_cols=...) (64-shard state, "
+    "~19k ev/s sustained) remains the streaming mode. "
     "Reference: DiscussionTreeBolt.java:45-51,107-110,130-168.",
 )
 def w1_exact_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,6 +77,13 @@ def _scan_windows(pdf: pd.DataFrame, ts_col: str, value_col: str, seq_col: str, 
     return out
 
 
+# Crossover for the unkeyed batch path: below this row count the
+# single-task pandas scan wins (one pass, no shuffles); above it the
+# log-round distributed formulation amortizes its ~log2(W) join
+# rounds.  Sized from the sf0.1 measurement in SCALE.md.
+W1_DISTRIBUTED_MIN_ROWS = 2_000_000
+
+
 def data_driven_windows(
     df: DataFrame,
     ts_col: str = "ts",
@@ -84,16 +91,38 @@ def data_driven_windows(
     seq_col: str = "event_id",
     interval_sec: int = 600,
     key_cols: list[str] | None = None,
+    mode: str = "auto",
+    distributed_min_rows: int = W1_DISTRIBUTED_MIN_ROWS,
 ) -> DataFrame:
     """W1 exact semantics, batch mode.
 
     Single logical state group by default (the reference's
     parallelism-1 behaviour); ``key_cols`` shards the scan for scale.
+
+    For the unkeyed global-order case, ``mode`` picks the physical
+    strategy for the SAME semantics:
+
+    - ``"scan"``: one ``applyInPandas`` group — a single task, optimal
+      below a few million rows;
+    - ``"distributed"``: the segmented formulation in
+      :func:`data_driven_windows_distributed` — window boundaries via
+      per-block record-high scans + pointer-doubling, fully
+      executor-parallel (the 100 TB path);
+    - ``"auto"`` (default): ``df.count()`` (metadata-cheap on parquet)
+      against ``distributed_min_rows`` decides.
     """
     keys = list(key_cols or [])
     cols = [ts_col, value_col, seq_col] + keys
     src = df.select(*cols)
     base_cols = ["window_start", "window_end", "n_events", "sum_value"]
+
+    if not keys and mode != "scan":
+        if mode == "distributed" or (
+            mode == "auto" and df.count() >= distributed_min_rows
+        ):
+            return data_driven_windows_distributed(
+                df, ts_col, value_col, seq_col, interval_sec
+            )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = _scan_windows(pdf, ts_col, value_col, seq_col, interval_sec)
@@ -110,6 +139,308 @@ def data_driven_windows(
         out_schema = W1_OUT_SCHEMA
         grouped = src.groupBy(F.lit(0).alias("_g"))
     return grouped.applyInPandas(scan, out_schema)
+
+
+def data_driven_windows_distributed(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    seq_col: str = "event_id",
+    interval_sec: int = 600,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """W1 exact semantics, batch mode, EXECUTOR-PARALLEL — no single
+    task ever sees more than one range block.
+
+    The sequential scan's state chain is a functional graph: for a
+    window opening at arrival position ``s`` the trigger is
+    ``next(s) = min{s' > s : ts_{s'} >= ts_s + I}`` (arrival order =
+    ``seq_col`` order; ts may be NON-monotone in it), and the next
+    window opens at the arrival right after the trigger,
+    ``f(s) = succ(next(s))``.  The emitted windows are exactly the
+    orbit of the first arrival under ``f`` — so the whole scan
+    decomposes into data-parallel pieces:
+
+    1. range-partition by ``seq`` into B blocks; per block, one pass
+       with a record-high stack resolves ``next`` for every row whose
+       trigger lands in its own block (amortized O(n log n), no
+       cross-row Python state leaves the block);
+    2. rows whose deadline outruns their block resolve against the
+       per-block ts-maxima (record-high list over B entries picks the
+       target block) + that block's prefix-running-maxima rows — the
+       first in-block arrival ``>= T`` is always a prefix record high,
+       so the equi-join stays tiny;
+    3. window starts = orbit of ``min(seq)`` under ``f`` via pointer
+       doubling (the a3 root-walk recipe): R <- R ∪ J_k(R) with
+       J_{k+1} = J_k ∘ J_k covers every f^m(s0), m < 2^{k+1}; once a
+       round adds nothing, J_k(R) ⊆ R implies no later round can add
+       anything either, so the early stop is exact — ceil(log2(W))+1
+       join rounds total, each localCheckpoint-truncated;
+    4. membership is a block-bucketed equi-join (each window explodes
+       to the blocks its [start, trigger] seq-range covers — windows
+       are disjoint, so the fan-out is ≤ W + B rows), then one
+       partial-agg groupBy emits (start ts, trigger ts, n, exact-cents
+       sum) per window.
+
+    Output is bit-identical to the single-task scan (same half-up
+    cents fold, same long/100.0 division) and partition-count
+    invariant.  Requires ``interval_sec > 0`` (at 0 the opener event
+    triggers its own flush in insert-then-check order, which a
+    strictly-later ``next`` cannot express) and unique ``seq_col``.
+    """
+    if interval_sec <= 0:
+        raise ValueError("interval_sec must be positive")
+    spark = df.sparkSession
+    interval_us = int(interval_sec) * 1_000_000
+    n_blocks = int(num_blocks or spark.sparkContext.defaultParallelism or 8)
+
+    val = F.col(value_col).cast("double")
+    x = val * F.lit(100.0)
+    cents = (
+        F.when(val.isNull() | F.isnan(val), F.lit(0).cast("long"))
+        .when(x >= 0, F.floor(x + F.lit(0.5)))
+        .otherwise(-F.floor(-x + F.lit(0.5)))
+    ).cast("long")
+    src = df.select(
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(ts_col).alias("ts"),
+        cents.alias("cents"),
+    )
+    part = (
+        src.repartitionByRange(n_blocks, "seq")
+        .sortWithinPartitions("seq")
+        .withColumn("blk", F.spark_partition_id())
+    )
+
+    base_schema = (
+        "kind string, blk int, seq long, ts timestamp, cents long, "
+        "nxt long, succ long, ts_us long, thr long"
+    )
+
+    def local_pass(batches):
+        import bisect
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)  # sorted by seq
+        n = len(pdf)
+        blk = int(pdf["blk"].iloc[0])
+        seqs = [int(s) for s in pdf["seq"]]
+        ts_us = [None if pd.isna(t) else t.value // 1000 for t in pdf["ts"]]
+
+        nxt: list[int | None] = [None] * n
+        unresolved: list[tuple[int, int]] = []  # (seq, threshold)
+        neg: list[int] = []  # ascending -ts_us; end = nearest arrival
+        sstk: list[int] = []  # parallel seqs
+        for i in range(n - 1, -1, -1):
+            tu = ts_us[i]
+            if tu is None:
+                continue  # NaT never triggers and never closes
+            thr = tu + interval_us
+            idx = bisect.bisect_right(neg, -thr) - 1
+            if idx >= 0:
+                nxt[i] = sstk[idx]
+            else:
+                unresolved.append((seqs[i], thr))
+            while neg and neg[-1] >= -tu:  # dominated: later AND <= ts
+                neg.pop()
+                sstk.pop()
+            neg.append(-tu)
+            sstk.append(seqs[i])
+
+        out = {
+            "kind": ["r"] * n,
+            "blk": [blk] * n,
+            "seq": list(seqs),
+            "ts": list(pdf["ts"]),
+            "cents": [int(c) for c in pdf["cents"]],
+            "nxt": list(nxt),
+            "succ": [seqs[i + 1] if i + 1 < n else None for i in range(n)],
+            "ts_us": list(ts_us),
+            "thr": [None] * n,
+        }
+
+        def emit(kind, seq=None, ts_u=None, thr=None):
+            out["kind"].append(kind)
+            out["blk"].append(blk)
+            out["seq"].append(seq)
+            out["ts"].append(pd.NaT)
+            out["cents"].append(None)
+            out["nxt"].append(None)
+            out["succ"].append(None)
+            out["ts_us"].append(ts_u)
+            out["thr"].append(thr)
+
+        for sq, thr in unresolved:
+            emit("u", seq=sq, thr=thr)
+        run_max = None  # prefix record highs = entry-facing candidates
+        for i in range(n):
+            tu = ts_us[i]
+            if tu is not None and (run_max is None or tu > run_max):
+                run_max = tu
+                emit("c", seq=seqs[i], ts_u=tu)
+        emit("m", seq=seqs[0], ts_u=run_max)
+
+        res = pd.DataFrame(out)
+        res["ts"] = pd.to_datetime(res["ts"])  # object -> datetime64 (NaT rows)
+        for c in ("seq", "cents", "nxt", "succ", "ts_us", "thr"):
+            res[c] = pd.array(res[c], dtype="Int64")
+        res["blk"] = res["blk"].astype("int32")
+        yield res
+
+    base = part.mapInPandas(local_pass, base_schema).persist()
+    rows = base.filter(F.col("kind") == "r")
+
+    metas = sorted(
+        (r["blk"], r["seq"], r["ts_us"])
+        for r in base.filter(F.col("kind") == "m")
+        .select("blk", "seq", "ts_us")
+        .collect()
+    )
+    if not metas:
+        base.unpersist()
+        return spark.createDataFrame([], W1_OUT_SCHEMA)
+    blk_pos = {b: i for i, (b, _, _) in enumerate(metas)}
+
+    # --- cross-block next(): target block via record highs over the
+    # B-entry block-maxima list, then first prefix record high >= T
+    def to_target(batches):
+        import bisect
+
+        memo: dict[int, tuple[list[int], list[int]]] = {}
+
+        def suffix_record_highs(b):
+            if b not in memo:
+                mx: list[int] = []
+                ids: list[int] = []
+                for bb, _, m in metas[blk_pos[b] + 1 :]:
+                    if m is not None and (not mx or m > mx[-1]):
+                        mx.append(m)
+                        ids.append(bb)
+                memo[b] = (mx, ids)
+            return memo[b]
+
+        for pdf in batches:
+            seq_o, thr_o, tblk_o = [], [], []
+            for sq, thr, b in zip(pdf["seq"], pdf["thr"], pdf["blk"]):
+                mx, ids = suffix_record_highs(int(b))
+                i = bisect.bisect_left(mx, int(thr))
+                if i < len(mx):
+                    seq_o.append(int(sq))
+                    thr_o.append(int(thr))
+                    tblk_o.append(ids[i])
+            yield pd.DataFrame(
+                {"seq": seq_o, "thr": thr_o, "tblk": tblk_o},
+                columns=["seq", "thr", "tblk"],
+            ).astype({"seq": "int64", "thr": "int64", "tblk": "int32"})
+
+    targets = (
+        base.filter(F.col("kind") == "u")
+        .select("blk", "seq", "thr")
+        .mapInPandas(to_target, "seq long, thr long, tblk int")
+    )
+    cands = base.filter(F.col("kind") == "c").select(
+        F.col("blk").alias("cblk"),
+        F.col("seq").alias("cseq"),
+        F.col("ts_us").alias("cts"),
+    )
+    cross = (
+        targets.join(
+            cands,
+            (F.col("tblk") == F.col("cblk")) & (F.col("cts") >= F.col("thr")),
+        )
+        .groupBy("seq")
+        .agg(F.min("cseq").alias("nxt"))
+    )
+    next_tbl = (
+        rows.filter(F.col("nxt").isNotNull()).select("seq", "nxt").union(cross)
+    )
+
+    # --- succ across block boundaries (tiny literal map blk -> first
+    # seq of the next non-empty block)
+    succ_items = [
+        (metas[i][0], metas[i + 1][1]) for i in range(len(metas) - 1)
+    ]
+    if succ_items:
+        boundary = F.create_map(
+            *[F.lit(v) for kv in succ_items for v in kv]
+        )[F.col("blk")]
+    else:
+        boundary = F.lit(None).cast("long")
+    succ_tbl = rows.select(
+        F.col("seq").alias("nseq"),
+        F.coalesce(F.col("succ"), boundary).alias("fval"),
+    )
+    jump = (
+        next_tbl.join(succ_tbl, F.col("nxt") == F.col("nseq"))
+        .select("seq", F.col("fval").alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .localCheckpoint()
+    )
+
+    # --- orbit of the first arrival under f, by pointer doubling
+    s0 = rows.agg(F.min("seq").alias("s")).collect()[0]["s"]
+    orbit = spark.createDataFrame([(int(s0),)], "seq long").localCheckpoint()
+    size = 1
+    for _ in range(64):  # ceil(log2(n)) upper bound; early stop below
+        stepped = orbit.join(jump, "seq").select(F.col("dst").alias("seq"))
+        grown = orbit.union(stepped).distinct().localCheckpoint()
+        n_now = grown.count()
+        orbit = grown
+        if n_now == size:  # J_k(R) ⊆ R ⇒ fixpoint (see docstring)
+            break
+        size = n_now
+        jump = (
+            jump.alias("a")
+            .join(jump.alias("b"), F.col("a.dst") == F.col("b.seq"))
+            .select(F.col("a.seq").alias("seq"), F.col("b.dst").alias("dst"))
+            .localCheckpoint()
+        )
+
+    wins = orbit.join(next_tbl, "seq").select(
+        F.col("seq").alias("wstart"), F.col("nxt").alias("wend")
+    )
+
+    # --- block-bucketed membership join + one partial-agg rollup
+    firsts = [m[1] for m in metas]
+    blkids = [m[0] for m in metas]
+
+    def cover(batches):
+        import bisect
+
+        for pdf in batches:
+            ws_o, we_o, blk_o = [], [], []
+            for ws, we in zip(pdf["wstart"], pdf["wend"]):
+                i0 = max(bisect.bisect_right(firsts, int(ws)) - 1, 0)
+                i1 = bisect.bisect_right(firsts, int(we)) - 1
+                for ii in range(i0, i1 + 1):
+                    ws_o.append(int(ws))
+                    we_o.append(int(we))
+                    blk_o.append(blkids[ii])
+            yield pd.DataFrame(
+                {"wstart": ws_o, "wend": we_o, "blk": blk_o},
+                columns=["wstart", "wend", "blk"],
+            ).astype({"wstart": "int64", "wend": "int64", "blk": "int32"})
+
+    wb = wins.mapInPandas(cover, "wstart long, wend long, blk int")
+    ev = rows.select("blk", "seq", "ts", "cents")
+    return (
+        wb.join(ev, "blk")
+        .filter((F.col("seq") >= F.col("wstart")) & (F.col("seq") <= F.col("wend")))
+        .groupBy("wstart", "wend")
+        .agg(
+            F.max(F.when(F.col("seq") == F.col("wstart"), F.col("ts"))).alias(
+                "window_start"
+            ),
+            F.max(F.when(F.col("seq") == F.col("wend"), F.col("ts"))).alias(
+                "window_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select("window_start", "window_end", "n_events", "sum_value")
+    )
 
 
 def data_driven_window_rollup_stream(
