@@ -157,14 +157,14 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         ).collect()
     }
     approx = {
-        r["o_orderpriority"]: r["approx_pcts"]
+        (r["o_orderpriority"], r["p"]): r["approx_value"]
         for r in A.approx_group_percentiles(
             orders, "o_totalprice", ["o_orderpriority"]
         ).collect()
     }
-    for (k, p), v in exact.items():
-        i = list(A.APPROX_PERCENTILES).index(p)
-        assert approx[k][i] == pytest.approx(v, rel=0.05)
+    assert set(approx) == set(exact)
+    for key, v in exact.items():
+        assert approx[key] == pytest.approx(v, rel=0.05)
 
 
 def test_incremental_minhash_consistent_with_full(spark, sf_dir):

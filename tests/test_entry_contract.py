@@ -59,6 +59,19 @@ def test_window_queries_have_no_unprecedented_double_outputs(spark, entry_mod):
     assert not window_double_offenders(spark), window_double_offenders(spark)
 
 
+def test_no_entry_emits_complex_typed_outputs(spark, entry_mod):
+    """Primitive-only outputs, CATALOG-WIDE (rows-only entries
+    included): the driver's pandas canonicalizer cannot factorize
+    array/map/struct values — ag_approx_percentiles' array<double>
+    output was the one red r5 row, which proved rows-only entries
+    are canonicalized too. Rule lives in
+    queries.py::complex_output_offenders, shared with
+    tools/preflight.py."""
+    from westtopologies_spark.queries import complex_output_offenders
+
+    assert not complex_output_offenders(spark), complex_output_offenders(spark)
+
+
 @pytest.mark.parametrize(
     "submodule",
     [

@@ -27,7 +27,12 @@ from hypothesis import strategies as st
 # compute is available.
 import os as _os
 
-_FUZZ_X = max(1, int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1")))
+try:
+    _FUZZ_X = max(1, int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1").strip() or "1"))
+except ValueError:
+    # a malformed env value degrades to the default budget instead of
+    # failing collection of the whole module (ADVICE r5)
+    _FUZZ_X = 1
 
 SET = settings(
     max_examples=6 * _FUZZ_X,

@@ -60,10 +60,13 @@ def main() -> int:
                     "         .config('spark.sql.shuffle.partitions', '8')\n"
                     "         .getOrCreate())\n"
                     "from westtopologies_spark.queries import "
-                    "window_double_offenders\n"
+                    "window_double_offenders, complex_output_offenders\n"
                     "bad = window_double_offenders(spark)\n"
                     "assert not bad, bad\n"
                     "print('window double rule: clean')\n"
+                    "bad = complex_output_offenders(spark)\n"
+                    "assert not bad, bad\n"
+                    "print('complex-type output rule: clean (catalog-wide)')\n"
                 )
                 % REPO,
             ],

@@ -1835,6 +1835,31 @@ def window_double_offenders(spark, sf_dir: str = "/root/testdata/sf0.001") -> li
     return offenders
 
 
+def complex_output_offenders(
+    spark, sf_dir: str = "/root/testdata/sf0.001"
+) -> list[str]:
+    """Primitive-only output rule, shared by tests/test_entry_contract.py
+    and tools/preflight.py: NO catalog entry — rows-only entries
+    included — may emit array/map/struct columns. The driver's
+    rows-compare canonicalizer sorts every output column with pandas,
+    which cannot factorize list values (``TypeError: unhashable type:
+    'list'``) — ``ag_approx_percentiles``'s array<double> output was
+    the one red r5 driver row, proving the canonicalizer contract
+    applies to rows-only entries too (VERDICT r5 #2). Catalog-wide
+    because the driver window rotates: every entry is eventually
+    canonicalized.
+
+    Returns ['name.col:type', ...]; empty == clean."""
+    offenders = []
+    for spec in _ordered():
+        df = spec.spark(spark, sf_dir)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t.startswith(("array", "map", "struct")):
+                offenders.append(f"{spec.name}.{f.name}:{t}")
+    return offenders
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {spec.name: spec.spark for spec in _ordered()}
 

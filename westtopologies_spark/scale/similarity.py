@@ -428,13 +428,26 @@ def quantize_stats(
     costs.  All elementwise expressions + one explicit left fold
     (array order), so the oracle reproduces the arithmetic
     bit-for-bit before rounding; degenerate constant vectors get
-    scale 0 and MSE 0 rather than a divide-by-zero."""
+    scale 0 and MSE 0 rather than a divide-by-zero.
+
+    Shape note (r6 perf fix, arithmetic unchanged): ``mn``/``mx``/``sc``
+    are projected in a prior ``select`` so the per-element lambda
+    references plain columns.  Capturing the ``array_min``/``array_max``
+    expressions directly inside ``F.transform`` re-evaluates them for
+    every element (64x per row, with ``sc`` 2x and ``mn`` 3x per
+    element) — the same lambda-recompute trap as the r1 PMI fix; the
+    A/B measured 4–10x."""
     v = F.col(vec_col).cast("array<double>")
-    mn = F.array_min(v)
-    mx = F.array_max(v)
-    sc = (mx - mn) / F.lit(255.0)
+    staged = emb.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.array_min(v).alias("_mn"),
+        F.array_max(v).alias("_mx"),
+        ((F.array_max(v) - F.array_min(v)) / F.lit(255.0)).alias("_sc"),
+    )
+    mn, sc = F.col("_mn"), F.col("_sc")
     err2 = F.transform(
-        v,
+        F.col("_v"),
         lambda x: F.when(
             sc > 0,
             F.pow(x - (mn + F.round((x - mn) / sc) * sc), F.lit(2.0)),
@@ -443,10 +456,10 @@ def quantize_stats(
     mse = (
         F.aggregate(err2, F.lit(0.0), lambda acc, e: acc + e) / F.lit(float(dim))
     )
-    return emb.select(
+    return staged.select(
         F.col(id_col),
-        F.round(mn, 6).alias("vmin"),
-        F.round(mx, 6).alias("vmax"),
+        F.round(F.col("_mn"), 6).alias("vmin"),
+        F.round(F.col("_mx"), 6).alias("vmax"),
         F.round(mse, 9).alias("mse_q"),
     )
 
