@@ -142,6 +142,43 @@ def test_bench_contract_line_is_one_compact_json_line():
     assert json.loads(fat_line)["metric"] == "catalog_suite_wall_clock"
 
 
+def test_bench_regression_gate_flags_r5_shape():
+    """tools/bench_regress.py (VERDICT r5 #3) must flag the exact
+    r4->r5 per-query collapse it was built for, scale thresholds by
+    the canary's ambient-load ratio, and stay quiet on a uniformly
+    slower machine."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_regress", os.path.join(REPO, "tools", "bench_regress.py")
+    )
+    br = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(br)
+    base = {
+        "p5_derived_flag": 0.231,
+        "ann_ivf_topk": 3.9,
+        "dd_embedding_neardup": 6.2,
+        "x2_tokenize": 0.5,
+        "tiny": 0.2,
+    }
+    cand = {
+        "p5_derived_flag": 0.262,
+        "ann_ivf_topk": 40.7,
+        "dd_embedding_neardup": 92.4,
+        "x2_tokenize": 0.55,
+        "tiny": 0.8,  # 4x but sub-floor: timer noise, never a flag
+    }
+    flags, ratio = br.compare(base, cand)
+    assert {f[0] for f in flags} == {"ann_ivf_topk", "dd_embedding_neardup"}
+    assert 1.0 < ratio < 1.3
+    # ambient slowdown (everything 2x, canary included) is not rot
+    flags2, _ = br.compare(base, {k: v * 2 for k, v in base.items()})
+    assert not flags2
+    # queries on only one side are informational, never flagged
+    flags3, _ = br.compare(base, {"p5_derived_flag": 0.24, "brand_new": 99.0})
+    assert not flags3
+
+
 def test_pin_list_is_self_maintaining():
     """The driver-window pin head derives from the committed
     CORRECTNESS artifacts: latest-round failures re-check first,

@@ -1,0 +1,121 @@
+"""Per-query bench regression gate (VERDICT r5 #3).
+
+Round 5's bench went 324.8 s -> 570.5 s with a GREEN 49/50
+correctness file — perf rot arrived silently alongside healthy
+correctness pins. This tool is the perf analogue of the pin list:
+compare a fresh BENCH_FULL.json against the previous round's
+committed one, canary-normalized, and fail on >2x per-query
+regressions.
+
+    python tools/bench_regress.py [baseline.json] [candidate.json]
+
+Defaults: baseline = `git show HEAD:BENCH_FULL.json` (the last
+committed record — after the round lands its bench, HEAD carries the
+round-N numbers for round N+1 to gate against); candidate =
+./BENCH_FULL.json on disk (written by the bench.py run you just did).
+
+Rules:
+- the CANARY query's ratio (candidate/baseline) estimates ambient
+  machine-load drift; every per-query threshold is scaled by it, so
+  a uniformly-slower box does not flag the whole suite;
+- only queries whose candidate time exceeds ABS_FLOOR_SEC are
+  eligible (sub-second entries are timer noise);
+- a query flags when candidate > REGRESS_X * baseline * canary_ratio;
+- queries present on only one side are reported informationally,
+  never flagged (catalog churn is the correctness gate's business).
+
+Exit 0 clean, 1 on any flag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CANARY = "p5_derived_flag"
+REGRESS_X = 2.0
+ABS_FLOOR_SEC = 1.5
+# a regression also needs to cost real wall-clock, not just ratio:
+# 0.4s -> 1.6s is 4x but irrelevant to a 500s suite
+MIN_DELTA_SEC = 1.0
+
+
+def _load_queries(blob: str | bytes) -> dict[str, float]:
+    data = json.loads(blob)
+    q = data.get("queries", data)
+    return {k: float(v) for k, v in q.items()}
+
+
+def _baseline_from_git() -> dict[str, float]:
+    out = subprocess.run(
+        ["git", "show", "HEAD:BENCH_FULL.json"],
+        cwd=REPO,
+        capture_output=True,
+        check=True,
+    ).stdout
+    return _load_queries(out)
+
+
+def compare(
+    base: dict[str, float], cand: dict[str, float]
+) -> tuple[list[tuple[str, float, float, float]], float]:
+    """Returns (flags, canary_ratio); each flag is
+    (name, base_sec, cand_sec, normalized_ratio)."""
+    ratio = 1.0
+    if base.get(CANARY, 0) > 0 and cand.get(CANARY, 0) > 0:
+        ratio = max(cand[CANARY] / base[CANARY], 0.5)
+    flags = []
+    for name, c in cand.items():
+        b = base.get(name)
+        if b is None or b <= 0:
+            continue
+        if c < ABS_FLOOR_SEC or (c - b * ratio) < MIN_DELTA_SEC:
+            continue
+        norm = c / (b * ratio)
+        if norm > REGRESS_X:
+            flags.append((name, b, c, norm))
+    flags.sort(key=lambda f: -f[3])
+    return flags, ratio
+
+
+def main() -> int:
+    if len(sys.argv) > 1:
+        with open(sys.argv[1]) as f:
+            base = _load_queries(f.read())
+    else:
+        base = _baseline_from_git()
+    cand_path = (
+        sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_FULL.json")
+    )
+    with open(cand_path) as f:
+        cand = _load_queries(f.read())
+
+    flags, ratio = compare(base, cand)
+    only_base = sorted(set(base) - set(cand))
+    only_cand = sorted(set(cand) - set(base))
+    print(
+        f"bench regression gate: {len(cand)} candidate queries vs "
+        f"{len(base)} baseline; canary ratio {ratio:.3f}"
+    )
+    if only_base:
+        print(f"  (info) missing from candidate: {', '.join(only_base[:10])}")
+    if only_cand:
+        print(f"  (info) new in candidate: {', '.join(only_cand[:10])}")
+    if not flags:
+        print(
+            f"clean: no query above {REGRESS_X}x its canary-normalized "
+            f"baseline (floor {ABS_FLOOR_SEC}s, min delta {MIN_DELTA_SEC}s)"
+        )
+        return 0
+    print(f"FLAGGED {len(flags)} queries (> {REGRESS_X}x normalized baseline):")
+    for name, b, c, norm in flags:
+        print(f"  {name:30s} {b:8.2f}s -> {c:8.2f}s  ({norm:.1f}x)")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,6 +111,30 @@ def main() -> int:
             REPO,
         ),
     ]
+    # Per-query bench regression gate (VERDICT r5 #3): a fresh full
+    # sf0.1 bench run, compared canary-normalized against the
+    # HEAD-committed BENCH_FULL.json — fails on >2x per-query rot.
+    # ~10 min of wall-clock; SPARK_GRAFT_SKIP_BENCH_GATE=1 skips it
+    # (e.g. when iterating on a single correctness fix), but a round
+    # handoff should always run it: r5's 324.8->570.5 s regression
+    # shipped silently next to a 49/50-green correctness file.
+    if os.environ.get("SPARK_GRAFT_SKIP_BENCH_GATE") != "1":
+        stages.append(
+            (
+                "full bench run (sf0.1, writes BENCH_FULL.json)",
+                [sys.executable, "bench.py"],
+                REPO,
+            )
+        )
+        stages.append(
+            (
+                "per-query bench regression gate (vs HEAD BENCH_FULL.json)",
+                [sys.executable, "tools/bench_regress.py"],
+                REPO,
+            )
+        )
+    else:
+        print("(bench regression gate SKIPPED via SPARK_GRAFT_SKIP_BENCH_GATE)")
     bad = 0
     for name, cmd, cwd in stages:
         if not run(name, cmd, cwd):

@@ -1338,9 +1338,14 @@ def ag_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank-sum with tie mid-ranks — the distributed-eval-metric "
     "pattern: 2*midrank = 2*rank + tiecount - 1 stays integer, so "
     "the statistic folds exactly and one shared double expression "
-    "emits the AUC un-rounded. One global sort of the (bounded) "
-    "eval set — at corpus scale the eval sample is the input, never "
-    "the corpus. Aggregate-statistics extension.",
+    "emits the AUC un-rounded. Distributed shape (VERDICT r5 #5): "
+    "the corpus pre-aggregates per distinct score FIRST, so the one "
+    "unpartitioned rank window runs over the score DOMAIN (bounded "
+    "by max doc length), never the corpus — rank(score) = 1 + count "
+    "of strictly-smaller rows and the tie count are both derivable "
+    "from the per-score rollup, and every rank-sum term stays an "
+    "exact integer, so u2/np/nn are bit-identical to the row-level "
+    "plan the oracle states. Aggregate-statistics extension.",
 )
 def ag_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1348,21 +1353,24 @@ def ag_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
     )
-    wr = Window.orderBy("score")
-    wc = Window.partitionBy("score")
-    ranked = scored.select(
-        "label",
-        F.rank().over(wr).alias("r"),
-        F.count(F.lit(1)).over(wc).alias("c"),
+    by_score = scored.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # rank of every row tied at this score = 1 + rows strictly below;
+    # c (tie count) = n. Window frame is |distinct scores| rows.
+    wr = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.select(
+        "pos",
+        "n",
+        (F.coalesce(F.sum("n").over(wr), F.lit(0)) + 1).alias("r"),
     )
     agg = ranked.agg(
         F.sum(
-            F.when(F.col("label") == 1, 2 * F.col("r") + F.col("c") - 1)
-            .otherwise(0)
-            .cast("bigint")
+            (F.col("pos") * (2 * F.col("r") + F.col("n") - 1)).cast("bigint")
         ).alias("u2"),
-        F.sum("label").cast("bigint").alias("np"),
-        F.sum(1 - F.col("label")).cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("np"),
+        (F.sum("n") - F.sum("pos")).cast("bigint").alias("nn"),
     )
     npd = F.col("np").cast("double")
     nnd = F.col("nn").cast("double")
@@ -1769,8 +1777,13 @@ CALIB_BINS = 10
     "third standard eval metric next to ag_auc/ag_pr_curve. "
     "percent_rank = (rank-1)/(N-1) stays a rational of integers, so "
     "mean_pred folds as an exact BIGINT rank sum and one shared "
-    "double division emits it un-rounded. Aggregate-statistics "
-    "extension.",
+    "double division emits it un-rounded. Distributed shape (VERDICT "
+    "r5 #5): rows tied at a score share r0 = count of strictly-"
+    "smaller rows, hence the same bin — so the corpus pre-aggregates "
+    "per distinct score FIRST and the one unpartitioned window runs "
+    "over the score DOMAIN, never the corpus; per-bin sums fold the "
+    "tie counts exactly, bit-identical to the row-level plan the "
+    "oracle states. Aggregate-statistics extension.",
 )
 def ag_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1778,36 +1791,43 @@ def ag_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
     )
-    wr = Window.orderBy("score")
-    wn = Window.partitionBy()
-    ranked = scored.select(
-        "label",
-        (F.rank().over(wr).cast("bigint") - 1).alias("r0"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    by_score = scored.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        F.count(F.lit(1)).alias("n"),
     )
-    # try_divide: a 1-row eval set has n-1 == 0 — NULL bin / NULL
+    wr = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    grp = by_score.select(
+        "pos",
+        "n",
+        F.coalesce(F.sum("n").over(wr), F.lit(0)).cast("bigint").alias("r0"),
+    )
+    total = grp.agg(F.sum("n").alias("n_total"))
+    # try_divide: a 1-row eval set has N-1 == 0 — NULL bin / NULL
     # mean_pred, matching DuckDB's x/0 (rule 15; fuzzer-found crash)
-    binned = ranked.select(
+    binned = grp.crossJoin(F.broadcast(total)).select(
         F.least(
-            F.floor(F.try_divide(F.col("r0") * CALIB_BINS, F.col("n") - 1)),
+            F.floor(
+                F.try_divide(F.col("r0") * CALIB_BINS, F.col("n_total") - 1)
+            ),
             F.lit(CALIB_BINS - 1),
         )
         .cast("int")
         .alias("bin"),
-        "r0",
-        "label",
+        "pos",
         "n",
+        "r0",
+        "n_total",
     )
     return binned.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_docs"),
         F.try_divide(
-            F.sum("r0").cast("double"),
-            F.count(F.lit(1)).cast("double")
-            * (F.max("n") - 1).cast("double"),
+            F.sum(F.col("r0") * F.col("n")).cast("double"),
+            F.sum("n").cast("double")
+            * (F.max("n_total") - 1).cast("double"),
         ).alias("mean_pred"),
-        (
-            F.sum("label").cast("double") / F.count(F.lit(1)).cast("double")
-        ).alias("actual_rate"),
+        (F.sum("pos").cast("double") / F.sum("n").cast("double")).alias(
+            "actual_rate"
+        ),
     )
 
 

@@ -199,23 +199,49 @@ def _qq_side_sql(etype: str, alias: str) -> str:
     "scalar distance comes from. Quantiles are exact lower-rule "
     "ranks over a (value, event_id) total order (the ag_percentiles "
     "rank plan), and every output value is a raw stored double — no "
-    "arithmetic, hash-exact by passthrough precedent. Two keyed "
-    "rank windows + one 9-row join. Aggregate-statistics extension.",
+    "arithmetic, hash-exact by passthrough precedent. Distributed "
+    "shape (VERDICT r5 #5): the global row_number is two-phase — "
+    "range-partition by the total order, partition-local row_number, "
+    "plus a broadcast per-partition prefix-count table (the "
+    "sq_skyline recipe) — so no single task ever sorts the full "
+    "side. Aggregate-statistics extension.",
 )
 def ag_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
 
     def side(etype: str) -> DataFrame:
-        w = Window.orderBy("value", "event_id")
-        r = (
-            # value IS NOT NULL on both engines: Spark ascending sorts
-            # NULLS FIRST, DuckDB NULLS LAST — a NULL measurement would
-            # land in opposite deciles (NULL-events probe find)
+        # value IS NOT NULL on both engines: Spark ascending sorts
+        # NULLS FIRST, DuckDB NULLS LAST — a NULL measurement would
+        # land in opposite deciles (NULL-events probe find)
+        base = (
             ev.filter(F.col("event_type") == etype)
             .filter(F.col("value").isNotNull())
             .select("value", "event_id")
-            .withColumn("rn", F.row_number().over(w))
-            .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy()))
+        )
+        # two-phase global rank: (value, event_id) is a total order,
+        # so range partitions never split a key; global rn = local
+        # row_number + count of rows in earlier partitions
+        part = base.repartitionByRange(
+            F.asc("value"), F.asc("event_id")
+        ).withColumn("pid", F.spark_partition_id())
+        w_in = Window.partitionBy("pid").orderBy("value", "event_id")
+        w_pre = Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        counts = part.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+        # partition-count-sized frame: the unpartitioned window here
+        # is over ~shuffle-partitions rows, not data
+        prefix = counts.select(
+            "pid",
+            F.coalesce(F.sum("pn").over(w_pre), F.lit(0)).alias("pre"),
+            F.sum("pn").over(
+                Window.orderBy("pid").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("cnt"),
+        )
+        r = part.join(F.broadcast(prefix), "pid").withColumn(
+            "rn", F.row_number().over(w_in) + F.col("pre")
         )
         ps = spark.range(1, 10).select(F.col("id").cast("int").alias("p10"))
         return (
