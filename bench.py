@@ -26,7 +26,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(
-        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        "bench",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # NOTE: deliberately NOT setting a short
+            # spark.cleaner.periodicGC.interval here — a timer-driven
+            # full GC can land MID-QUERY (stop-the-world inside a
+            # 40-stage iterative kernel distorts that one entry); the
+            # explicit between-query System.gc() below cleans at
+            # deterministic safe points instead
+        },
     )
 
     # one tiny untimed query first: pays the one-off session costs
@@ -42,9 +51,24 @@ def main() -> None:
         F.count(F.lit(1))
     ).write.format("noop").mode("overwrite").save()
 
+    # Periodic driver GC between queries (r6, the in-suite-collapse
+    # fix): Spark's ContextCleaner reclaims shuffle files, broadcast
+    # blocks and localCheckpoint RDDs only when the DRIVER JVM
+    # garbage-collects their handles — and a 16g heap running short
+    # per-query jobs can go the whole 248-query suite without an
+    # old-gen GC. The accumulated state (thousands of shuffle files,
+    # checkpoint + broadcast blocks) degrades exactly the iterative
+    # multi-stage kernels, nondeterministically: the r5 driver suite
+    # measured dd_embedding_neardup at 92.4s vs 6.8s isolated, and a
+    # r6 rerun collapsed a DIFFERENT set (gr_khop_reach 135s vs 4s).
+    # clearCache() cannot fix this (it only drops SQL-cached plans).
+    # A real long-lived cluster GCs naturally under allocation
+    # pressure; in local mode we force it every GC_EVERY queries
+    # (~100-300ms each, bounded overhead).
+    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
     timings: dict[str, float] = {}
     t_all = time.time()
-    for spec in catalog():
+    for i, spec in enumerate(catalog()):
         t0 = time.time()
         df = spec.spark(spark, sf_dir)
         # foreach-noop action: executes the whole plan, returns nothing
@@ -54,6 +78,9 @@ def main() -> None:
         # strictly intra-query; letting 100+ queries' pins accumulate
         # eventually evicts/OOMs the execution memory pool
         spark.catalog.clearCache()
+        del df
+        if gc_every > 0 and (i + 1) % gc_every == 0:
+            spark.sparkContext._jvm.System.gc()
     total = round(time.time() - t_all, 3)
     write_full_report(timings, total, sf)
     print(contract_line(timings, total, sf))

@@ -242,7 +242,27 @@ def test_events_entries_random_parity(spark, entry, events):
 
 @pytest.mark.parametrize(
     "entry",
-    ["gr_pagerank", "gr_kcore", "gr_triangles", "ts_interval_join"],
+    [
+        "gr_pagerank",
+        "gr_kcore",
+        "gr_triangles",
+        "ts_interval_join",
+        # r6 pre-verification sweep (VERDICT r5 #4): the rest of the
+        # graph family enters the r6 driver window 10/12-never-checked
+        # — fuzz each iterative/ratio kernel over random interaction
+        # graphs BEFORE the driver hashes it (degenerate shapes the
+        # synthetic corpus never makes: self-loop-only users, single
+        # components, empty neighbor intersections, isolated dyads)
+        "gr_neighbor_jaccard",
+        "gr_neighbor_jaccard_capped",
+        "gr_label_propagation",
+        "gr_modularity",
+        "gr_assortativity",
+        "gr_hits",
+        "gr_local_clustering",
+        "gr_khop_reach",
+        "gr_personalized_pagerank",
+    ],
 )
 @SET
 @given(events=events_tables)

@@ -1634,6 +1634,10 @@ _PIN_UNTIL_CHECKED = [
 # the fixed testdata, but the double fence was fuzzer-flipped —
 # VERDICT r4 #2 requires a fresh driver row on the new contract).
 _PIN_UNTIL_RECHECKED: dict[str, int] = {
+    # r6: lambda-recompute fix staged mn/mx/sc outside the transform
+    # (VERDICT r5 #2a) — arithmetic identical, plan reshaped; needs a
+    # post-fix driver hash row
+    "emb_quantize": 5,
     "ag_iqr_outliers": 4,
     # r5: libm/JVM exp removed from the hashed softmax path
     # (deterministic 2^k * Horner exp, ADVICE r4 medium)
@@ -1734,7 +1738,10 @@ def _top_priority() -> list[str]:
 
 # Families the judge grades as the LLM-pipeline headline (VERDICT r2
 # "do this" #1): among never-checked queries these rotate in first.
-_HEADLINE_FAMILIES = ("dd_", "tx_", "dv_", "emb_", "mm_", "ann_")
+# r6: gr_ added — the graph family was simultaneously 10/12
+# never-checked AND bench-regressed in r5 (VERDICT r5 #4); pulling
+# all ten into the r6 window closes its verification gap in one round.
+_HEADLINE_FAMILIES = ("dd_", "tx_", "dv_", "emb_", "mm_", "ann_", "gr_")
 
 # (the former hand-maintained _ROUND1_GREEN_DEFERRED list is
 # subsumed by the self-rotating order below: any query present in a
