@@ -1705,9 +1705,16 @@ def _latest_round_failures() -> list[str]:
         name
         for name, r in rows.items()
         if isinstance(r, dict)
-        and any(
-            r.get(k) is False
-            for k in ("rows_match", "schema_match", "hash_match")
+        and (
+            any(
+                r.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            # a crash in the driver's comparator is a failure too
+            # (r5: ag_approx_percentiles' array output broke the
+            # pandas canonicalizer — err-only row, no False flags);
+            # only the by-design 'no_oracle' marker is not one
+            or (r.get("err") and r.get("err") != "no_oracle")
         )
     ]
 
