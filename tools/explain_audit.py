@@ -178,7 +178,11 @@ SCALAR_BROADCAST_OK = {"a5_nb_accept", "a5_nb_logsum", "a3_role_features",
                        "ann_ivf_probe_sweep",
                        # hour-span scalar (1 row) joined onto the
                        # per-type moment frame
-                       "ts_fano_factor"}
+                       "ts_fano_factor",
+                       # corpus row-count scalar (1 row) joined onto the
+                       # per-score rollup for the percent-rank bin (r6
+                       # distributed rewrite of the row-level window)
+                       "ag_calibration"}
 
 
 def audit(name: str, plan: str) -> list[str]:
