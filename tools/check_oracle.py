@@ -161,9 +161,17 @@ def main() -> int:
         return c
 
     failures = 0
+    n_run = 0
     for spec in catalog():
         if only and spec.name not in only:
             continue
+        # same ContextCleaner starvation fix as bench.py (SCALE.md
+        # round-6): shuffle files / broadcast / checkpoint blocks are
+        # reclaimed only on driver GC; a 248-query session without
+        # one accumulates until the suite tail degrades
+        n_run += 1
+        if n_run % 8 == 0:
+            spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         try:
             sdf = spec.spark(spark, sf_dir)
