@@ -37,11 +37,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CANARY = "p5_derived_flag"
-REGRESS_X = 2.0
+# Calibration (r6, measured): clean idle same-code runs show ~2x
+# run-to-run variance on 1-4s entries (catalog-position, codegen-cold
+# and straggler effects), while the real failure class this gate
+# exists for — the r5 ContextCleaner collapse — is 4-15x on multi-
+# second entries. 3x + a 2.5s minimum absolute delta separates the
+# two cleanly: the r5 victims (ann_ivf_topk 9.2x/+37s,
+# dd_embedding_neardup 13.1x/+86s, emb_quantize 6.7x/+15s) all flag;
+# an 11-entry 2x-drift list from a healthy 422s run does not.
+REGRESS_X = 3.0
 ABS_FLOOR_SEC = 1.5
 # a regression also needs to cost real wall-clock, not just ratio:
 # 0.4s -> 1.6s is 4x but irrelevant to a 500s suite
-MIN_DELTA_SEC = 1.0
+MIN_DELTA_SEC = 2.5
 
 
 def _load_queries(blob: str | bytes) -> dict[str, float]:
