@@ -167,6 +167,54 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         assert approx[key] == pytest.approx(v, rel=0.05)
 
 
+def test_histogram_percentiles_error_bound(spark, sf_dir):
+    """The deterministic integer-histogram sketch (the catalog's
+    hard-oracle ag_approx_percentiles path) is within its
+    constructive bound — strictly < W/2 cents — of the exact
+    ceil-rank order statistic it brackets, for every (group, p)."""
+    from pyspark.sql import functions as F
+
+    from westtopologies_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketch = {
+        (r["o_orderpriority"], r["p_permille"]): (
+            r["approx_cents"],
+            r["n_rows"],
+        )
+        for r in A.histogram_percentiles_cents(
+            orders, "o_totalprice", ["o_orderpriority"]
+        ).collect()
+    }
+    # exact ceil-rank order statistic in cents, per group
+    vals = {}
+    for r in (
+        orders.where(F.col("o_totalprice").isNotNull())
+        .select(
+            "o_orderpriority",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("vc"),
+        )
+        .collect()
+    ):
+        vals.setdefault(r["o_orderpriority"], []).append(r["vc"])
+    for g in vals:
+        vals[g].sort()
+    assert sketch, "sketch output is empty"
+    for (g, p), (approx_cents, n_rows) in sketch.items():
+        vs = vals[g]
+        assert n_rows == len(vs)
+        rank = -(-p * n_rows // 1000)  # ceil(p*n/1000)
+        exact = vs[rank - 1]
+        assert abs(approx_cents - exact) < A.HIST_SKETCH_WIDTH_CENTS / 2, (
+            g,
+            p,
+            approx_cents,
+            exact,
+        )
+
+
 def test_incremental_minhash_consistent_with_full(spark, sf_dir):
     """Incremental (delta vs corpus) pairs == the cross-slot subset of
     the full self-dedup pairs on the same documents."""

@@ -719,6 +719,10 @@ SET2 = settings(
         "sq_order_priority",
         "sq_forecast_revenue",
         "sq_important_parts",
+        # r7: graduated to the deterministic histogram sketch — fuzz
+        # the integer bucket/rank arithmetic over random order tables
+        # before its first driver hash row (VERDICT r6 #4)
+        "ag_approx_percentiles",
     ],
 )
 @SET2

@@ -1634,6 +1634,10 @@ _PIN_UNTIL_CHECKED = [
 # the fixed testdata, but the double fence was fuzzer-flipped —
 # VERDICT r4 #2 requires a fresh driver row on the new contract).
 _PIN_UNTIL_RECHECKED: dict[str, int] = {
+    # r7: graduated from rows-only (err:no_oracle every round) to the
+    # deterministic integer-histogram sketch with a real DuckDB
+    # replay oracle (VERDICT r6 #4) — needs its first hash row
+    "ag_approx_percentiles": 6,
     # r6: lambda-recompute fix staged mn/mx/sc outside the transform
     # (VERDICT r5 #2a) — arithmetic identical, plan reshaped; needs a
     # post-fix driver hash row

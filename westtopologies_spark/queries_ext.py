@@ -1176,20 +1176,33 @@ def ag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.profile(_t(spark, sf_dir, "orders"))
 
 
+def _approx_pct_sql() -> str:
+    from .scale import aggstats as A
+
+    return A.histogram_percentiles_cents_sql(
+        "orders", "o_totalprice", ["o_orderpriority"]
+    )
+
+
 @_register(
     "ag_approx_percentiles",
-    None,  # sketch path: engine-specific summaries; error bounded in
-    # tests/test_aggstats.py against the exact rank-based plan
-    doc="Greenwald-Khanna approximate percentiles per priority class "
-    "(single-pass, mergeable, map-side partial agg) — the sketch "
-    "companion to ag_percentiles' exact sort plan. Rows-only by "
-    "design; error-bound-tested vs exact. Aggregate-statistics "
-    "extension.",
+    _approx_pct_sql(),
+    doc="Deterministic approximate percentiles per priority class via "
+    "a fixed-width integer-histogram sketch over exact cents: "
+    "single-pass, mergeable (counts add), map-side partial agg — "
+    "the sketch companion to ag_percentiles' exact sort plan, and "
+    "now HARD-SIGNAL oracle-checked (VERDICT r6 #4, the "
+    "ag_hll_distinct graduation recipe — the former rows-only "
+    "percentile_approx/GK path stays available as "
+    "scale.aggstats.approx_group_percentiles). Value error < $50 "
+    "(W/2) vs the ceil-rank order statistic, error-bound-tested in "
+    "tests/test_aggstats.py. ALL-INTEGER output (p_permille, n_rows, "
+    "approx_cents BIGINT). Aggregate-statistics extension.",
 )
 def ag_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import aggstats as A
 
-    return A.approx_group_percentiles(
+    return A.histogram_percentiles_cents(
         _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
     )
 

@@ -448,7 +448,9 @@ def approx_group_percentiles(
     the driver's rows-compare canonicalizer sorts columns with
     pandas, which cannot factorize array values (the one red r5
     driver row, VERDICT r5 #1), so the percentile array is
-    posexploded before leaving the kernel."""
+    posexploded before leaving the kernel.  ``posexplode_outer``: a
+    group whose sketch is NULL (every measurement NULL) still emits
+    one (group, NULL, NULL) row instead of vanishing (ADVICE r6)."""
     pvals = F.array(*[F.lit(float(p)) for p in ps])
     return (
         df.groupBy(*keys)
@@ -459,7 +461,7 @@ def approx_group_percentiles(
         )
         .select(
             *keys,
-            F.posexplode("_pcts").alias("_i", "approx_value"),
+            F.posexplode_outer("_pcts").alias("_i", "approx_value"),
         )
         .select(
             *keys,
@@ -467,6 +469,124 @@ def approx_group_percentiles(
             "approx_value",
         )
     )
+
+
+# Deterministic quantile sketch (the catalog's hard-oracle path):
+# fixed-width integer histogram over exact cents.  $100-wide bins
+# (even → exact integer midpoint); value error is strictly < W/2
+# = $50 vs the ceil-rank order statistic, by construction.
+HIST_SKETCH_WIDTH_CENTS = 10_000
+HIST_SKETCH_P_PERMILLE = (250, 500, 750, 900, 990)
+
+
+def histogram_percentiles_cents(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    ps_permille: Sequence[int] = HIST_SKETCH_P_PERMILLE,
+    width_cents: int = HIST_SKETCH_WIDTH_CENTS,
+) -> DataFrame:
+    """DETERMINISTIC approximate percentiles per key group: a
+    fixed-width integer histogram sketch over exact cents — the
+    hard-oracle companion to :func:`approx_group_percentiles`'s
+    engine-specific GK sketch (VERDICT r6 #4, the ``ag_hll_distinct``
+    graduation recipe: make the sketch itself portable arithmetic so
+    DuckDB can replay it bit-exactly).
+
+    Sketch = per-(group, bucket) row counts, ``bucket =
+    floor(cents / W)`` — trivially MERGEABLE (counts add) and
+    map-side partially aggregated, so the shuffle carries at most
+    one row per (task, group, bucket): the single-pass 100 TB path.
+    The estimate for permille ``p`` is the midpoint of the first
+    bucket whose cumulative count reaches ``ceil(p*n/1000)``; value
+    error is < W/2 vs that exact order statistic (error-bound-tested
+    in tests/test_aggstats.py against the exact rank plan).
+
+    ALL-INTEGER cross-engine arithmetic (ORACLE_DISCIPLINE rule 6):
+    floor-division via pmod (no float quotient), the rank test is the
+    division-free ``cum*1000 >= p*n`` (⇔ ``cum >= ceil(p*n/1000)``
+    for integers), and the output is primitive BIGINT cents.  The
+    cumulative window partitions by the group key over the BUCKET
+    domain (≤ value-range/W rows per group), never row-level."""
+    W = int(width_cents)
+    vc = (F.col(value).cast("decimal(18,2)") * 100).cast("long")
+    c = df.where(F.col(value).isNotNull()).select(*keys, vc.alias("_vc"))
+    bucket = F.expr(f"(_vc - pmod(_vc, {W})) div {W}")
+    binned = (
+        c.select(*keys, bucket.alias("_b"))
+        .groupBy(*keys, "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    wk = Window.partitionBy(*keys)
+    cum = binned.select(
+        *keys,
+        "_b",
+        F.sum("_cnt")
+        .over(wk.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum"),
+        F.sum("_cnt").over(wk).alias("n_rows"),
+    )
+    per_p = cum.withColumn(
+        "p_permille",
+        F.explode(F.array(*[F.lit(int(p)) for p in ps_permille])),
+    )
+    hit = per_p.filter(
+        F.col("_cum") * 1000 >= F.col("p_permille") * F.col("n_rows")
+    )
+    return (
+        hit.groupBy(*keys, "p_permille", "n_rows")
+        .agg(F.min("_b").alias("_bmin"))
+        .select(
+            *keys,
+            "p_permille",
+            "n_rows",
+            (F.col("_bmin") * W + W // 2).alias("approx_cents"),
+        )
+    )
+
+
+def histogram_percentiles_cents_sql(
+    table: str,
+    value: str,
+    keys: Sequence[str],
+    ps_permille: Sequence[int] = HIST_SKETCH_P_PERMILLE,
+    width_cents: int = HIST_SKETCH_WIDTH_CENTS,
+) -> str:
+    """DuckDB oracle replaying :func:`histogram_percentiles_cents`
+    exactly (same integer arithmetic; windowed sums cast from
+    HUGEINT per ORACLE_DISCIPLINE rule 13)."""
+    W = int(width_cents)
+    ks = ", ".join(keys)
+    pvals = ", ".join(f"({int(p)})" for p in ps_permille)
+    return f"""
+    WITH c AS (
+      SELECT {ks},
+             CAST(CAST({value} AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      FROM {table} WHERE {value} IS NOT NULL
+    ),
+    b AS (
+      SELECT {ks},
+             CAST((vc - ((vc % {W}) + {W}) % {W}) // {W} AS BIGINT) AS bkt,
+             count(*) AS cnt
+      FROM c GROUP BY ALL
+    ),
+    cum AS (
+      SELECT {ks}, bkt,
+             CAST(sum(cnt) OVER (PARTITION BY {ks} ORDER BY bkt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY {ks}) AS BIGINT) AS n_rows
+      FROM b
+    ),
+    hit AS (
+      SELECT {ks}, p.p_permille, cum.bkt, cum.n_rows
+      FROM cum CROSS JOIN (VALUES {pvals}) AS p(p_permille)
+      WHERE cum * 1000 >= p.p_permille * n_rows
+    )
+    SELECT {ks}, p_permille, n_rows,
+           min(bkt) * {W} + {W // 2} AS approx_cents
+    FROM hit GROUP BY ALL
+    """
 
 
 TRIM_FRAC = 0.05

@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import constants as C
+from ..session import release_local_checkpoint
 
 
 # ---------------------------------------------------------------------------
@@ -1150,6 +1151,10 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # the checkpoint FRAME of the live round (labels itself after round
+    # 1 is a projection of it) — tracked so each superseded round's
+    # blocks can be freed eagerly, see release below
+    ckpt = labels
     n_changed = 0
     for _ in range(max_iter):
         neigh_min = (
@@ -1187,6 +1192,17 @@ def connected_components(
             )
         ).localCheckpoint()
         n_changed = updated.filter("_changed").count()
+        # the superseded round's checkpoint blocks are dead the moment
+        # ``updated`` is materialized — free them NOW instead of
+        # waiting for a driver GC the session may never run (VERDICT
+        # r6 #3; the round-6 ContextCleaner-starvation class)
+        release_local_checkpoint(ckpt)
+        if p0 is not None:
+            # edges' persist cache filled while building round 1's
+            # frames, so the pre-union pair checkpoint is dead too
+            release_local_checkpoint(p0)
+            p0 = None
+        ckpt = updated
         labels = updated.drop("_changed")
         if n_changed == 0:
             break

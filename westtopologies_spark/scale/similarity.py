@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import constants as C
+from ..session import release_local_checkpoint
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -388,7 +389,7 @@ def kmeans_assignments(
     )
     for _ in range(iters):
         assigned = _nearest_centroid(v, cents)
-        cents = (
+        refit = (
             v.join(assigned, "c_id")
             .groupBy("cid")
             .agg(mean_v.alias("cent_v"))
@@ -399,6 +400,10 @@ def kmeans_assignments(
             # re-computation of the unrolled lineage grows ~2^iters
             .localCheckpoint()
         )
+        # superseded round's centroid blocks: free eagerly (VERDICT
+        # r6 #3); no-op for the round-0 plan, which is not a checkpoint
+        release_local_checkpoint(cents)
+        cents = refit
     sim = F.round(
         _dot(F.col("c_v"), F.col("cent_v")) / (F.col("c_n") * F.col("cent_n")), 6
     )
@@ -535,7 +540,7 @@ def _pq_fit(
             .groupBy("vec_id", "m")
             .agg(F.min("cid").alias("cid"))
         )
-        cents = (
+        refit = (
             sub.join(assign, ["vec_id", "m"])
             .groupBy("m", "cid")
             .agg(mean_cv.alias("cv"))
@@ -545,6 +550,9 @@ def _pq_fit(
             .coalesce(1)
             .localCheckpoint()
         )
+        # superseded codebook round: free eagerly (VERDICT r6 #3)
+        release_local_checkpoint(cents)
+        cents = refit
     scored = sub.join(F.broadcast(cents), "m").select(
         "vec_id", "m", "cid", _sqdist().alias("d")
     )

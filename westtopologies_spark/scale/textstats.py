@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import constants as C
+from ..session import release_local_checkpoint
 from .dedup import doc_token_ids, tokens_with_ids
 
 
@@ -846,7 +847,7 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
             break
         a, b, n = top[0].a, top[0].b, top[0].n_pair
         merges.append((a, b, n))
-        cur = cur.select(
+        nxt = cur.select(
             "doc_id",
             "n_words",
             "n_chars",
@@ -854,6 +855,11 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
                 "toks"
             ),
         ).localCheckpoint()
+        # superseded round's token-frame blocks die here — free them
+        # eagerly so 20-round trains don't hold 20 corpus copies until
+        # the next driver GC (VERDICT r6 #3)
+        release_local_checkpoint(cur)
+        cur = nxt
     return merges, cur
 
 

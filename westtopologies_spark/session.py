@@ -188,3 +188,29 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def release_local_checkpoint(df) -> None:
+    """Eagerly free a SUPERSEDED ``localCheckpoint()`` frame's storage
+    blocks (VERDICT r6 #3 — lineage hygiene inside the iterative
+    kernels, not just the harness's periodic GC).
+
+    ``DataFrame.unpersist()`` only covers ``persist()``-cached plans;
+    a local checkpoint's blocks live on its internal ``LogicalRDD``
+    and are otherwise reclaimed only when the driver JVM happens to
+    GC the dropped reference — which a 16g heap may never do across a
+    hundreds-of-queries session (the round-6 ContextCleaner-starvation
+    root cause, SCALE.md).  This reaches the underlying RDD and drops
+    its blocks immediately.
+
+    CALLER CONTRACT: the frame must never be computed again — a
+    released local checkpoint cannot be rebuilt (its lineage was
+    truncated).  Apply only to each round's superseded state after
+    the next round's checkpoint has materialized; never to a frame
+    that escapes the kernel.  Best-effort: any reflection mismatch on
+    a future Spark degrades to the old GC-dependent behavior.
+    """
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass

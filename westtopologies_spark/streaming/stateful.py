@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_local_checkpoint
+
 W1_OUT_SCHEMA = "window_start timestamp, window_end timestamp, n_events long, sum_value double"
 
 
@@ -387,16 +389,22 @@ def data_driven_windows_distributed(
         stepped = orbit.join(jump, "seq").select(F.col("dst").alias("seq"))
         grown = orbit.union(stepped).distinct().localCheckpoint()
         n_now = grown.count()
+        # superseded round state: free the old orbit (and below the
+        # old jump table) eagerly instead of leaving the blocks for a
+        # driver GC the session may never run (VERDICT r6 #3)
+        release_local_checkpoint(orbit)
         orbit = grown
         if n_now == size:  # J_k(R) ⊆ R ⇒ fixpoint (see docstring)
             break
         size = n_now
-        jump = (
+        doubled = (
             jump.alias("a")
             .join(jump.alias("b"), F.col("a.dst") == F.col("b.seq"))
             .select(F.col("a.seq").alias("seq"), F.col("b.dst").alias("dst"))
             .localCheckpoint()
         )
+        release_local_checkpoint(jump)
+        jump = doubled
 
     wins = orbit.join(next_tbl, "seq").select(
         F.col("seq").alias("wstart"), F.col("nxt").alias("wend")
