@@ -65,7 +65,14 @@ def main() -> None:
     # A real long-lived cluster GCs naturally under allocation
     # pressure; in local mode we force it every GC_EVERY queries
     # (~100-300ms each, bounded overhead).
-    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8"))
+    try:
+        gc_every = int(
+            os.environ.get("SPARK_GRAFT_BENCH_GC_EVERY", "8").strip() or "8"
+        )
+    except ValueError:
+        # malformed env degrades to the default instead of crashing the
+        # whole bench (ADVICE r6 — mirrors the _FUZZ_X fix)
+        gc_every = 8
     timings: dict[str, float] = {}
     t_all = time.time()
     for i, spec in enumerate(catalog()):

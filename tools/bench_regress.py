@@ -4,8 +4,10 @@ Round 5's bench went 324.8 s -> 570.5 s with a GREEN 49/50
 correctness file — perf rot arrived silently alongside healthy
 correctness pins. This tool is the perf analogue of the pin list:
 compare a fresh BENCH_FULL.json against the previous round's
-committed one, canary-normalized, and fail on >2x per-query
-regressions.
+committed one, load-normalized, and fail on >3x per-query
+regressions that also cost >2.5 s of real wall-clock (the r6
+calibration: clean same-code runs show ~2x noise on 1-4 s entries,
+the real failure class is 4-15x on multi-second ones).
 
     python tools/bench_regress.py [baseline.json] [candidate.json]
 
@@ -15,12 +17,20 @@ round-N numbers for round N+1 to gate against); candidate =
 ./BENCH_FULL.json on disk (written by the bench.py run you just did).
 
 Rules:
-- the CANARY query's ratio (candidate/baseline) estimates ambient
-  machine-load drift; every per-query threshold is scaled by it, so
-  a uniformly-slower box does not flag the whole suite;
+- the ambient-load normalizer is the MEDIAN candidate/baseline ratio
+  over the stable multi-second shared entries (baseline >=
+  STABLE_BASE_SEC), clamped to [0.5, 2.0] — NOT a single sub-second
+  canary entry, whose own noise or co-regression would multiply
+  every threshold and mask exactly the 4-9x collapses the gate
+  exists for (ADVICE r6). A median over dozens of entries is robust
+  to a minority victim set; the upward clamp enforces the bench
+  contract (benches run SOLO — ambient beyond 2x means re-run on an
+  idle box, not auto-forgive the whole suite). The legacy canary
+  ratio is still printed for continuity with the driver's records;
 - only queries whose candidate time exceeds ABS_FLOOR_SEC are
   eligible (sub-second entries are timer noise);
-- a query flags when candidate > REGRESS_X * baseline * canary_ratio;
+- a query flags when candidate > REGRESS_X * baseline * load_ratio
+  and the normalized delta exceeds MIN_DELTA_SEC;
 - queries present on only one side are reported informationally,
   never flagged (catalog churn is the correctness gate's business).
 
@@ -50,6 +60,12 @@ ABS_FLOOR_SEC = 1.5
 # a regression also needs to cost real wall-clock, not just ratio:
 # 0.4s -> 1.6s is 4x but irrelevant to a 500s suite
 MIN_DELTA_SEC = 2.5
+# entries feeding the median load normalizer: stable multi-second
+# baselines only (sub-2s entries are the timer-noise class)
+STABLE_BASE_SEC = 2.0
+LOAD_RATIO_MIN, LOAD_RATIO_MAX = 0.5, 2.0
+# median needs a quorum; below it fall back to the legacy canary
+STABLE_QUORUM = 5
 
 
 def _load_queries(blob: str | bytes) -> dict[str, float]:
@@ -68,14 +84,35 @@ def _baseline_from_git() -> dict[str, float]:
     return _load_queries(out)
 
 
+def _load_ratio(
+    base: dict[str, float], cand: dict[str, float]
+) -> tuple[float, int]:
+    """Ambient-load normalizer: median cand/base ratio over the
+    stable multi-second shared entries, clamped (see module doc);
+    returns (ratio, n_stable_entries).  Falls back to the legacy
+    single-entry canary when the stable set is below quorum."""
+    import statistics
+
+    ratios = [
+        cand[n] / b
+        for n, b in base.items()
+        if b >= STABLE_BASE_SEC and cand.get(n, 0) > 0
+    ]
+    if len(ratios) >= STABLE_QUORUM:
+        raw = statistics.median(ratios)
+    elif base.get(CANARY, 0) > 0 and cand.get(CANARY, 0) > 0:
+        raw = cand[CANARY] / base[CANARY]
+    else:
+        raw = 1.0
+    return min(max(raw, LOAD_RATIO_MIN), LOAD_RATIO_MAX), len(ratios)
+
+
 def compare(
     base: dict[str, float], cand: dict[str, float]
 ) -> tuple[list[tuple[str, float, float, float]], float]:
-    """Returns (flags, canary_ratio); each flag is
+    """Returns (flags, load_ratio); each flag is
     (name, base_sec, cand_sec, normalized_ratio)."""
-    ratio = 1.0
-    if base.get(CANARY, 0) > 0 and cand.get(CANARY, 0) > 0:
-        ratio = max(cand[CANARY] / base[CANARY], 0.5)
+    ratio, _ = _load_ratio(base, cand)
     flags = []
     for name, c in cand.items():
         b = base.get(name)
@@ -103,11 +140,19 @@ def main() -> int:
         cand = _load_queries(f.read())
 
     flags, ratio = compare(base, cand)
+    _, n_stable = _load_ratio(base, cand)
+    canary = (
+        cand[CANARY] / base[CANARY]
+        if base.get(CANARY, 0) > 0 and cand.get(CANARY, 0) > 0
+        else float("nan")
+    )
     only_base = sorted(set(base) - set(cand))
     only_cand = sorted(set(cand) - set(base))
     print(
         f"bench regression gate: {len(cand)} candidate queries vs "
-        f"{len(base)} baseline; canary ratio {ratio:.3f}"
+        f"{len(base)} baseline; load ratio {ratio:.3f} "
+        f"(median of {n_stable} stable entries, clamped "
+        f"[{LOAD_RATIO_MIN},{LOAD_RATIO_MAX}]; legacy canary {canary:.3f})"
     )
     if only_base:
         print(f"  (info) missing from candidate: {', '.join(only_base[:10])}")

@@ -113,7 +113,8 @@ def main() -> int:
     ]
     # Per-query bench regression gate (VERDICT r5 #3): a fresh full
     # sf0.1 bench run, compared canary-normalized against the
-    # HEAD-committed BENCH_FULL.json — fails on >2x per-query rot.
+    # HEAD-committed BENCH_FULL.json — fails on >3x per-query rot
+    # (+2.5s min normalized delta; r6 calibration, see bench_regress.py).
     # ~10 min of wall-clock; SPARK_GRAFT_SKIP_BENCH_GATE=1 skips it
     # (e.g. when iterating on a single correctness fix), but a round
     # handoff should always run it: r5's 324.8->570.5 s regression

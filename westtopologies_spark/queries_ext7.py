@@ -220,10 +220,19 @@ def ag_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # two-phase global rank: (value, event_id) is a total order,
         # so range partitions never split a key; global rn = local
-        # row_number + count of rows in earlier partitions
-        part = base.repartitionByRange(
-            F.asc("value"), F.asc("event_id")
-        ).withColumn("pid", F.spark_partition_id())
+        # row_number + count of rows in earlier partitions.
+        # persist: BOTH the counts branch and the join probe side
+        # below read ``part`` — repartitionByRange SAMPLES its range
+        # boundaries per computation, so without pinning the two
+        # branches could land rows in different pids (correctness
+        # would silently ride on spark.sql.exchange.reuse; ADVICE r6
+        # — the same hazard scale/dedup.py:58 distributed_rank
+        # persists against)
+        part = (
+            base.repartitionByRange(F.asc("value"), F.asc("event_id"))
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
         w_in = Window.partitionBy("pid").orderBy("value", "event_id")
         w_pre = Window.orderBy("pid").rowsBetween(
             Window.unboundedPreceding, -1
