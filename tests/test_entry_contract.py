@@ -35,13 +35,13 @@ def test_entry_runs_with_stable_schema(spark, entry_mod):
 def test_oracle_keys_subset_of_queries(entry_mod):
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(osql) <= set(qs)
-    # rows-only entries are the documented model/sketch exceptions
+    # rows-only entries are the documented model exceptions
     # (ag_hll_distinct graduated to a hard oracle in r5 — the
-    # deterministic fixed-hash HLL)
+    # deterministic fixed-hash HLL; ag_approx_percentiles in r7 —
+    # the deterministic integer-histogram sketch)
     rows_only = set(qs) - set(osql)
     assert rows_only == {
         "m1_predict_locations",
-        "ag_approx_percentiles",
     }
 
 

@@ -60,6 +60,43 @@ def test_jaccard_bounds_and_symmetric_pairs(edges):
         assert r.n_common >= G.JACCARD_MIN_COMMON
 
 
+def test_jaccard_cap_is_identity_below_cap(edges):
+    """The catalog entry's in-plan degree cap (top-32 by the md5
+    order, VERDICT r6 #5) is a pure guardrail when no node exceeds
+    it: capped == uncapped exactly (sf0.001's max degree is 14).
+    This pins the uncapped exact form the capped catalog entry
+    replaced."""
+    exact = {
+        (r.ua, r.ub): (r.n_common, r.jaccard)
+        for r in G.neighbor_jaccard(edges).collect()
+    }
+    capped = {
+        (r.ua, r.ub): (r.n_common, r.jaccard)
+        for r in G.neighbor_jaccard(edges, max_degree=32).collect()
+    }
+    assert capped == exact
+
+
+def test_jaccard_cap_bounds_hub_fanout(spark):
+    """On a graph with hubs above the cap, the capped kernel's
+    n_common (and therefore any shared neighbor's wedge fan-out)
+    is bounded by the cap while the uncapped form is not."""
+    leaves = list(range(2, 44))  # two hubs sharing 42 leaves
+    rows = [(0, leaf) for leaf in leaves] + [(1, leaf) for leaf in leaves]
+    g = spark.createDataFrame(rows, "u long, v long")
+    # uncapped: the hub pair shares all 42 leaves (every leaf pair
+    # also appears — they share the two hubs)
+    un = {(r.ua, r.ub): r.n_common for r in G.neighbor_jaccard(g).collect()}
+    assert un[(0, 1)] == 42
+    cp = {
+        (r.ua, r.ub): r.n_common
+        for r in G.neighbor_jaccard(g, max_degree=32).collect()
+    }
+    assert all(n <= 32 for n in cp.values())
+    # the hub pair's overlap is capped at 32 kept neighbors per hub
+    assert cp.get((0, 1), 0) <= 32
+
+
 def test_pagerank_mass_and_floor(spark, sf_dir):
     tweets = _event_edges(spark, sf_dir)
     nodes = tweets.select(F.col("author_id").alias("node")).distinct()

@@ -1638,6 +1638,10 @@ _PIN_UNTIL_RECHECKED: dict[str, int] = {
     # deterministic integer-histogram sketch with a real DuckDB
     # replay oracle (VERDICT r6 #4) — needs its first hash row
     "ag_approx_percentiles": 6,
+    # r7: in-plan degree cap (top-32 by the md5 order, VERDICT r6 #5)
+    # — the r6-green row proved the UNCAPPED contract; the capped
+    # rewrite needs its own driver hash row
+    "gr_neighbor_jaccard": 6,
     # r6: lambda-recompute fix staged mn/mx/sc outside the transform
     # (VERDICT r5 #2a) — arithmetic identical, plan reshaped; needs a
     # post-fix driver hash row

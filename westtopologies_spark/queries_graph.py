@@ -83,14 +83,27 @@ def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_counts(G.user_edges(_event_edges(spark, sf_dir)))
 
 
+_GUARD_DEGREE = 32
+
+
 @_register(
     "gr_neighbor_jaccard",
     _TW_CTE
     + _UEDGES_CTE
     + f"""
-    , adj AS (
+    , adj0 AS (
       SELECT u AS node, v AS nb FROM uedges
       UNION ALL SELECT v AS node, u AS nb FROM uedges
+    ),
+    adj AS (
+      SELECT node, nb FROM (
+        SELECT node, nb,
+               row_number() OVER (
+                 PARTITION BY node
+                 ORDER BY md5(concat(CAST(node AS VARCHAR), ':', CAST(nb AS VARCHAR))), nb
+               ) AS rn
+        FROM adj0
+      ) WHERE rn <= {_GUARD_DEGREE}
     ),
     deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
     common AS (
@@ -107,14 +120,23 @@ def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Neighbor-set Jaccard for user pairs sharing >=2 neighbors: "
     "wedge self-join on the shared-neighbor column (the same "
     "co-occurrence-join shape as MinHash-LSH candidate generation), "
-    "integer set arithmetic until the final division. SCALE BOUND: "
-    "the wedge join is quadratic in hub-node degree (this uncapped "
-    "variant is the oracle-exact form); the 100TB path is the capped "
-    "variant gr_neighbor_jaccard_capped (degree-capped candidate "
-    "generation, driver-green r2). Graph-analytics extension.",
+    "integer set arithmetic until the final division. IN-PLAN CAP "
+    "(VERDICT r6 #5 — the former uncapped form was the suite's #2 "
+    "entry and quadratic in hub degree): adjacency is capped at the "
+    "top-32 neighbors per node by the deterministic engine-"
+    "independent (md5(node:nb), nb) order BEFORE the wedge join, "
+    "bounding any shared neighbor's wedge fan-out at 32^2; degrees "
+    "(and the Jaccard denominator) are computed on the capped sets, "
+    "so the identical rule replays in the oracle — a deterministic "
+    "approximation, not a sample. The uncapped exact form remains "
+    "scale-bound-free in ops.graph.neighbor_jaccard for bounded "
+    "inputs and is parity-tested in tests/test_graph.py. "
+    "Graph-analytics extension.",
 )
 def gr_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.neighbor_jaccard(G.user_edges(_event_edges(spark, sf_dir)))
+    return G.neighbor_jaccard(
+        G.user_edges(_event_edges(spark, sf_dir)), max_degree=_GUARD_DEGREE
+    )
 
 
 _CAP_DEGREE = 8

@@ -332,14 +332,17 @@ def _neardup_sql() -> str:
     "all-pairs (the oracle replays the plain exact SQL, untouched; "
     "parity vs the unpruned kernel is pytest-pinned). Worst case "
     "degrades to the all-pairs grid, which is inherent to exactness — "
-    "at 100TB use the PQ-blocked approximate sibling "
-    "(dd_pq_neardup, scale/similarity.py PQ codes: candidate pairs "
-    "only within matching coarse blocks) and reserve this exact "
-    "kernel for final verification of candidate pairs. "
-    "Scale extension.",
+    "so the entry now carries an ENFORCED work bound (VERDICT r6 #5): "
+    "corpora above NEARDUP_EXACT_MAX_ROWS raise with a pointer to the "
+    "PQ-blocked approximate sibling (dd_pq_neardup, scale/similarity "
+    "PQ codes: candidate pairs only within matching coarse blocks); "
+    "reserve this exact kernel for final verification of bounded "
+    "candidate sets. Scale extension.",
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_neardup_pairs_pruned(_t(spark, sf_dir, "embeddings"))
+    return dedup.embedding_neardup_pairs_pruned(
+        _t(spark, sf_dir, "embeddings"), max_rows=C.NEARDUP_EXACT_MAX_ROWS
+    )
 
 
 def _ann_bruteforce_sql() -> str:

@@ -54,6 +54,12 @@ FP_MULT = 31
 # --- embedding similarity ------------------------------------------------
 EMBEDDING_DIM = 64
 NEARDUP_COSINE_THRESHOLD = 0.4  # synthetic vectors are near-orthogonal
+# Work bound for the EXACT near-dup kernel (VERDICT r6 #5): exactness
+# is inherently O(n^2) worst-case, so the catalog entry refuses
+# corpora above this size instead of melting down — 100k^2 * 64-dim
+# is ~0.64 TFLOP of GEMM, a bounded final-verification job; anything
+# larger must go through candidate generation (dd_pq_neardup / LSH).
+NEARDUP_EXACT_MAX_ROWS = 100_000
 ANN_TOP_K = 5
 ANN_N_QUERIES = 10  # vec_id < 10 serve as the query set
 
