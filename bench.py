@@ -29,20 +29,26 @@ def main() -> None:
         "bench",
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            # NOTE: deliberately NOT setting a short
-            # spark.cleaner.periodicGC.interval here — a timer-driven
-            # full GC can land MID-QUERY (stop-the-world inside a
-            # 40-stage iterative kernel distorts that one entry); the
-            # explicit between-query System.gc() below cleans at
-            # deterministic safe points instead
+            # get_spark now defaults spark.cleaner.periodicGC.interval
+            # to 5min (the session-owned production cadence, SCALE.md
+            # round-7) — the BENCH overrides it back to Spark's 30min:
+            # a timer-driven full GC can land MID-QUERY (stop-the-world
+            # inside a 40-stage iterative kernel distorts that one
+            # entry); the explicit between-query System.gc() below
+            # cleans at deterministic safe points instead
+            "spark.cleaner.periodicGC.interval": "30min",
         },
     )
 
-    # one tiny untimed query first: pays the one-off session costs
+    # two tiny untimed queries first: pay the one-off session costs
     # (JVM class loading, codegen compiler warmup, shuffle machinery,
     # parquet footer reads) that a long-lived cluster amortizes across
     # jobs — they would otherwise all land on whichever query runs
-    # first
+    # first. The second probe touches the documents table through the
+    # explode(split())+two-agg shape shared by the text family: r6's
+    # driver suite charged tx_gopher_quality 24.7s because rotation
+    # put it early — profiled r7 as 9.0s session-cold / 4.1s after the
+    # events-only warmup / 2.9s after this probe / 1.5s steady-state.
     from pyspark.sql import functions as F
 
     from westtopologies_spark.session import load_table
@@ -50,6 +56,27 @@ def main() -> None:
     load_table(spark, sf_dir, "events").groupBy("event_type").agg(
         F.count(F.lit(1))
     ).write.format("noop").mode("overwrite").save()
+    (
+        load_table(spark, sf_dir, "documents")
+        .limit(200)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    # touch every table's parquet footers once so the first TIMED
+    # entry that reads a given table is not charged its first scan
+    # (rotation decides which entry runs first — r7's pos-0 entry
+    # paid the first orders read)
+    for t in (
+        "region nation customer supplier part orders "
+        "lineitem events documents embeddings"
+    ).split():
+        load_table(spark, sf_dir, t).count()
 
     # Periodic driver GC between queries (r6, the in-suite-collapse
     # fix): Spark's ContextCleaner reclaims shuffle files, broadcast
@@ -74,8 +101,25 @@ def main() -> None:
         # whole bench (ADVICE r6 — mirrors the _FUZZ_X fix)
         gc_every = 8
     timings: dict[str, float] = {}
+    probes: dict[str, float] = {}
+
+    def _ambient_probe() -> float:
+        # fixed pure-Python workload (~5ms idle): a per-query ambient
+        # tracer. The r7 clean runs showed multi-minute HOST stalls
+        # (hypervisor steal / IO weather) inflating whole contiguous
+        # catalog windows 5-45x while the single late-suite canary
+        # stayed flat — per-query probes localize such windows
+        # mechanically so a stalled run is diagnosed, not
+        # misattributed to the entries that happened to be running.
+        t0 = time.perf_counter()
+        s = 0
+        for j in range(200_000):
+            s += j
+        return time.perf_counter() - t0
+
     t_all = time.time()
     for i, spec in enumerate(catalog()):
+        probes[spec.name] = round(_ambient_probe(), 5)
         t0 = time.time()
         df = spec.spark(spark, sf_dir)
         # foreach-noop action: executes the whole plan, returns nothing
@@ -89,7 +133,7 @@ def main() -> None:
         if gc_every > 0 and (i + 1) % gc_every == 0:
             spark.sparkContext._jvm.System.gc()
     total = round(time.time() - t_all, 3)
-    write_full_report(timings, total, sf)
+    write_full_report(timings, total, sf, probes)
     print(contract_line(timings, total, sf))
     spark.stop()
 
@@ -141,7 +185,12 @@ def contract_line(timings: dict[str, float], total: float, sf: float) -> str:
         compact.pop(next(reversed(compact)))
 
 
-def write_full_report(timings: dict[str, float], total: float, sf: float) -> None:
+def write_full_report(
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    probes: dict[str, float] | None = None,
+) -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
@@ -154,6 +203,8 @@ def write_full_report(timings: dict[str, float], total: float, sf: float) -> Non
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                # per-query ambient tracer (see _ambient_probe)
+                "probes": probes or {},
             },
             f,
         )

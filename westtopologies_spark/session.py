@@ -64,6 +64,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner reclaims shuffle files / broadcast blocks /
+        # checkpoint RDDs only when the driver JVM GCs their handles;
+        # a low-allocation driver running many short jobs can starve
+        # it for the process lifetime (SCALE.md round-6 — 4-15x
+        # in-suite collapses). 5min (default 30min) is the session-
+        # owned cadence so ANY long-lived driver built through here
+        # self-cleans; the bench additionally GCs at deterministic
+        # between-query safe points for measurement stability.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
