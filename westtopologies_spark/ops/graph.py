@@ -540,6 +540,7 @@ def khop_reach(
             .select(F.col("nb").alias("node"))
             .distinct()
         )
+        prev_frontier = frontier
         frontier = (
             nxt.join(reach.select("node"), "node", "left_anti")
             .select("node", F.lit(h).alias("hop"))
@@ -547,5 +548,12 @@ def khop_reach(
         )
         prev = reach
         reach = reach.unionByName(frontier).persist()
+        # this round's reach is materialized by the next loop's (or
+        # the caller's) action lazily; the PREVIOUS round's reach and
+        # frontier pins are dead now — drop them so rounds don't
+        # accumulate storage (same hygiene as kcore_peel; note
+        # prev_frontier == prev at h=1, unpersist is idempotent)
         prev.unpersist()
+        if prev_frontier is not prev:
+            prev_frontier.unpersist()
     return reach.select(F.col("node").alias("user_id"), F.col("hop").cast("long"))
