@@ -87,6 +87,32 @@ def _load_queries(blob: str | bytes) -> dict[str, float]:
     return {k: float(v) for k, v in q.items()}
 
 
+def _stalled_by_probe(blob: str | bytes) -> set[str]:
+    """Entries with host-stall evidence from bench.py's per-query
+    ambient probes (r7): a probe >3x the run median means the host
+    was stalled (hypervisor steal / IO weather) when that entry
+    STARTED — implicating it and the entry that ran just before the
+    probe. Measured example: ann_rrf_fusion 2.5->60.7s with its probe
+    at 6.1x median while every neighbor was flat."""
+    import statistics
+
+    data = json.loads(blob)
+    probes = data.get("probes") or {}
+    if len(probes) < 10:
+        return set()
+    med = statistics.median(probes.values())
+    if med <= 0:
+        return set()
+    names = list(data.get("queries", probes))
+    out: set[str] = set()
+    for i, n in enumerate(names):
+        if probes.get(n, 0) > 3 * med:
+            out.add(n)
+            if i > 0:
+                out.add(names[i - 1])
+    return out
+
+
 def _baseline_from_git() -> dict[str, float]:
     out = subprocess.run(
         ["git", "show", "HEAD:BENCH_FULL.json"],
@@ -150,7 +176,9 @@ def main() -> int:
         sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_FULL.json")
     )
     with open(cand_path) as f:
-        cand = _load_queries(f.read())
+        cand_blob = f.read()
+    cand = _load_queries(cand_blob)
+    stalled = _stalled_by_probe(cand_blob)
 
     flags, ratio = compare(base, cand)
     _, n_stable = _load_ratio(base, cand)
@@ -171,13 +199,31 @@ def main() -> int:
         print(f"  (info) missing from candidate: {', '.join(only_base[:10])}")
     if only_cand:
         print(f"  (info) new in candidate: {', '.join(only_cand[:10])}")
-    hard = [f for f in flags if f[0] not in KNOWN_JUMPY]
-    soft = [f for f in flags if f[0] in KNOWN_JUMPY]
+    # a host storm outlives a single probe interval (observed: a
+    # 60.7s stalled entry followed by an 11.3s inflated successor
+    # whose own between-wave probe was flat) — flagged entries
+    # CONTIGUOUS with a probe-stalled one inherit its evidence
+    names = list(cand)
+    flagged_names = {f[0] for f in flags}
+    grew = True
+    while grew:
+        grew = False
+        for i, n in enumerate(names):
+            if n in flagged_names and n not in stalled:
+                if (i > 0 and names[i - 1] in stalled) or (
+                    i + 1 < len(names) and names[i + 1] in stalled
+                ):
+                    stalled.add(n)
+                    grew = True
+    hard = [f for f in flags if f[0] not in KNOWN_JUMPY and f[0] not in stalled]
+    soft = [f for f in flags if f[0] in KNOWN_JUMPY or f[0] in stalled]
     for name, b, c, norm in soft:
-        print(
-            f"  (warn) {name:30s} {b:8.2f}s -> {c:8.2f}s  ({norm:.1f}x) "
-            "known-variance pin, BASELINE.md"
+        why = (
+            "host-stall evidence (ambient probe >3x median)"
+            if name in stalled
+            else "known-variance pin, BASELINE.md"
         )
+        print(f"  (warn) {name:30s} {b:8.2f}s -> {c:8.2f}s  ({norm:.1f}x) {why}")
     if not hard:
         print(
             f"clean: no query above {REGRESS_X}x its load-normalized "
