@@ -35,8 +35,14 @@ def main() -> None:
             # a timer-driven full GC can land MID-QUERY (stop-the-world
             # inside a 40-stage iterative kernel distorts that one
             # entry); the explicit between-query System.gc() below
-            # cleans at deterministic safe points instead
-            "spark.cleaner.periodicGC.interval": "30min",
+            # cleans at deterministic safe points instead.
+            # SPARK_GRAFT_BENCH_PERIODIC_GC overrides the interval for
+            # the A/B that measures what a long-lived production
+            # driver gets from the 5-min timer ALONE (VERDICT r7 #4:
+            # GC_EVERY=0 + PERIODIC_GC=5min).
+            "spark.cleaner.periodicGC.interval": os.environ.get(
+                "SPARK_GRAFT_BENCH_PERIODIC_GC", "30min"
+            ),
         },
     )
 
@@ -102,6 +108,7 @@ def main() -> None:
         gc_every = 8
     timings: dict[str, float] = {}
     probes: dict[str, float] = {}
+    jprobes: dict[str, float] = {}
 
     def _ambient_probe() -> float:
         # fixed pure-Python workload (~5ms idle): a per-query ambient
@@ -117,9 +124,28 @@ def main() -> None:
             s += j
         return time.perf_counter() - t0
 
+    # fixed tiny Spark job (~30-60ms steady-state): the JVM-VISIBLE
+    # ambient tracer (VERDICT r7 #1). The driver's r7 run proved the
+    # pure-Python probe blind to JVM-side pressure: its canary query
+    # ran 6x slow while the Python probes at the same positions were
+    # FLAT (p5_derived_flag probe 0.9x at 6x query time) — CPU/memory
+    # contention that stalls executor threads doesn't stall a 5ms
+    # GIL-held Python loop. This probe runs through the same codegen,
+    # scheduler and executor pool as the timed queries, so it shares
+    # their fate; its plan is built once so steady-state cost is the
+    # job run alone.
+    _jprobe_df = spark.range(0, 250_000).selectExpr("sum(id) AS s")
+    _jprobe_df.collect()  # pay codegen/first-run cost untimed
+
+    def _jvm_probe() -> float:
+        t0 = time.perf_counter()
+        _jprobe_df.collect()
+        return time.perf_counter() - t0
+
     t_all = time.time()
     for i, spec in enumerate(catalog()):
         probes[spec.name] = round(_ambient_probe(), 5)
+        jprobes[spec.name] = round(_jvm_probe(), 5)
         t0 = time.time()
         df = spec.spark(spark, sf_dir)
         # foreach-noop action: executes the whole plan, returns nothing
@@ -133,7 +159,7 @@ def main() -> None:
         if gc_every > 0 and (i + 1) % gc_every == 0:
             spark.sparkContext._jvm.System.gc()
     total = round(time.time() - t_all, 3)
-    write_full_report(timings, total, sf, probes)
+    write_full_report(timings, total, sf, probes, jprobes)
     print(contract_line(timings, total, sf))
     spark.stop()
 
@@ -190,6 +216,7 @@ def write_full_report(
     total: float,
     sf: float,
     probes: dict[str, float] | None = None,
+    jprobes: dict[str, float] | None = None,
 ) -> None:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
@@ -203,8 +230,13 @@ def write_full_report(
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
-                # per-query ambient tracer (see _ambient_probe)
+                # per-query ambient tracers: "probes" is the pure-
+                # Python host tracer (_ambient_probe), "jprobes" the
+                # JVM-visible Spark-job tracer (_jvm_probe) — the
+                # regression gate reads BOTH (either family elevated
+                # is stall evidence; VERDICT r7 #1)
                 "probes": probes or {},
+                "jprobes": jprobes or {},
             },
             f,
         )

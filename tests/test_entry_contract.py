@@ -179,6 +179,105 @@ def test_bench_regression_gate_flags_r5_shape():
     assert not flags3
 
 
+def _load_bench_regress():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_regress", os.path.join(REPO, "tools", "bench_regress.py")
+    )
+    br = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(br)
+    return br
+
+
+def test_bench_gate_classifies_loaded_driver_run_mechanically():
+    """VERDICT r7 #1 done-criterion: the gate, replayed against the
+    driver's loaded r7 record (666.6s, canary 6.4x, flat Python
+    probes) vs the committed clean record (473.1s), must label it
+    load-not-regression WITHOUT hand analysis — exit 0, every flag
+    downgraded with either per-entry stall evidence or the suite-load
+    classifier, and the LOADED RUN banner printed."""
+    import subprocess
+
+    fix = os.path.join(REPO, "tests", "fixtures")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "bench_regress.py"),
+            os.path.join(fix, "bench_r7_clean.json"),
+            os.path.join(fix, "bench_r7_driver_loaded.json"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "LOADED RUN" in r.stdout
+    assert "FLAGGED" not in r.stdout
+    # the known r7 load artifacts are all present as warnings, none hard
+    for victim in ("gr_pagerank", "dd_embedding_neardup", "tx_rake_keywords"):
+        assert f"(warn) {victim}" in r.stdout, victim
+
+
+def test_bench_gate_suite_load_and_jumpy_ceiling_rules():
+    """The r8 downgrade rules in isolation: (a) a clean-canary run
+    with one genuine multi-second collapse still FAILS (suite-load
+    needs canary AND breadth); (b) a KNOWN_JUMPY entry above its
+    absolute ceiling flags hard — the pin expires (ADVICE r7);
+    (c) stall inheritance is one corroborated hop, not transitive."""
+    br = _load_bench_regress()
+
+    base = {"p5_derived_flag": 0.5}
+    for i in range(20):
+        base[f"stable_{i}"] = 5.0
+    # (a) canary flat, one entry collapsed 10x -> hard flag survives
+    cand = dict(base)
+    cand["stable_0"] = 50.0
+    loaded, canary, frac = br._suite_load_evidence(base, cand)
+    assert not loaded and canary < br.SUITE_LOAD_CANARY_X
+    flags, _ = br.compare(base, cand)
+    assert {f[0] for f in flags} == {"stable_0"}
+    # canary 4x + only one inflated entry: breadth condition fails
+    cand2 = dict(base)
+    cand2["p5_derived_flag"] = 2.0
+    cand2["stable_0"] = 50.0
+    loaded2, _, frac2 = br._suite_load_evidence(base, cand2)
+    assert not loaded2 and frac2 < br.SUITE_LOAD_FRACTION
+    # canary 4x + >15% of stable entries inflated: loaded
+    cand3 = dict(cand2)
+    for i in range(4):
+        cand3[f"stable_{i}"] = 15.0
+    loaded3, _, _ = br._suite_load_evidence(base, cand3)
+    assert loaded3
+    # (b) jumpy ceiling: below ceiling forgiven, above it a real flag
+    assert br.KNOWN_JUMPY["tx_bpe_train"] < 100.0
+    jb = {"tx_bpe_train": 6.0, **{f"s{i}": 5.0 for i in range(10)}}
+    jc = dict(jb)
+    jc["tx_bpe_train"] = 100.0
+    jflags, _ = br.compare(jb, jc)
+    assert {f[0] for f in jflags} == {"tx_bpe_train"}
+    # (c) one-hop inheritance requires the inheritor's own probe
+    # elevated: an entry with a FLAT probe adjacent to a stalled one
+    # is not forgiven by adjacency alone (exercised via
+    # _probe_elevation + the PROBE_CORROBORATE_X constant)
+    import json as _json
+
+    blob = _json.dumps(
+        {
+            "queries": {f"q{i}": 5.0 for i in range(12)},
+            "probes": {
+                f"q{i}": (0.05 if i == 5 else 0.005) for i in range(12)
+            },
+            "jprobes": {},
+        }
+    )
+    stalled = br._stalled_by_probe(blob)
+    assert stalled == {"q4", "q5"}  # direct evidence + predecessor only
+    elev = br._probe_elevation(blob)
+    assert elev["q5"] > br.PROBE_STALL_X
+    assert elev["q6"] < br.PROBE_CORROBORATE_X  # flat: cannot inherit
+
+
 def test_pin_list_is_self_maintaining():
     """The driver-window pin head derives from the committed
     CORRECTNESS artifacts: latest-round failures re-check first,
@@ -212,3 +311,26 @@ def test_pin_list_is_self_maintaining():
         assert (n in pins) == (not any(r > after for r in rounds.get(n, ())))
     for n in _latest_round_failures():
         assert n in pins
+
+
+def test_rotation_is_staleness_first():
+    """Round-8 rotation rework (VERDICT r7 "What's missing" #3): with
+    the never-checked backlog at zero, the window must be dominated by
+    the entries whose last driver row is OLDEST — the r2/r3-era rows
+    that predate the r4 strict-type sweep and r5 scaled-int rewrites.
+    Pin the invariant structurally: among non-pinned entries, everyone
+    inside the 50-slot window is at least as stale (by last-checked
+    round) as everyone outside it."""
+    from westtopologies_spark.queries import (
+        _rounds_with_row,
+        _top_priority,
+        catalog,
+    )
+
+    last = {n: max(rs) for n, rs in _rounds_with_row().items()}
+    pins = set(_top_priority())
+    specs = catalog()
+    in_win = [last.get(s.name, 0) for s in specs[:50] if s.name not in pins]
+    out_win = [last.get(s.name, 0) for s in specs[50:] if s.name not in pins]
+    if in_win and out_win:
+        assert max(in_win) <= min(out_win), (max(in_win), min(out_win))

@@ -32,9 +32,18 @@ Rules:
 - a query flags when candidate > REGRESS_X * baseline * load_ratio
   and the normalized delta exceeds MIN_DELTA_SEC;
 - queries present on only one side are reported informationally,
-  never flagged (catalog churn is the correctness gate's business).
+  never flagged (catalog churn is the correctness gate's business);
+- flags downgrade to warnings on per-entry stall evidence (either
+  probe family — Python host tracer or JVM Spark-job tracer — >3x
+  the run median, one corroborated hop of inheritance), on a
+  KNOWN_JUMPY pin up to its absolute ceiling, or when the RUN shows
+  suite-wide load evidence (canary >= 3x AND >= 15% of stable
+  entries > 2.5x) — in which case the record cannot gate and the
+  output says to re-run solo (VERDICT r7 #1: the driver's 666s
+  run with a 6.4x canary and flat Python probes must classify as
+  load-not-regression mechanically).
 
-Exit 0 clean, 1 on any flag.
+Exit 0 clean, 1 on any hard flag.
 """
 
 from __future__ import annotations
@@ -71,14 +80,37 @@ STABLE_QUORUM = 5
 # warm time and whose in-suite slot is always cold — isolated warm
 # numbers pinned in BASELINE.md (bpe ~5s, modularity ~5.6s, pq_codes
 # ~5s, gopher ~1.5s). Their flags print as warnings, not failures —
-# a real code regression on them still surfaces in the warning text
-# and in the committed per-round BENCH_FULL history.
+# UP TO the per-entry absolute ceiling (r8, ADVICE r7: an unbounded
+# pin means genuine rot on these four can never fail the gate). The
+# ceilings are ~1.5x the worst CLEAN cold number ever measured
+# (BASELINE.md: bpe 27.9s, modularity 22.9s, pq_codes 20.3s, gopher
+# 9.0s); a candidate above its ceiling flags HARD like any entry.
 KNOWN_JUMPY = {
-    "tx_bpe_train",
-    "ann_pq_codes",
-    "gr_modularity",
-    "tx_gopher_quality",
+    "tx_bpe_train": 42.0,
+    "ann_pq_codes": 30.0,
+    "gr_modularity": 35.0,
+    "tx_gopher_quality": 14.0,
 }
+
+# Suite-load classifier (r8, VERDICT r7 #1): the driver's r7 run
+# (666.6s, canary 6.4x) carried heterogeneous JVM-side contention the
+# flat pure-Python probes could not see, so per-entry stall evidence
+# missed real victims and three load artifacts flagged hard. When the
+# RUN ITSELF shows suite-wide load evidence — the fixed trivial
+# canary query several-x slow AND a broad fraction of stable entries
+# inflated — hard flags downgrade to "suite-load" warnings and the
+# gate exits clean with an explicit re-run-solo instruction. Both
+# conditions must hold: a genuine single-entry regression never moves
+# the canary, and a genuine suite-wide code regression that somehow
+# inflated the canary would still show up on the mandated solo
+# re-run (the bench contract: gates are taken on solo runs).
+SUITE_LOAD_CANARY_X = 3.0
+SUITE_LOAD_ENTRY_X = 2.5
+SUITE_LOAD_FRACTION = 0.15
+# probe elevation thresholds: >3x the run median = direct stall
+# evidence; >=1.5x = corroborating evidence for one-hop inheritance
+PROBE_STALL_X = 3.0
+PROBE_CORROBORATE_X = 1.5
 
 
 def _load_queries(blob: str | bytes) -> dict[str, float]:
@@ -87,30 +119,76 @@ def _load_queries(blob: str | bytes) -> dict[str, float]:
     return {k: float(v) for k, v in q.items()}
 
 
-def _stalled_by_probe(blob: str | bytes) -> set[str]:
-    """Entries with host-stall evidence from bench.py's per-query
-    ambient probes (r7): a probe >3x the run median means the host
-    was stalled (hypervisor steal / IO weather) when that entry
-    STARTED — implicating it and the entry that ran just before the
-    probe. Measured example: ann_rrf_fusion 2.5->60.7s with its probe
-    at 6.1x median while every neighbor was flat."""
+def _probe_elevation(blob: str | bytes) -> dict[str, float]:
+    """Per-entry ambient elevation: for each query, the MAX of its
+    probe/run-median ratio across both probe families — the pure-
+    Python host tracer ("probes") and the JVM-visible Spark-job
+    tracer ("jprobes", r8). Either family elevated counts: the host
+    tracer sees hypervisor steal / IO weather the JVM rides out, the
+    JVM tracer sees GC pauses and executor-pool contention a 5ms
+    GIL-held loop never feels (the driver's r7 blind spot)."""
     import statistics
 
     data = json.loads(blob)
-    probes = data.get("probes") or {}
-    if len(probes) < 10:
-        return set()
-    med = statistics.median(probes.values())
-    if med <= 0:
-        return set()
-    names = list(data.get("queries", probes))
+    out: dict[str, float] = {}
+    for key in ("probes", "jprobes"):
+        fam = data.get(key) or {}
+        if len(fam) < 10:
+            continue
+        med = statistics.median(fam.values())
+        if med <= 0:
+            continue
+        for n, v in fam.items():
+            r = v / med
+            if r > out.get(n, 0.0):
+                out[n] = r
+    return out
+
+
+def _stalled_by_probe(blob: str | bytes) -> set[str]:
+    """Entries with DIRECT stall evidence: a probe >PROBE_STALL_X the
+    run median means the host/JVM was stalled when that entry STARTED
+    — implicating it and the entry that ran just before the probe.
+    Measured example: ann_rrf_fusion 2.5->60.7s with its probe at
+    6.1x median while every neighbor was flat."""
+    data = json.loads(blob)
+    elev = _probe_elevation(blob)
+    names = list(data.get("queries", elev))
     out: set[str] = set()
     for i, n in enumerate(names):
-        if probes.get(n, 0) > 3 * med:
+        if elev.get(n, 0.0) > PROBE_STALL_X:
             out.add(n)
             if i > 0:
                 out.add(names[i - 1])
     return out
+
+
+def _suite_load_evidence(
+    base: dict[str, float], cand: dict[str, float]
+) -> tuple[bool, float, float]:
+    """(is_loaded, canary_ratio, inflated_fraction) — see the
+    SUITE_LOAD_* constants for the rule and its rationale."""
+    canary = (
+        cand[CANARY] / base[CANARY]
+        if base.get(CANARY, 0) > 0 and cand.get(CANARY, 0) > 0
+        else float("nan")
+    )
+    stable = [
+        cand[n] / b
+        for n, b in base.items()
+        if b >= STABLE_BASE_SEC and cand.get(n, 0) > 0
+    ]
+    frac = (
+        sum(1 for r in stable if r > SUITE_LOAD_ENTRY_X) / len(stable)
+        if stable
+        else 0.0
+    )
+    loaded = (
+        len(stable) >= STABLE_QUORUM
+        and canary >= SUITE_LOAD_CANARY_X
+        and frac >= SUITE_LOAD_FRACTION
+    )
+    return loaded, canary, frac
 
 
 def _baseline_from_git() -> dict[str, float]:
@@ -201,34 +279,65 @@ def main() -> int:
         print(f"  (info) new in candidate: {', '.join(only_cand[:10])}")
     # a host storm outlives a single probe interval (observed: a
     # 60.7s stalled entry followed by an 11.3s inflated successor
-    # whose own between-wave probe was flat) — flagged entries
-    # CONTIGUOUS with a probe-stalled one inherit its evidence
+    # whose own between-wave probe was flat) — a flagged entry
+    # ADJACENT to a directly-stalled one inherits its evidence, but
+    # (r8, ADVICE r7) only ONE hop from a DIRECT stall and only if
+    # the inheritor's own probe shows at least mild elevation: the
+    # old transitive loop let a chain of real regressions clustered
+    # in catalog order be entirely forgiven by one noisy probe.
     names = list(cand)
     flagged_names = {f[0] for f in flags}
-    grew = True
-    while grew:
-        grew = False
-        for i, n in enumerate(names):
-            if n in flagged_names and n not in stalled:
-                if (i > 0 and names[i - 1] in stalled) or (
-                    i + 1 < len(names) and names[i + 1] in stalled
-                ):
-                    stalled.add(n)
-                    grew = True
-    hard = [f for f in flags if f[0] not in KNOWN_JUMPY and f[0] not in stalled]
-    soft = [f for f in flags if f[0] in KNOWN_JUMPY or f[0] in stalled]
-    for name, b, c, norm in soft:
-        why = (
-            "host-stall evidence (ambient probe >3x median)"
-            if name in stalled
-            else "known-variance pin, BASELINE.md"
-        )
+    elev = _probe_elevation(cand_blob)
+    direct = set(stalled)
+    for i, n in enumerate(names):
+        if (
+            n in flagged_names
+            and n not in direct
+            and elev.get(n, 0.0) >= PROBE_CORROBORATE_X
+            and (
+                (i > 0 and names[i - 1] in direct)
+                or (i + 1 < len(names) and names[i + 1] in direct)
+            )
+        ):
+            stalled.add(n)
+    # a KNOWN_JUMPY pin forgives cold-compile variance only up to its
+    # absolute ceiling (r8, ADVICE r7) — above it, the pin expires
+    # and the entry flags hard like any other
+    loaded, l_canary, l_frac = _suite_load_evidence(base, cand)
+    hard, soft = [], []
+    for f in flags:
+        name, _, c, _ = f
+        if name in stalled:
+            soft.append((f, "host-stall evidence (ambient probe >3x median)"))
+        elif name in KNOWN_JUMPY and c <= KNOWN_JUMPY[name]:
+            soft.append(
+                (f, f"known-variance pin <= {KNOWN_JUMPY[name]:.0f}s ceiling")
+            )
+        elif loaded:
+            soft.append(
+                (
+                    f,
+                    f"suite-load evidence (canary {l_canary:.1f}x, "
+                    f"{l_frac:.0%} of stable entries >"
+                    f"{SUITE_LOAD_ENTRY_X}x) — re-run solo to gate",
+                )
+            )
+        else:
+            hard.append(f)
+    for (name, b, c, norm), why in soft:
         print(f"  (warn) {name:30s} {b:8.2f}s -> {c:8.2f}s  ({norm:.1f}x) {why}")
+    if loaded:
+        print(
+            f"LOADED RUN: suite-wide ambient-load evidence (canary "
+            f"{l_canary:.1f}x, {l_frac:.0%} of stable entries >"
+            f"{SUITE_LOAD_ENTRY_X}x baseline) — this record cannot gate; "
+            "re-run the bench solo on an idle box"
+        )
     if not hard:
         print(
             f"clean: no query above {REGRESS_X}x its load-normalized "
             f"baseline (floor {ABS_FLOOR_SEC}s, min delta {MIN_DELTA_SEC}s"
-            f"{'; ' + str(len(soft)) + ' known-variance warnings' if soft else ''})"
+            f"{'; ' + str(len(soft)) + ' downgraded warnings' if soft else ''})"
         )
         return 0
     print(f"FLAGGED {len(hard)} queries (> {REGRESS_X}x normalized baseline):")

@@ -1789,22 +1789,34 @@ def _ordered() -> list[QuerySpec]:
     """Catalog order = the driver's per-round 50-query hard-signal
     window, SELF-ROTATING: the pinned core (_top_priority() —
     every SURVEY §2 operator plus family representatives) leads, and
-    everything else sorts by how few driver rounds have already
-    checked it (never-checked first; ties keep registration order).
-    Each new CORRECTNESS_r{N}.json the driver commits therefore
-    pushes freshly-checked queries toward the tail automatically —
-    over successive rounds the whole catalog accumulates hard-signal
-    rows with no manual re-rotation (the round-1 lesson: 84 of 134
-    queries had no driver row because the order was static)."""
+    everything else sorts by STALENESS — the round of each query's
+    most recent driver row, oldest first (never-checked = round 0,
+    so the backlog still drains before anything re-checks); ties
+    break by fewest total rounds checked, then headline family, then
+    registration order.  Each new CORRECTNESS_r{N}.json the driver
+    commits therefore pushes freshly-checked queries toward the tail
+    automatically (the round-1 lesson: 84 of 134 queries had no
+    driver row because the order was static).
+
+    Staleness replaced fewest-rounds-checked as the PRIMARY key in
+    round 8 (VERDICT r7 "What's missing" #3): with the never-checked
+    backlog at zero, the fewest-first sort let headline-family
+    entries checked once in r5/r6 outrank the 62 entries whose last
+    row predates the r4 strict-type sweep and r5 scaled-int rewrites
+    — exactly the ones whose current output wraps have never been
+    driver-hashed.  Oldest-last-check-first pulls all of them ahead
+    of anything already re-proven on the post-rewrite contracts."""
     _apply_hardening()
     pins = _top_priority()
     by_name = {spec.name: spec for spec in _CATALOG}
     top = [by_name[n] for n in pins if n in by_name]
     checked = _hard_signal_rounds()
+    last = {n: max(rs) for n, rs in _rounds_with_row().items()}
     rest = [spec for spec in _CATALOG if spec.name not in set(pins)]
     order = {spec.name: i for i, spec in enumerate(_CATALOG)}
     rest.sort(
         key=lambda s: (
+            last.get(s.name, 0),
             checked.get(s.name, 0),
             0 if s.name.startswith(_HEADLINE_FAMILIES) else 1,
             order[s.name],

@@ -227,7 +227,15 @@ def ag_qq_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branches could land rows in different pids (correctness
         # would silently ride on spark.sql.exchange.reuse; ADVICE r6
         # — the same hazard scale/dedup.py:58 distributed_rank
-        # persists against)
+        # persists against).
+        # CLEANUP CONTRACT (ADVICE r7): the pin is released by the
+        # HARNESS — bench.py and the oracle runner call
+        # spark.catalog.clearCache() after each entry's terminal
+        # action, and the driver's session is per-round. A library
+        # caller embedding this entry in a long-lived session should
+        # clearCache() (or unpersist the returned frame's sources)
+        # after its own terminal action, same as khop_reach's
+        # documented final-frontier pin.
         part = (
             base.repartitionByRange(F.asc("value"), F.asc("event_id"))
             .withColumn("pid", F.spark_partition_id())

@@ -473,8 +473,10 @@ def approx_group_percentiles(
 
 # Deterministic quantile sketch (the catalog's hard-oracle path):
 # fixed-width integer histogram over exact cents.  $100-wide bins
-# (even → exact integer midpoint); value error is strictly < W/2
-# = $50 vs the ceil-rank order statistic, by construction.
+# (even → exact integer midpoint); value error is <= W/2 = $50 vs
+# the ceil-rank order statistic, by construction — the bound is
+# ATTAINED (not strict) when that order statistic falls on a
+# bucket's lower edge, i.e. an exact $100 multiple (ADVICE r7).
 HIST_SKETCH_WIDTH_CENTS = 10_000
 HIST_SKETCH_P_PERMILLE = (250, 500, 750, 900, 990)
 
@@ -499,7 +501,7 @@ def histogram_percentiles_cents(
     one row per (task, group, bucket): the single-pass 100 TB path.
     The estimate for permille ``p`` is the midpoint of the first
     bucket whose cumulative count reaches ``ceil(p*n/1000)``; value
-    error is < W/2 vs that exact order statistic (error-bound-tested
+    error is <= W/2 vs that exact order statistic (error-bound-tested
     in tests/test_aggstats.py against the exact rank plan).
 
     ALL-INTEGER cross-engine arithmetic (ORACLE_DISCIPLINE rule 6):

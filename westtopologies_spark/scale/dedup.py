@@ -1220,16 +1220,22 @@ def connected_components(
         # waiting for a driver GC the session may never run (VERDICT
         # r6 #3; the round-6 ContextCleaner-starvation class)
         release_local_checkpoint(ckpt)
-        if p0 is not None:
-            # edges' persist cache filled while building round 1's
-            # frames, so the pre-union pair checkpoint is dead too
-            release_local_checkpoint(p0)
-            p0 = None
         ckpt = updated
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
     edges.unpersist()
+    if p0 is not None:
+        # the pre-union pair checkpoint is released only AFTER
+        # convergence (ADVICE r7): releasing it mid-loop assumed
+        # edges' persisted blocks can never be lost — true in local
+        # mode, but an executor loss on a real cluster would need the
+        # released (unrecomputable) checkpoint to rebuild an evicted
+        # edges partition and fail with a missing-block error.
+        # Holding one extra bounded block set for the ~log2(diameter)
+        # rounds is the cheap safe trade.
+        release_local_checkpoint(p0)
+        p0 = None
     if n_changed > 0:
         raise RuntimeError(
             f"connected_components: labels still changing after {max_iter} "
