@@ -276,6 +276,22 @@ def test_bench_gate_suite_load_and_jumpy_ceiling_rules():
     elev = br._probe_elevation(blob)
     assert elev["q5"] > br.PROBE_STALL_X
     assert elev["q6"] < br.PROBE_CORROBORATE_X  # flat: cannot inherit
+    # (d) absolute host anchors: a candidate whose cal.py_ms is 3x the
+    # baseline's classifies as a slow-host record; records without
+    # anchors (pre-r8) neutrally ratio to 1.0
+    import json as _json2
+
+    b_blob = _json2.dumps({"queries": {}, "cal": {"start": {"py_ms": 200.0}}})
+    c_blob = _json2.dumps(
+        {
+            "queries": {},
+            "cal": {"start": {"py_ms": 580.0}, "end": {"py_ms": 620.0}},
+        }
+    )
+    r = br._cal_ratio(b_blob, c_blob)
+    assert 2.9 < r < 3.1 and r >= br.CAL_SLOW_HOST_X
+    assert br._cal_ratio(_json2.dumps({"queries": {}}), c_blob) == 1.0
+    assert br._cal_ratio(None, c_blob) == 1.0
 
 
 def test_pin_list_is_self_maintaining():

@@ -163,6 +163,33 @@ def _stalled_by_probe(blob: str | bytes) -> set[str]:
     return out
 
 
+def _cal_ratio(base_blob: str | bytes | None, cand_blob: str | bytes) -> float:
+    """Candidate/baseline host-speed ratio from the absolute run
+    anchors (``cal``: {"start"/"end": {"py_ms", ...}}, written by
+    bench.py since r8). >1 means the candidate ran on a slower host.
+    Returns 1.0 when either side lacks anchors (older records)."""
+    def anchors(blob):
+        try:
+            cal = json.loads(blob).get("cal") or {}
+        except (TypeError, ValueError):
+            return None
+        vals = [v.get("py_ms") for v in cal.values() if isinstance(v, dict)]
+        vals = [v for v in vals if v]
+        return (sum(vals) / len(vals)) if vals else None
+
+    b = anchors(base_blob) if base_blob is not None else None
+    c = anchors(cand_blob)
+    if not b or not c:
+        return 1.0
+    return c / b
+
+
+# a candidate whose absolute host anchor is this much slower than the
+# baseline's ran in a host slow-mode window — the whole record is
+# weather (measured 2026-08-17: 2.6-3.1x at near-zero load)
+CAL_SLOW_HOST_X = 2.0
+
+
 def _suite_load_evidence(
     base: dict[str, float], cand: dict[str, float]
 ) -> tuple[bool, float, float]:
@@ -189,16 +216,6 @@ def _suite_load_evidence(
         and frac >= SUITE_LOAD_FRACTION
     )
     return loaded, canary, frac
-
-
-def _baseline_from_git() -> dict[str, float]:
-    out = subprocess.run(
-        ["git", "show", "HEAD:BENCH_FULL.json"],
-        cwd=REPO,
-        capture_output=True,
-        check=True,
-    ).stdout
-    return _load_queries(out)
 
 
 def _load_ratio(
@@ -247,9 +264,15 @@ def compare(
 def main() -> int:
     if len(sys.argv) > 1:
         with open(sys.argv[1]) as f:
-            base = _load_queries(f.read())
+            base_blob: str | bytes = f.read()
     else:
-        base = _baseline_from_git()
+        base_blob = subprocess.run(
+            ["git", "show", "HEAD:BENCH_FULL.json"],
+            cwd=REPO,
+            capture_output=True,
+            check=True,
+        ).stdout
+    base = _load_queries(base_blob)
     cand_path = (
         sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_FULL.json")
     )
@@ -257,6 +280,7 @@ def main() -> int:
         cand_blob = f.read()
     cand = _load_queries(cand_blob)
     stalled = _stalled_by_probe(cand_blob)
+    cal_r = _cal_ratio(base_blob, cand_blob)
 
     flags, ratio = compare(base, cand)
     _, n_stable = _load_ratio(base, cand)
@@ -271,7 +295,8 @@ def main() -> int:
         f"bench regression gate: {len(cand)} candidate queries vs "
         f"{len(base)} baseline; load ratio {ratio:.3f} "
         f"(median of {n_stable} stable entries, clamped "
-        f"[{LOAD_RATIO_MIN},{LOAD_RATIO_MAX}]; legacy canary {canary:.3f})"
+        f"[{LOAD_RATIO_MIN},{LOAD_RATIO_MAX}]; legacy canary {canary:.3f}; "
+        f"host cal ratio {cal_r:.2f})"
     )
     if only_base:
         print(f"  (info) missing from candidate: {', '.join(only_base[:10])}")
@@ -304,6 +329,7 @@ def main() -> int:
     # absolute ceiling (r8, ADVICE r7) — above it, the pin expires
     # and the entry flags hard like any other
     loaded, l_canary, l_frac = _suite_load_evidence(base, cand)
+    slow_host = cal_r >= CAL_SLOW_HOST_X
     hard, soft = [], []
     for f in flags:
         name, _, c, _ = f
@@ -322,6 +348,14 @@ def main() -> int:
                     f"{SUITE_LOAD_ENTRY_X}x) — re-run solo to gate",
                 )
             )
+        elif slow_host:
+            soft.append(
+                (
+                    f,
+                    f"slow-host anchor (candidate cal {cal_r:.1f}x "
+                    "baseline) — re-run when the host recovers",
+                )
+            )
         else:
             hard.append(f)
     for (name, b, c, norm), why in soft:
@@ -332,6 +366,12 @@ def main() -> int:
             f"{l_canary:.1f}x, {l_frac:.0%} of stable entries >"
             f"{SUITE_LOAD_ENTRY_X}x baseline) — this record cannot gate; "
             "re-run the bench solo on an idle box"
+        )
+    if slow_host:
+        print(
+            f"SLOW-HOST RUN: candidate's absolute host anchor is "
+            f"{cal_r:.1f}x the baseline's (cal.py_ms) — the whole record "
+            "is host weather; re-run when the host recovers"
         )
     if not hard:
         print(
