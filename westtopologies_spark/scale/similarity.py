@@ -529,22 +529,43 @@ def _pq_fit(
     mean_cv = F.array(
         *[F.round(F.avg(F.element_at(F.col("sv"), j + 1)), 9) for j in range(sub_dim)]
     )
+
+    # r8 optimization (guide §2.3-2.4): the per-(vec_id, m) argmin
+    # used to be min + equality-join-back — the n*m*k scored frame
+    # computed twice and shuffled whole for the join.  Packing the
+    # 6dp-rounded distance and the codeword id into ONE long,
+    #     key = round(d * 1e6) * 64 + cid        (cid < k = 16 < 64),
+    # makes the argmin a single codegen HashAggregate min(long) with
+    # map-side partial aggregation: the long orders by (d, cid), so
+    # min(key) IS "smallest distance, ties -> smallest cid" — the
+    # identical semantics the oracle states.  Exactness: d is already
+    # rounded at 1e-6, so d*1e6 is integral up to float error far
+    # below 0.5 (d is a bounded sum of 16 squared component deltas),
+    # and (key div 64)/1e6 reconstructs the unique double nearest the
+    # same 6-decimal value — i.e. bit-identical to d.  (A struct-min
+    # variant was tried first and REGRESSED: min over a struct plans
+    # as SortAggregate, off the codegen hash path.)
+    def _argmin_key() -> Column:
+        return (
+            F.round(_sqdist() * 1_000_000).cast("long") * 64 + F.col("cid")
+        ).alias("key")
+
     for _ in range(iters):
         scored = sub.join(F.broadcast(cents), "m").select(
-            "vec_id", "m", "cid", _sqdist().alias("d")
+            "vec_id", "m", _argmin_key()
         )
-        best = scored.groupBy("vec_id", "m").agg(F.min("d").alias("bd"))
         assign = (
-            scored.join(best, ["vec_id", "m"])
-            .filter(F.col("d") == F.col("bd"))
-            .groupBy("vec_id", "m")
-            .agg(F.min("cid").alias("cid"))
+            scored.groupBy("vec_id", "m")
+            .agg(F.min("key").alias("_k"))
+            .select(
+                "vec_id", "m", (F.col("_k") % 64).cast("int").alias("cid")
+            )
         )
         refit = (
             sub.join(assign, ["vec_id", "m"])
             .groupBy("m", "cid")
             .agg(mean_cv.alias("cv"))
-            # k*m rows re-read by the next round's scored+best+assign
+            # k*m rows re-read by the next round's scored+assign
             # lineage: truncate like kmeans_assignments (coalesced —
             # a 64-row codebook does not need a 32-way fan)
             .coalesce(1)
@@ -554,14 +575,18 @@ def _pq_fit(
         release_local_checkpoint(cents)
         cents = refit
     scored = sub.join(F.broadcast(cents), "m").select(
-        "vec_id", "m", "cid", _sqdist().alias("d")
+        "vec_id", "m", _argmin_key()
     )
-    best = scored.groupBy("vec_id", "m").agg(F.min("d").alias("bd"))
     assign = (
-        scored.join(best, ["vec_id", "m"])
-        .filter(F.col("d") == F.col("bd"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("cid").alias("cid"), F.max("bd").alias("bd"))
+        scored.groupBy("vec_id", "m")
+        .agg(F.min("key").alias("_k"))
+        .select(
+            "vec_id",
+            "m",
+            (F.col("_k") % 64).cast("int").alias("cid"),
+            # bit-identical reconstruction of the 6dp-rounded distance
+            F.expr("CAST((_k div 64) AS DOUBLE) / 1000000").alias("bd"),
+        )
     )
     return sub, cents, assign
 
