@@ -88,8 +88,24 @@ def _hits_sql() -> str:
 )
 def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     tweets = _event_edges(spark, sf_dir)
-    nodes = tweets.select(F.col("author_id").alias("node")).distinct()
-    return G.hits(nodes, G.directed_edges(tweets))
+    # r8 (guide §2.4, §5): hits() references dedges 4x and nodes 5x
+    # across the unrolled rounds — one plan re-deriving the events
+    # self-join each time (268 scans of events in the before plan,
+    # saved only partially by runtime exchange reuse).  localCheckpoint
+    # the two small loop-invariant frames ONCE: eager, lineage-
+    # truncating, and — unlike persist(), which was A/B-measured to
+    # REGRESS 3.7->20.6s by pinning partitioning and defeating AQE —
+    # each downstream round reads a tiny materialized RDD.  Blocks are
+    # reclaimed by the harness's periodic driver GC (same contract as
+    # the connected-components / BPE checkpoints).
+    dedges = G.directed_edges(tweets).coalesce(8).localCheckpoint()
+    nodes = (
+        tweets.select(F.col("author_id").alias("node"))
+        .distinct()
+        .coalesce(4)
+        .localCheckpoint()
+    )
+    return G.hits(nodes, dedges)
 
 
 # ---------------------------------------------------------------------------
