@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ops import graph as G
-from .queries import _event_edges, _register, _t
+from .queries import _ckpt_small, _event_edges, _register, _t
 from .queries_graph import _DEDGES_CTE, _TW_CTE, _UEDGES_CTE
 from .scale import multimodal as MM
 from .scale import temporal as TS
@@ -152,7 +152,7 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer division x1e4 — hash-exact. Graph-analytics extension.",
 )
 def gr_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.local_clustering(G.user_edges(_event_edges(spark, sf_dir)))
+    return G.local_clustering(_ckpt_small(G.user_edges(_event_edges(spark, sf_dir))))
 
 
 # ---------------------------------------------------------------------------
@@ -597,7 +597,7 @@ def gr_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("node"))
         .distinct()
     )
-    return G.khop_reach(seeds, G.user_edges(tweets))
+    return G.khop_reach(seeds, _ckpt_small(G.user_edges(tweets)))
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ops import graph as G
-from .queries import _event_edges, _register, _t
+from .queries import _ckpt_small, _event_edges, _register, _t
 from .queries_graph import _DEDGES_CTE, _TW_CTE
 from .scale import textstats
 
@@ -86,8 +86,10 @@ def _ppr_sql() -> str:
 )
 def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tweets = _event_edges(spark, sf_dir)
-    nodes = tweets.select(F.col("author_id").alias("node")).distinct()
-    return G.personalized_pagerank(nodes, G.directed_edges(tweets))
+    nodes = _ckpt_small(
+        tweets.select(F.col("author_id").alias("node")).distinct(), 4
+    )
+    return G.personalized_pagerank(nodes, _ckpt_small(G.directed_edges(tweets)))
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,7 @@ dedges AS (
 
 
 from .ops import graph as G
-from .queries import _event_edges, _register
+from .queries import _ckpt_small, _event_edges, _register
 
 @_register(
     "gr_triangles",
@@ -80,7 +80,8 @@ from .queries import _event_edges, _register
     "(NeighbourhoodBolt.java:41-77).",
 )
 def gr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.triangle_counts(G.user_edges(_event_edges(spark, sf_dir)))
+    # r8: edges referenced 3x by the triangle join — checkpoint once
+    return G.triangle_counts(_ckpt_small(G.user_edges(_event_edges(spark, sf_dir))))
 
 
 _GUARD_DEGREE = 32
@@ -135,7 +136,7 @@ _GUARD_DEGREE = 32
 )
 def gr_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.neighbor_jaccard(
-        G.user_edges(_event_edges(spark, sf_dir)), max_degree=_GUARD_DEGREE
+        _ckpt_small(G.user_edges(_event_edges(spark, sf_dir))), max_degree=_GUARD_DEGREE
     )
 
 
@@ -183,7 +184,7 @@ _CAP_DEGREE = 8
 )
 def gr_neighbor_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.neighbor_jaccard(
-        G.user_edges(_event_edges(spark, sf_dir)), max_degree=_CAP_DEGREE
+        _ckpt_small(G.user_edges(_event_edges(spark, sf_dir))), max_degree=_CAP_DEGREE
     )
 
 
@@ -234,8 +235,11 @@ def _pagerank_sql() -> str:
 )
 def gr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tweets = _event_edges(spark, sf_dir)
-    nodes = tweets.select(F.col("author_id").alias("node")).distinct()
-    return G.pagerank(nodes, G.directed_edges(tweets))
+    # r8: 3 unrolled rounds reference dedges/nodes repeatedly
+    nodes = _ckpt_small(
+        tweets.select(F.col("author_id").alias("node")).distinct(), 4
+    )
+    return G.pagerank(nodes, _ckpt_small(G.directed_edges(tweets)))
 
 
 def _kcore_sql() -> str:
@@ -276,7 +280,7 @@ def _kcore_sql() -> str:
     "mining. Graph-analytics extension.",
 )
 def gr_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.kcore_peel(G.user_edges(_event_edges(spark, sf_dir)))
+    return G.kcore_peel(_ckpt_small(G.user_edges(_event_edges(spark, sf_dir))))
 
 
 def _lpa_cte_chain() -> str:
@@ -338,7 +342,7 @@ def _lpa_sql() -> str:
     "keyed join + count + rank window. Graph-analytics extension.",
 )
 def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return G.label_propagation(G.user_edges(_event_edges(spark, sf_dir)))
+    return G.label_propagation(_ckpt_small(G.user_edges(_event_edges(spark, sf_dir))))
 
 
 def _modularity_sql() -> str:
@@ -386,7 +390,8 @@ def _modularity_sql() -> str:
     "extension.",
 )
 def gr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = G.user_edges(_event_edges(spark, sf_dir))
+    # r8: edges feed the 4-round LPA AND deg/m/ec — the heaviest reuse
+    edges = _ckpt_small(G.user_edges(_event_edges(spark, sf_dir)))
     lab = G.label_propagation(edges).select("user_id", "community_id")
     sym = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
@@ -472,7 +477,7 @@ def gr_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joins + one global fold, no windows. Graph-analytics extension.",
 )
 def gr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = G.user_edges(_event_edges(spark, sf_dir))
+    edges = _ckpt_small(G.user_edges(_event_edges(spark, sf_dir)))
     sym = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
