@@ -121,6 +121,7 @@ def role_features(
     min_limit: int = 1,
     community_col: str | None = None,
     max_depth: int = 16,
+    truncate: bool = False,
 ) -> DataFrame:
     """Per-user behaviour features over one community window (or over
     every window at once when ``community_col`` is given).
@@ -136,8 +137,18 @@ def role_features(
     if "root_id" not in nodes.columns:
         nodes = with_root_ids(nodes, max_depth=max_depth, community_col=community_col)
     # ~6 aggregation branches below scan the annotated node table;
-    # persist it once instead of re-expanding the root-walk per branch
-    nodes = nodes.filter(F.col("author_id").isNotNull()).persist()
+    # persist it once instead of re-expanding the root-walk per branch.
+    # ``truncate=True`` (r8, guide §3.3 "planning time itself can
+    # become the bottleneck") swaps the persist for a localCheckpoint:
+    # a profile of a3_role_assignment showed the entry is COMPILE-
+    # bound, not execution-bound (5.7s cold / 3.0s plan-warm / 0.3s
+    # plan-identical re-run at sf0.1) — persist() keeps the full
+    # root-walk lineage in the logical plan, so analysis/optimization
+    # re-walks it once per branch; the checkpoint makes each branch's
+    # plan a leaf scan.  Off by default: the batch entries opt in,
+    # the windowed pipeline keeps lazy persist semantics.
+    nodes = nodes.filter(F.col("author_id").isNotNull())
+    nodes = nodes.localCheckpoint() if truncate else nodes.persist()
     ck = _keys(community_col)
 
     # parent author per node

@@ -1322,8 +1322,9 @@ def a3_role_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # events-derived forest has depth <= 3 by construction
     # (_event_edges: parent is eid-1 or the eid-(eid%5) root);
-    # max_depth=4 -> 2 pointer-doubling passes instead of 4
-    feats = role_features(_event_edges(spark, sf_dir), max_depth=4)
+    # max_depth=4 -> 2 pointer-doubling passes instead of 4.
+    # truncate: compile-bound entry — see role_features docstring (r8)
+    feats = role_features(_event_edges(spark, sf_dir), max_depth=4, truncate=True)
     return feats.select(
         "user_id",
         "post_count",
@@ -1361,7 +1362,9 @@ def a3_role_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events-derived forest has depth <= 3 by construction
     # (_event_edges: parent is eid-1 or the eid-(eid%5) root);
     # max_depth=4 -> 2 pointer-doubling passes instead of 4
-    feats = role_features(_event_edges(spark, sf_dir), max_depth=4)
+    feats = role_features(
+        _event_edges(spark, sf_dir), max_depth=4, truncate=True
+    )
     # localCheckpoint: the feature frame's plan (pointer-doubling
     # joins + 6 agg branches) otherwise gets RE-ANALYZED and
     # RE-CODEGENNED by every downstream consumer — tercile bounds,
