@@ -132,25 +132,53 @@ def hyperplane_buckets(
     return emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+_SIM_KEY_SHIFT = 1 << 42  # cid (a vec_id) must stay below 2^42
+
+
+def _sim_argmax_key() -> Column:
+    """Packed argmax key (r8, guide §2.3/§2.4): the 6dp-rounded
+    cosine and the centroid id folded into ONE long,
+
+        key = (1e6 - round(sim*1e6)) * 2^42 + cid,
+
+    so ``min(key)`` IS "largest similarity, ties -> smallest cid" —
+    the identical comparison semantics the oracle states, in a single
+    codegen HashAggregate ``min(long)`` with map-side partial
+    aggregation instead of max + equality-join-back (which computed
+    the scored frame twice and shuffled it whole for the join; the
+    struct-min alternative plans as SortAggregate, measured 2-5x
+    slower).  Exactness: sim is already rounded at 1e-6, so
+    ``sim*1e6`` is integral up to float error far below 0.5 and the
+    round is exact; ``(1e6 - (key div 2^42)) / 1e6`` reconstructs the
+    same double ``F.round(sim, 6)`` produced (both are the integer /
+    1e6 double division).  Range: (1e6 - simx) <= 2e6, so key <=
+    2e6 * 2^42 ~ 8.8e18 < 2^63; cid is a corpus vec_id — far below
+    2^42 for any real corpus (4.4e12 vectors)."""
+    sim = F.round(
+        _dot(F.col("c_v"), F.col("cent_v")) / (F.col("c_n") * F.col("cent_n")), 6
+    )
+    return (
+        (F.lit(1_000_000) - F.round(sim * 1_000_000).cast("long"))
+        * F.lit(_SIM_KEY_SHIFT)
+        + F.col("cid")
+    ).alias("_k")
+
+
 def _nearest_centroid(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cid): each vector's nearest centroid by cosine
     (rounded to 6 decimals; ties -> smallest cid). The centroid table
     is broadcast — the assignment is one parallel scan, the argmax is
-    a per-vector aggregation with map-side combine. Expressed as
-    max + equality join back (not a struct-max) so the DuckDB oracle
-    states the identical comparison semantics."""
-    sim = F.round(
-        _dot(F.col("c_v"), F.col("cent_v")) / (F.col("c_n") * F.col("cent_n")), 6
-    )
+    ONE per-vector min(long) aggregation over the packed
+    (similarity, cid) key (see :func:`_sim_argmax_key`) with
+    map-side combine — semantics identical to the oracle's
+    max + join-back formulation."""
     scored = vectors.crossJoin(F.broadcast(cents)).select(
-        "c_id", F.col("cid"), sim.alias("_sim")
+        "c_id", _sim_argmax_key()
     )
-    best = scored.groupBy("c_id").agg(F.max("_sim").alias("_best"))
     return (
-        scored.join(best, ["c_id"])
-        .filter(F.col("_sim") == F.col("_best"))
-        .groupBy("c_id")
-        .agg(F.min("cid").alias("cid"))
+        scored.groupBy("c_id")
+        .agg(F.min("_k").alias("_k"))
+        .select("c_id", (F.col("_k") % _SIM_KEY_SHIFT).alias("cid"))
     )
 
 
@@ -404,19 +432,21 @@ def kmeans_assignments(
         # r6 #3); no-op for the round-0 plan, which is not a checkpoint
         release_local_checkpoint(cents)
         cents = refit
-    sim = F.round(
-        _dot(F.col("c_v"), F.col("cent_v")) / (F.col("c_n") * F.col("cent_n")), 6
-    )
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "c_id", "cid", sim.alias("_sim")
-    )
-    best = scored.groupBy("c_id").agg(F.max("_sim").alias("_best"))
+    # final assignment: same packed-key argmax as _nearest_centroid
+    # (one HashAggregate min(long) instead of max + join-back); the
+    # reported cosine is reconstructed bit-identically from the key
+    # (integer / 1e6 double division == F.round(sim, 6))
+    scored = v.crossJoin(F.broadcast(cents)).select("c_id", _sim_argmax_key())
     return (
-        scored.join(best, "c_id")
-        .filter(F.col("_sim") == F.col("_best"))
-        .groupBy("c_id")
-        .agg(F.min("cid").alias("cluster_id"), F.max("_sim").alias("cosine"))
-        .select(F.col("c_id").alias("vec_id"), "cluster_id", "cosine")
+        scored.groupBy("c_id")
+        .agg(F.min("_k").alias("_k"))
+        .select(
+            F.col("c_id").alias("vec_id"),
+            (F.col("_k") % _SIM_KEY_SHIFT).alias("cluster_id"),
+            F.expr(
+                f"CAST(1000000 - (_k div {_SIM_KEY_SHIFT}) AS DOUBLE) / 1000000"
+            ).alias("cosine"),
+        )
     )
 
 
