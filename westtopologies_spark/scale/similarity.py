@@ -873,6 +873,12 @@ def covariance_long(emb: DataFrame, dim: int = C.EMBEDDING_DIM) -> DataFrame:
             ).alias("cov"),
         )
     )
+    # r8: the mirror union references ut twice — without truncation
+    # the full corpus-side product aggregation sits in the plan twice
+    # (runtime exchange reuse recovers the exchange, but the compile
+    # and the post-exchange work are still doubled).  ut is at most
+    # dim*(dim+1)/2 rows at ANY corpus scale: checkpoint it.
+    ut = ut.coalesce(1).localCheckpoint()
     return ut.union(
         ut.filter(F.col("dim_i") < F.col("dim_j")).select(
             F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"), "cov"
