@@ -1634,39 +1634,37 @@ def tx_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.text import EN_STOPWORDS
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
+    # r8 (guide §2.4 "remove shuffles outright"): the stopword-
+    # delimited phrase runs are computable IN-ROW — mark stopwords
+    # with a ',' (never in [a-z]+ tokens), join on single spaces,
+    # split on ',' and trim: each non-empty piece is one maximal
+    # non-stopword run in document order, exactly the gaps-and-
+    # islands (doc_id, pid) groups of the windowed formulation.
+    # This deletes the full-token-stream posexplode, the per-doc
+    # window (shuffle+sort by doc_id), the collect_list re-assembly,
+    # and the islands⋈phrase_occ join: per-word degree now derives
+    # from exploding each phrase occurrence's own words (one row per
+    # island word occurrence, as before).
+    stops_sql = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    phrases = (
+        "filter(transform(split(array_join(transform("
+        "regexp_extract_all(lower(text), '[a-z]+', 0), "
+        f"w -> CASE WHEN w IN ({stops_sql}) THEN ',' ELSE w END), ' '), "
+        "','), p -> trim(p)), p -> p != '')"
+    )
+    phrase_occ = docs.select(
+        "doc_id", F.explode(F.expr(phrases)).alias("phrase")
+    ).select(
         "doc_id",
-        F.posexplode(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-        ).alias("pos0", "w"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
-    flagged = tok.withColumn(
-        "stop", F.when(F.col("w").isin(*EN_STOPWORDS), 1).otherwise(0)
+        "phrase",
+        F.size(F.split("phrase", " ")).alias("plen"),
     )
-    wp = Window.partitionBy("doc_id").orderBy("pos")
-    islands = (
-        flagged.withColumn("pid", F.sum("stop").over(wp))
-        .filter(F.col("stop") == 0)
-        .select("doc_id", "w", "pos", "pid")
-        .persist()
-    )
-    phrase_occ = islands.groupBy("doc_id", "pid").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ),
-            " ",
-        ).alias("phrase"),
-        F.count(F.lit(1)).alias("plen"),
-    ).persist()
     word_stats = (
-        islands.join(phrase_occ, ["doc_id", "pid"])
-        .groupBy("w")
-        .agg(
-            F.sum("plen").cast("bigint").alias("deg"),
-            F.count(F.lit(1)).alias("freq"),
+        phrase_occ.select(
+            F.explode(F.split("phrase", " ")).alias("w"), "plen"
         )
+        .groupBy("w")
+        .agg(F.sum("plen").cast("bigint").alias("deg"))
     )
     uniq = (
         phrase_occ.groupBy("phrase")

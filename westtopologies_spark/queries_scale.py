@@ -853,9 +853,7 @@ def dd_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_shingle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    shingles = dedup.doc_shingles(
-        dedup.doc_token_ids(dedup.tokens_with_ids(docs, vocab_mode="char"))
-    )
+    shingles = dedup.exploded_shingles(docs, vocab_mode="char")
     df = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return df.groupBy("df").agg(F.count(F.lit(1)).alias("n_shingles"))
 

@@ -92,12 +92,12 @@ def char_hash_tid(token: Column, p: int = C.SHINGLE_P) -> Column:
     DuckDB raises on BIGINT overflow instead of wrapping like the
     JVM, so overflow would break engine parity, not just quality).
     """
+    # r8: split('') + ascii is O(len) — substring(token, i, 1) per
+    # position re-walks the string from its start (O(len^2); matters
+    # because this runs once per corpus token)
     chars = F.when(
         F.length(token) > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.length(token)),
-            lambda i: F.ascii(F.substring(token, i, F.lit(1))),
-        ),
+        F.transform(F.split(token, ""), lambda c: F.ascii(c)),
     ).otherwise(F.array().cast("array<int>"))
     return F.aggregate(
         chars,
@@ -154,6 +154,61 @@ def doc_token_ids(tokens: DataFrame) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
         ).alias("tids")
     )
+
+
+def doc_tids(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_mode: str = "char",
+) -> DataFrame:
+    """(doc_id, tids) computed ENTIRELY in the scan stage — the
+    in-row equivalent of ``doc_token_ids(tokens_with_ids(docs))`` for
+    the two pure-map encodings (r8, guide §2.4: the exploded chain
+    posexplodes the corpus token stream and shuffles it back together
+    on doc_id just to re-form an array whose every element is a pure
+    function of the row).  ``rank`` mode inherently needs the
+    vocabulary shuffle and stays on the exploded path.  NULL-text
+    docs are filtered to match the exploded chain (posexplode(NULL)
+    emits no rows, so those doc_ids never reach the groupBy)."""
+    if vocab_mode == "char":
+        def tid_fn(t: Column) -> Column:
+            return char_hash_tid(t)
+    elif vocab_mode == "hash":
+        def tid_fn(t: Column) -> Column:
+            return F.pmod(F.xxhash64(t), F.lit(C.SHINGLE_P))
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"doc_tids: unsupported mode {vocab_mode!r}")
+    # two-step select: materialize the split array as a projection
+    # before the transform references it (the CollapseProject O(len^2)
+    # trap — see row_shingle_arrays)
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    return toks.select("doc_id", F.transform("_toks", tid_fn).alias("tids"))
+
+
+def exploded_shingles(
+    docs: DataFrame,
+    vocab_mode: str | None = None,
+    deterministic_vocab: bool = False,
+) -> DataFrame:
+    """(doc_id, shingle): the exploded distinct-shingle index, with
+    the per-doc shingle SETS built in the scan stage for the pure-map
+    encodings (r8): ``row_shingle_arrays`` + explode replaces the
+    ``tokens_with_ids -> doc_token_ids -> doc_shingles`` chain, whose
+    three corpus-wide moves (posexplode, groupBy(doc_id) re-collect,
+    corpus-wide ``.distinct()``) all collapse into in-row expressions
+    (``array_distinct`` dedups within the only scope a shingle can
+    repeat in).  Value-identical (pinned by the row-vs-exploded
+    parity tests); ``rank`` mode keeps the exploded path."""
+    mode = vocab_mode or ("rank" if deterministic_vocab else "hash")
+    if mode in ("char", "hash"):
+        return row_shingle_arrays(docs, mode=mode).select(
+            "doc_id", F.explode("_sh").alias("shingle")
+        )
+    return doc_shingles(doc_token_ids(tokens_with_ids(docs, vocab_mode=mode)))
 
 
 def doc_shingles(token_ids: DataFrame, n: int = C.SHINGLE_N) -> DataFrame:
@@ -309,22 +364,31 @@ def row_shingle_arrays(
         F.transform("_toks", tid_fn).alias("_tids"),
     )
 
-    def shingle_at(tids_c: Column, i: Column) -> Column:
-        acc = F.element_at(tids_c, i).cast("long")
-        for k in range(1, n):
-            acc = acc * C.FP_MULT + F.element_at(tids_c, i + k)
-        return acc % C.SHINGLE_P
-
+    # r8: sliding-window fold via zip_with over n shifted slices, NOT
+    # transform(sequence, i -> element_at(_tids, i + k)).  The
+    # optimizer legitimately inlines these projections into derived
+    # predicates (e.g. InferFiltersFromGenerate's size(_sh) > 0 when
+    # a caller explodes _sh): with element_at the inlined _tids
+    # expression re-evaluates PER POSITION (O(L^2) re-hashing of the
+    # whole token array — measured 30x on the exploded-index
+    # consumers), while each slice reference re-evaluates it at most
+    # once per row.  Value-identical: the fold, its overflow budget,
+    # and the final single %P are exactly shingle_at's.
+    m = F.size(F.col("_tids")) - (n - 1)
+    acc = F.slice(F.col("_tids"), 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(F.col("_tids"), k + 1, m),
+            lambda a, b: a * C.FP_MULT + b,
+        )
     return (
         tids
         .select(
             "doc_id",
             *keep_cols,
             F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_tids") - (n - 1)),
-                    lambda i: shingle_at(F.col("_tids"), i),
-                )
+                F.transform(acc, lambda s: s % C.SHINGLE_P)
             ).alias("_sh"),
         )
     )
@@ -539,12 +603,8 @@ def ngram_jaccard_pairs(
     off by default and in the oracle). The shingle index is persisted
     (used by both join sides, the df-count prune, and the size
     lookup)."""
-    shingles = doc_shingles(
-        doc_token_ids(
-            tokens_with_ids(
-                docs, deterministic_vocab=deterministic_vocab, vocab_mode=vocab_mode
-            )
-        )
+    shingles = exploded_shingles(
+        docs, vocab_mode=vocab_mode, deterministic_vocab=deterministic_vocab
     ).persist()
     index = shingles
     if max_df is not None:
@@ -597,12 +657,8 @@ def overlap_coefficient_pairs(
     guard for stop-shingles.  The reference has no dedup operator at
     all; this extends its text pipeline for corpus prep.
     """
-    shingles = doc_shingles(
-        doc_token_ids(
-            tokens_with_ids(
-                docs, deterministic_vocab=deterministic_vocab, vocab_mode=vocab_mode
-            )
-        )
+    shingles = exploded_shingles(
+        docs, vocab_mode=vocab_mode, deterministic_vocab=deterministic_vocab
     ).persist()
     index = shingles
     if max_df is not None:
@@ -650,20 +706,33 @@ def prefix_jaccard_pairs(
     A symmetric size filter (``t*|A| <= |B|``) prunes further before
     the exact confirm.
 
-    Shapes: one window rank keyed by doc_id (no global sort), the
-    candidate self-join keyed on shingle over the pruned prefix only,
-    exact confirm via the persisted full index.
+    Shapes (r8): per-doc shingle sets + sizes materialize in the scan
+    stage (``row_shingle_arrays``; the exploded index is derived by a
+    shuffle-free explode, and ``sz`` rides along in-row instead of a
+    second groupBy + join back), one window rank keyed by doc_id (no
+    global sort) over the df-joined prefix stream, the candidate
+    self-join keyed on shingle over the pruned prefix only, exact
+    confirm from the persisted per-doc arrays (``rank`` encoding
+    keeps the legacy exploded chain).
     """
-    shingles = doc_shingles(
-        doc_token_ids(tokens_with_ids(docs, vocab_mode=vocab_mode))
-    ).persist()
+    mode = vocab_mode or "hash"
+    if mode in ("char", "hash"):
+        arrs = row_shingle_arrays(docs, mode=mode).persist()
+        shingles = arrs.select(
+            "doc_id", F.size("_sh").alias("sz"), F.explode("_sh").alias("shingle")
+        )
+        confirm = lambda cands: jaccard_of_pairs_arrays(cands, arrs)  # noqa: E731
+    else:
+        ex = doc_shingles(
+            doc_token_ids(tokens_with_ids(docs, vocab_mode=vocab_mode))
+        ).persist()
+        sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        shingles = ex.join(sizes, "doc_id")
+        confirm = lambda cands: jaccard_of_pairs(cands, ex)  # noqa: E731
     dfc = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        shingles.join(dfc, "shingle")
-        .withColumn("r", F.row_number().over(w))
-        .join(sizes, "doc_id")
+    ranked = shingles.join(dfc, "shingle").withColumn(
+        "r", F.row_number().over(w)
     )
     prefix = ranked.filter(
         F.col("r") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
@@ -680,7 +749,7 @@ def prefix_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_of_pairs(cands, shingles).filter(F.col("jaccard") >= threshold)
+    return confirm(cands).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -1338,7 +1407,7 @@ def duplicated_spans(
     """
     if vocab_mode != "char":
         raise ValueError("duplicated_spans requires a pure-map encoding")
-    ids = doc_token_ids(tokens_with_ids(docs, vocab_mode=vocab_mode)).persist()
+    ids = doc_tids(docs, vocab_mode=vocab_mode).persist()
 
     def shingle_at(tids: Column, i: Column) -> Column:
         acc = F.element_at(tids, i).cast("long")

@@ -287,9 +287,12 @@ def cdc_chunks(docs: DataFrame) -> DataFrame:
 
     w = CDC_WINDOW
     text = F.col("text")
+    # r8: char codes via split('') + ascii — O(L).  The previous
+    # substring(text, i, 1) per position was O(L^2): UTF8String
+    # .substring walks code points from the string start on every
+    # call, which dominated the entry at payload lengths.
     cs_expr = F.transform(
-        F.sequence(F.lit(1), F.length(text)),
-        lambda i: F.ascii(F.substring(text, i, F.lit(1))).cast("long"),
+        F.split(text, ""), lambda c: F.ascii(c).cast("long")
     )
     # each derived array materializes as a projection before the next
     # lambda references it (CollapseProject re-evaluation trap)

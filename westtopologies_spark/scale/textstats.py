@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from . import constants as C
 from ..session import release_local_checkpoint
-from .dedup import doc_token_ids, tokens_with_ids
+from .dedup import doc_tids, doc_token_ids, tokens_with_ids
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
@@ -100,11 +100,15 @@ def fingerprints(
     Detects exact sequence matches (and is the building block for
     content-defined chunk fingerprints). Left fold == DuckDB
     list_reduce with a prepended 0 seed."""
-    ids = doc_token_ids(
-        tokens_with_ids(
-            docs, deterministic_vocab=deterministic_vocab, vocab_mode=vocab_mode
+    mode = vocab_mode or ("rank" if deterministic_vocab else "hash")
+    if mode in ("char", "hash"):
+        # r8: tid is a pure per-row function in these encodings — the
+        # array forms in the scan stage (doc_tids), no explode/groupBy
+        ids = doc_tids(docs, vocab_mode=mode)
+    else:
+        ids = doc_token_ids(
+            tokens_with_ids(docs, vocab_mode=mode)
         )
-    )
     fp = F.aggregate(
         F.col("tids"),
         F.lit(0).cast("long"),
@@ -712,32 +716,48 @@ def textrank_keywords(docs: DataFrame, top: int = C.TEXTRANK_TOP_K) -> DataFrame
     replays the identical trace). Output: the top-``top`` terms by
     (score desc, term asc) with the score as an exact x1e6 BIGINT.
 
-    Scale shape: edge construction is one keyed window (lead) over
-    the token stream + a distinct; each PageRank round is one
-    shuffle on dst. The final top-k is a single-partition sort of
-    ~vocabulary rows AFTER aggregation — vocabulary, not corpus,
-    cardinality.
+    Scale shape (r8): consecutive-token pairs are built IN-ROW from
+    the split array (guide §2.4 — the posexplode + per-doc lead()
+    window shuffled and sorted the whole token stream just to read
+    each row's right neighbor, which the array already holds); the
+    only corpus-keyed move left is the edge distinct.  Each PageRank
+    round is one shuffle on dst. The final top-k is a
+    single-partition sort of ~vocabulary rows AFTER aggregation —
+    vocabulary, not corpus, cardinality.
     """
     from ..ops import graph as G
 
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    # materialize the split array as a projection before the lambda
+    # references it (CollapseProject re-evaluation trap)
+    arrs = docs.select(F.split(F.col("text"), " ").alias("_arr"))
+    arr = F.col("_arr")
+    adj = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("src"),
+                F.element_at(arr, i + 1).alias("dst"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
     pairs = (
-        toks.select("doc_id", "tok", F.lead("tok").over(w).alias("nxt"))
-        .where(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
-        .select(F.col("tok").alias("src"), F.col("nxt").alias("dst"))
+        arrs.select(F.explode(adj).alias("p"))
+        .where(F.col("p.src") != F.col("p.dst"))
+        .select("p.src", "p.dst")
     )
     dedges = (
         pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         # vocabulary-cardinality frame: single partition keeps the 3
         # PageRank rounds' tiny shuffles one-task each (same move as
-        # the PCA iteration frame)
+        # the PCA iteration frame); localCheckpoint, not persist —
+        # the loop references it every round and the checkpoint
+        # truncates the corpus lineage out of each round's plan
+        # (the §2 graph-family A/B: persist pins partitioning and
+        # suppresses exchange reuse, checkpoint does not)
         .coalesce(1)
-        .persist()
+        .localCheckpoint()
     )
     nodes = dedges.select(F.col("src").alias("node")).distinct()
     pr = G.pagerank(nodes, dedges)  # (user_id, pagerank) naming
@@ -762,34 +782,44 @@ def textrank_keywords(docs: DataFrame, top: int = C.TEXTRANK_TOP_K) -> DataFrame
 BPE_TRAIN_ROUNDS = 4
 
 _BPE_WORDS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
-_BPE_CHARS = (
-    "transform(" + _BPE_WORDS + ", w -> "
-    "transform(sequence(1, length(w)), i -> substring(w, i, 1)))"
+# Flat token-stream encoding (r8, guide §1.2 "per-task work"): each
+# word's tokens separated by SINGLE spaces, words separated by DOUBLE
+# spaces, sentinel spaces at both ends.  A merge pass is then one
+# linear regexp_replace instead of an O(len^2) aggregate fold over
+# array slices, and the per-round expression tree Catalyst must
+# re-analyze/compile (the merge constants are inlined, so every round
+# is a fresh plan) shrinks from a nested-lambda fold to a single
+# regexp call.  Tokens are always [a-z]+ so neither separators nor
+# regex metacharacters can occur inside a token.
+_BPE_FLAT = (
+    "concat(' ', array_join(transform(" + _BPE_WORDS + ", "
+    "w -> array_join(split(w, ''), ' ')), '  '), ' ')"
 )
 
 
-def _bpe_fold(arr: str, a: str, b: str) -> str:
-    """SQL expression: left-greedy single-merge pass over a token
-    array — append each token, or fuse it onto the previous one when
-    the (previous, current) pair equals the learned merge."""
-    return (
-        f"aggregate({arr}, CAST(array() AS array<string>), "
-        f"(acc, t) -> CASE WHEN size(acc) > 0 "
-        f"AND element_at(acc, -1) = '{a}' AND t = '{b}' "
-        f"THEN concat(slice(acc, 1, size(acc) - 1), "
-        f"array(concat(element_at(acc, -1), t))) "
-        f"ELSE concat(acc, array(t)) END)"
-    )
+def _bpe_merge_flat(col: str, a: str, b: str) -> str:
+    """SQL expression: left-greedy single-merge pass over the flat
+    encoding.  ``(?<= )a b(?= )`` matches exactly the token-boundary
+    occurrences of the pair (the lookarounds are zero-width, so after
+    a replacement the scan resumes ON the boundary space and an
+    immediately following occurrence still matches — Java's
+    left-to-right non-overlapping replace is therefore the same
+    left-greedy pass as the reference fold: a fused token can never
+    seed a new (a, b) adjacency within the pass, since its text is
+    a||b which equals neither a's token nor b's)."""
+    return f"regexp_replace({col}, '(?<= ){a} {b}(?= )', '{a}{b}')"
 
 
-def _bpe_pairs(tokens2d: str) -> str:
-    """SQL expression: all adjacent (a, b) token pairs across the
-    per-word token arrays of one document (words with < 2 tokens
-    contribute none)."""
+def _bpe_pairs_flat(arr: str) -> str:
+    """SQL expression: all adjacent (a, b) token pairs of one
+    document's space-split flat encoding — the empty strings produced
+    by the double-space word boundaries (and the sentinels) make any
+    cross-word pair contain '' and get filtered."""
     return (
-        f"flatten(transform(filter({tokens2d}, ts -> size(ts) >= 2), "
-        f"ts -> transform(sequence(1, size(ts) - 1), "
-        f"i -> struct(element_at(ts, i) AS a, element_at(ts, i + 1) AS b))))"
+        f"filter(transform(sequence(1, size({arr}) - 1), "
+        f"i -> struct(element_at({arr}, i) AS a, "
+        f"element_at({arr}, i + 1) AS b)), "
+        f"p -> p.a != '' AND p.b != '')"
     )
 
 
@@ -802,20 +832,20 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
     candidate list of ``tx_bpe_merges``.
 
     Returns ``(merges, tokens)``: the learned ``[(a, b, n_pair)]``
-    list and a frame ``(doc_id, n_words, n_chars, toks)`` holding
-    each document's final per-word token arrays with all merges
-    applied.
+    list and a frame ``(doc_id, n_words, n_chars, flat)`` holding
+    each document's final token stream with all merges applied, in
+    the flat single/double-space encoding (``_BPE_FLAT``).
 
     Scale shape: one corpus aggregation per round (in-row pair
     generation, map-side-combined counts over a tiny key space, 1-row
     argmax to the driver — the merge itself IS the model artifact);
-    merge application is a pure in-row expression, so the corpus is
-    never shuffled. Each round's token frame is localCheckpoint-ed:
-    without it, round r re-executes (and Catalyst re-compiles) an
-    r-deep nested-lambda chain over the raw corpus — the checkpoint
-    keeps every round one shallow fold, the same lineage-cut move as
-    the k-means/components kernels (measured 12-16 s -> ~4 s per
-    catalog entry at sf0.1).
+    merge application is a pure in-row LINEAR regexp pass over the
+    flat encoding (r8: was an O(len^2) per-word aggregate fold), so
+    the corpus is never shuffled. Each round's token frame is
+    localCheckpoint-ed: without it, round r re-executes (and Catalyst
+    re-compiles) an r-deep expression chain over the raw corpus — the
+    checkpoint keeps every round one shallow pass, the same
+    lineage-cut move as the k-means/components kernels.
     """
     cur = docs.select(
         "doc_id",
@@ -823,10 +853,10 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
         F.expr(f"aggregate({_BPE_WORDS}, 0, (acc, w) -> acc + length(w))")
         .cast("long")
         .alias("n_chars"),
-        F.expr(_BPE_CHARS).alias("toks"),
+        F.expr(_BPE_FLAT).alias("flat"),
     )
-    # a small corpus arrives as one scan partition; the nested-lambda
-    # folds are CPU-bound, so spread them across the executor cores
+    # a small corpus arrives as one scan partition; the per-row passes
+    # are CPU-bound, so spread them across the executor cores
     # (at real scale the scan is already wider than this and the
     # branch is a no-op)
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -836,7 +866,8 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
     merges: list[tuple[str, str, int]] = []
     for _ in range(rounds):
         top = (
-            cur.select(F.explode(F.expr(_bpe_pairs("toks"))).alias("p"))
+            cur.select(F.split("flat", " ").alias("arr"))
+            .select(F.explode(F.expr(_bpe_pairs_flat("arr"))).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.count(F.lit(1)).alias("n_pair"))
             .orderBy(F.desc("n_pair"), F.asc("a"), F.asc("b"))
@@ -851,9 +882,7 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS):
             "doc_id",
             "n_words",
             "n_chars",
-            F.expr(f"transform(toks, ts -> {_bpe_fold('ts', a, b)})").alias(
-                "toks"
-            ),
+            F.expr(_bpe_merge_flat("flat", a, b)).alias("flat"),
         ).localCheckpoint()
         # superseded round's token-frame blocks die here — free them
         # eagerly so 20-round trains don't hold 20 corpus copies until
@@ -886,7 +915,7 @@ def bpe_fertility(docs: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
         "doc_id",
         "n_words",
         "n_chars",
-        F.expr("aggregate(toks, 0, (acc, ts) -> acc + size(ts))")
+        F.expr("size(filter(split(flat, ' '), t -> t != ''))")
         .cast("long")
         .alias("n_tokens"),
     ).filter(F.col("n_chars") > 0)

@@ -271,19 +271,17 @@ def contamination_rates(
     left-join from the (small) eval shingles — at 100 TB the train
     set is a precomputed bucketed table, making this a map-side probe
     of the delta, same shape as incremental dedup."""
-    from .dedup import doc_shingles, doc_token_ids, tokens_with_ids
+    from .dedup import exploded_shingles
 
     if vocab_mode != "char":
         raise ValueError("contamination requires a pure-map encoding")
     train_set = (
-        doc_shingles(doc_token_ids(tokens_with_ids(train, vocab_mode=vocab_mode)))
+        exploded_shingles(train, vocab_mode=vocab_mode)
         .select("shingle")
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    eval_sh = doc_shingles(
-        doc_token_ids(tokens_with_ids(eval_docs, vocab_mode=vocab_mode))
-    )
+    eval_sh = exploded_shingles(eval_docs, vocab_mode=vocab_mode)
     return (
         eval_sh.join(train_set, "shingle", "left")
         .groupBy("doc_id")
