@@ -1299,6 +1299,29 @@ def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_event_edges` with ``root_id`` attached IN-ROW (r9, guide §8
+    "use what you know that the optimizer does not").
+
+    The a3 entries were COMPILE-bound: the generic pointer-doubling
+    root walk (2 persisted self-joins + join-back + eager
+    localCheckpoint) cost ~3-6 s of Catalyst analysis/codegen per run
+    while executing in ~0.3 s.  But on THIS forest the walk has a
+    closed form: both parent rules stay inside the id-block
+    [5k, 5k+4] (eid-1 keeps eid%5 != 0 positive; eid-(eid%5) IS the
+    block head 5k), every step strictly decreases the id, and the
+    only parentless node of a block is 5k — so every chain terminates
+    at ``eid - eid % 5``.  Equivalence to the oracle's recursive CTE
+    (which inner-joins away nodes whose chain is incomplete) holds
+    because event_ids are contiguous from 0: verified by EXCEPT in
+    DuckDB at sf0.001/0.01/0.1 — 0 differing rows in either direction
+    (OPTIMIZATION_r09.md §1).  The generic walk stays in
+    ops/roles.with_root_ids for real (unknown-shape) forests.
+    """
+    eid = F.col("tweet_id")
+    return _event_edges(spark, sf_dir).withColumn("root_id", eid - (eid % 5))
+
+
 @_register(
     "a3_role_features",
     _ROLES_FEATS_CTE
@@ -1320,11 +1343,11 @@ def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a3_role_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.roles import role_features
 
-    # events-derived forest has depth <= 3 by construction
-    # (_event_edges: parent is eid-1 or the eid-(eid%5) root);
-    # max_depth=4 -> 2 pointer-doubling passes instead of 4.
-    # truncate: compile-bound entry — see role_features docstring (r8)
-    feats = role_features(_event_edges(spark, sf_dir), max_depth=4, truncate=True)
+    # root_id arrives in-row (_event_forest, r9) so the pointer-
+    # doubling walk — the dominant Catalyst-analysis cost of this
+    # compile-bound entry — is skipped entirely; the node frame is a
+    # scan+project, cheap to re-analyze per aggregation branch.
+    feats = role_features(_event_forest(spark, sf_dir))
     return feats.select(
         "user_id",
         "post_count",
@@ -1359,21 +1382,14 @@ def _roles_assign_oracle() -> str:
 def a3_role_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.roles import assign_roles, role_features, tercile_levels
 
-    # events-derived forest has depth <= 3 by construction
-    # (_event_edges: parent is eid-1 or the eid-(eid%5) root);
-    # max_depth=4 -> 2 pointer-doubling passes instead of 4
-    feats = role_features(
-        _event_edges(spark, sf_dir), max_depth=4, truncate=True
-    )
-    # localCheckpoint: the feature frame's plan (pointer-doubling
-    # joins + 6 agg branches) otherwise gets RE-ANALYZED and
-    # RE-CODEGENNED by every downstream consumer — tercile bounds,
-    # the boundary join-back, and the 8-rule cascade.  Truncating the
-    # lineage to a leaf cuts the cold end-to-end ~26% (9.8s -> 7.2s
-    # at sf0.1); the checkpointed frame is one narrow row per user.
-    # Same executor-local-storage trade as the components/k-means
-    # kernels (scale/dedup.py, scale/similarity.py).
-    feats = feats.localCheckpoint()
+    # root_id arrives in-row (_event_forest, r9): no pointer-doubling
+    # walk, no eager node checkpoint — see a3_role_features.  The r8
+    # feats.localCheckpoint() is gone too: with the walk out of the
+    # lineage the feature subtree is small enough that ONE lazy plan
+    # (tercile_levels persists it for the bounds/join-back reuse)
+    # beats paying a separate eager analyze+codegen+job cycle —
+    # paired cold A/B 7.3 s -> 3.3 s at sf0.1 (OPTIMIZATION_r09.md §1).
+    feats = role_features(_event_forest(spark, sf_dir))
     roles = assign_roles(tercile_levels(feats))
     return roles.select("user_id", "post_count", "role")
 
