@@ -350,3 +350,22 @@ def test_rotation_is_staleness_first():
     out_win = [last.get(s.name, 0) for s in specs[50:] if s.name not in pins]
     if in_win and out_win:
         assert max(in_win) <= min(out_win), (max(in_win), min(out_win))
+
+
+def test_ckpt_small_contract(spark):
+    """_ckpt_small's docstring contract (ADVICE r8): rows identical,
+    materialized partition count bounded by the coalesce, and the
+    result is a lineage-truncated leaf (its logical plan no longer
+    references the input's scan) — callers rely on all three."""
+    from pyspark.sql import functions as F
+
+    from westtopologies_spark.queries import _ckpt_small
+
+    src = spark.range(0, 1000).withColumn("g", F.col("id") % 7)
+    out = _ckpt_small(src.groupBy("g").count(), n=4)
+    assert out.rdd.getNumPartitions() <= 4
+    assert {(r.g, r["count"]) for r in out.collect()} == {
+        (r.g, r["count"]) for r in src.groupBy("g").count().collect()
+    }
+    # eager + truncated: the analyzed plan is a leaf RDD scan
+    assert "LogicalRDD" in out._jdf.queryExecution().analyzed().toString()

@@ -539,3 +539,26 @@ def test_cdc_chunks_survive_prefix_insertion(spark):
     assert set(tail_fps) <= b_fps
     # and total bytes always reassemble exactly
     assert sum(r.chunk_len for r in ch if r.doc_id == 1) == len(base)
+
+
+def test_guarded_cents_rejects_out_of_range_cid(spark):
+    """ADVICE r8: the packed argmax key stores cid in its low 42 bits;
+    _guarded_cents must fail LOUDLY on the broadcast side for any cid
+    outside [0, 2^42) instead of silently corrupting min(_k)."""
+    from py4j.protocol import Py4JJavaError
+
+    from westtopologies_spark.scale.similarity import (
+        _SIM_KEY_SHIFT,
+        _guarded_cents,
+    )
+
+    ok = spark.createDataFrame(
+        [(0, [1.0], 1.0), (5, [0.5], 0.5)], "cid long, cent_v array<double>, cent_n double"
+    )
+    assert sorted(r.cid for r in _guarded_cents(ok).collect()) == [0, 5]
+    for bad_cid in (-1, _SIM_KEY_SHIFT):
+        bad = spark.createDataFrame(
+            [(bad_cid, [1.0], 1.0)], "cid long, cent_v array<double>, cent_n double"
+        )
+        with pytest.raises((Py4JJavaError, Exception)):
+            _guarded_cents(bad).collect()

@@ -1278,9 +1278,19 @@ def _ckpt_small(df: DataFrame, n: int = 8) -> DataFrame:
     a ``persist()`` variant was A/B-measured to REGRESS 3.7->20.6s on
     gr_hits by pinning partitioning.  Blocks are reclaimed by the
     harness's periodic driver GC (the established checkpoint contract
-    of the connected-components / BPE kernels).  Only for frames that
-    are small at any scale (edge lists after distinct, node lists):
-    the coalesce bounds the materialized partition count.
+    of the connected-components / BPE kernels).
+
+    CALLER CONTRACT (ADVICE r8, pinned by
+    tests/test_entry_contract.py::test_ckpt_small_contract):
+    - the frame must be SMALL at any scale (edge lists after
+      distinct, node lists) — the coalesce funnels everything through
+      ``n`` partitions, so an unbounded frame would serialize;
+    - this EXECUTES a Spark job at call time (catalog functions that
+      use it run work at construction, which bench.py's timed region
+      includes by design);
+    - localCheckpoint blocks are NOT recoverable on executor loss —
+      acceptable for derived frames that a retry of the whole query
+      rebuilds, never for state that outlives the query.
     """
     return df.coalesce(n).localCheckpoint()
 
@@ -1673,6 +1683,22 @@ _PIN_UNTIL_CHECKED = [
 # the fixed testdata, but the double fence was fuzzer-flipped —
 # VERDICT r4 #2 requires a fresh driver row on the new contract).
 _PIN_UNTIL_RECHECKED: dict[str, int] = {
+    # r9 (ADVICE r8 medium: the oracle window must cover the round's
+    # behavioral rewrites, not just the staleness rotation): pin the
+    # most-restructured r8/r9 entries that have NO post-rewrite driver
+    # row.  The full touched set is larger (~25) but pinning it all
+    # would starve the r03-era stale backlog; these eight are the
+    # deepest rewrites — one per changed kernel, plus both halves of
+    # a kernel whose two entries diverge structurally.  All release
+    # automatically once CORRECTNESS_r09 lands.
+    "a3_role_features": 8,  # r9 closed-form root_id restructure
+    "tx_bpe_train": 8,  # r8 flat-string merge rep (last row r4)
+    "tx_bpe_apply": 8,  # r8 flat-string merge rep (last row r4)
+    "dd_ppjoin": 8,  # r8 prefix-filter restructure on array base
+    "tp_contamination": 8,  # r8 zip_with shingle fold (the 107x entry)
+    "dd_dup_spans": 8,  # r8 in-row span construction
+    "mm_cdc_dedup": 8,  # r8 split('') O(L) byte codes
+    "ann_ivfadc_topk": 8,  # r8 packed-key argmin+argmax compose (row r4)
     # r7: graduated from rows-only (err:no_oracle every round) to the
     # deterministic integer-histogram sketch with a real DuckDB
     # replay oracle (VERDICT r6 #4) — needs its first hash row

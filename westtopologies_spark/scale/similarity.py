@@ -152,8 +152,15 @@ def _sim_argmax_key() -> Column:
     round is exact; ``(1e6 - (key div 2^42)) / 1e6`` reconstructs the
     same double ``F.round(sim, 6)`` produced (both are the integer /
     1e6 double division).  Range: (1e6 - simx) <= 2e6, so key <=
-    2e6 * 2^42 ~ 8.8e18 < 2^63; cid is a corpus vec_id — far below
-    2^42 for any real corpus (4.4e12 vectors)."""
+    2e6 * 2^42 ~ 8.8e18 < 2^63; cid range is ENFORCED at runtime on
+    the broadcast centroid side (:func:`_guarded_cents`, ADVICE r8).
+    Caveat (documented, not guarded): a zero-norm vector yields
+    sim = NaN -> CAST(long) = 0, i.e. it decodes as sim 0 instead of
+    propagating NaN; the corpus embeddings are non-degenerate by
+    construction (norms strictly positive at every SF) and the
+    max+join-back formulation this replaced would DROP such a row
+    entirely (NaN never equi-joins back), so neither shape defines a
+    useful answer for degenerate input."""
     sim = F.round(
         _dot(F.col("c_v"), F.col("cent_v")) / (F.col("c_n") * F.col("cent_n")), 6
     )
@@ -164,6 +171,30 @@ def _sim_argmax_key() -> Column:
     ).alias("_k")
 
 
+def _guarded_cents(cents: DataFrame) -> DataFrame:
+    """Runtime guard for the packed-key contract (ADVICE r8): cid is
+    packed into the low 42 bits of the argmax key, so a negative or
+    >= 2^42 centroid id would silently corrupt the min() ordering and
+    the ``% 2^42`` decode.  The check rides the TINY broadcast side
+    (k centroid rows, never the scored cross product), so its runtime
+    cost is negligible; violation fails the job loudly instead of
+    returning wrong nearest-centroid assignments."""
+    cid = F.col("cid")
+    return cents.withColumn(
+        "cid",
+        F.when(
+            (cid >= 0) & (cid < _SIM_KEY_SHIFT), cid
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("centroid id out of packed-key range [0, 2^42): "),
+                    cid.cast("string"),
+                )
+            )
+        ),
+    )
+
+
 def _nearest_centroid(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cid): each vector's nearest centroid by cosine
     (rounded to 6 decimals; ties -> smallest cid). The centroid table
@@ -172,7 +203,7 @@ def _nearest_centroid(vectors: DataFrame, cents: DataFrame) -> DataFrame:
     (similarity, cid) key (see :func:`_sim_argmax_key`) with
     map-side combine — semantics identical to the oracle's
     max + join-back formulation."""
-    scored = vectors.crossJoin(F.broadcast(cents)).select(
+    scored = vectors.crossJoin(F.broadcast(_guarded_cents(cents))).select(
         "c_id", _sim_argmax_key()
     )
     return (
@@ -436,7 +467,9 @@ def kmeans_assignments(
     # (one HashAggregate min(long) instead of max + join-back); the
     # reported cosine is reconstructed bit-identically from the key
     # (integer / 1e6 double division == F.round(sim, 6))
-    scored = v.crossJoin(F.broadcast(cents)).select("c_id", _sim_argmax_key())
+    scored = v.crossJoin(F.broadcast(_guarded_cents(cents))).select(
+        "c_id", _sim_argmax_key()
+    )
     return (
         scored.groupBy("c_id")
         .agg(F.min("_k").alias("_k"))

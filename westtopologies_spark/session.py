@@ -70,6 +70,14 @@ def get_spark(
         # SMJ->SHJ at runtime from OBSERVED partition sizes (the
         # scale-adaptive guard: on any cluster the conversion only
         # fires when the local map actually fits the threshold).
+        # CLUSTER PREREQUISITE (ADVICE r8): the STATIC planner half of
+        # this decides from size ESTIMATES — canBuildLocalHashMap
+        # admits build sides up to autoBroadcastJoinThreshold x
+        # shuffle partitions, so badly underestimated inputs risk a
+        # per-task build-side OOM that only the AQE half is guarded
+        # against.  On a production cluster either keep stats fresh
+        # (ANALYZE TABLE) or revert the static half to default and
+        # rely solely on the runtime SMJ->SHJ conversion.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
@@ -202,6 +210,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     cached = _TABLE_PLAN_CACHE.get(cache_key)
     if cached is not None:
         return cached
+    # Evict plans of other (stopped) sessions on the first miss under
+    # a new session id (ADVICE r8): entries keyed by a dead session's
+    # applicationId would otherwise pin analyzed plans + their
+    # SparkSession references for the process lifetime.  Mirrors the
+    # _SHIPPED_SESSIONS lifecycle; a same-session re-read of a path is
+    # still served from the memo.
+    stale = [k for k in _TABLE_PLAN_CACHE if k[0] != sid]
+    for k in stale:
+        del _TABLE_PLAN_CACHE[k]
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     ensure_workers_can_import(spark)
