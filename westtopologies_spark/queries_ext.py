@@ -1288,10 +1288,18 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import versioning as V
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE scan + tokenize pass over documents (r9, VERDICT r8 #5):
+    # both batches come from the same table, and the char shingle
+    # encoding is pure-map, so the per-row arrays are computed once
+    # and filtered into the two slots (previously each side scanned
+    # and tokenized documents independently).
+    arr = DD.row_shingle_arrays(docs).persist()
     h = F.col("doc_id") % V.SNAP_MOD
     return _as_scaled_int(
         DD.incremental_minhash_pairs(
-            docs.filter(h != V.INSERT_SLOT), docs.filter(h == V.INSERT_SLOT)
+            arr.filter(h != V.INSERT_SLOT),
+            arr.filter(h == V.INSERT_SLOT),
+            pre_arrayed=True,
         ),
         {"jaccard": 4},
     )

@@ -2278,53 +2278,15 @@ EMB_DIM = 64
     "output (scaled BIGINT).",
 )
 def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("e")
-    )
-    el = lambda i: F.element_at("e", i).cast("double")  # noqa: E731
-    prods = emb.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(EMB_DIM)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(EMB_DIM)),
-                        lambda j: F.struct(
-                            i.alias("dim_i"),
-                            j.alias("dim_j"),
-                            (
-                                F.element_at("e", i).cast("double")
-                                * F.element_at("e", j).cast("double")
-                            ).alias("p"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("t")
-    ).select("t.dim_i", "t.dim_j", "t.p")
-    sxy = prods.groupBy("dim_i", "dim_j").agg(F.sum("p").alias("sxy"))
-    ex = emb.select(
-        F.posexplode("e").alias("d0", "v")
-    ).select((F.col("d0") + 1).alias("d"), F.col("v").cast("double").alias("v"))
-    s = ex.groupBy("d").agg(F.sum("v").alias("sx"))
-    nn = emb.agg(F.count(F.lit(1)).alias("n"))
-    sa = s.select(F.col("d").alias("_da"), F.col("sx").alias("sx_i"))
-    sb = s.select(F.col("d").alias("_db"), F.col("sx").alias("sx_j"))
-    out = (
-        sxy.join(F.broadcast(sa), sxy.dim_i == sa._da)
-        .join(F.broadcast(sb), sxy.dim_j == sb._db)
-        .crossJoin(F.broadcast(nn))
-        .select(
-            "dim_i",
-            "dim_j",
-            F.round(
-                (F.col("sxy") - F.col("sx_i") * F.col("sx_j") / F.col("n"))
-                / (F.col("n") - 1),
-                6,
-            ).alias("cov"),
-        )
-    )
-    return _as_scaled_int(out, {"cov": 6})
+    # r9: per-task NumPy GEMM partials instead of the per-vector
+    # d*(d+1)/2 product explode (guide §4.2) — shared kernel with the
+    # PCA/Mahalanobis family; see scale.similarity.cov_gemm_partials
+    # for the value-equivalence argument (same float64 multiset, 6dp
+    # round absorbs association order; oracle-green all three SFs).
+    from .scale.similarity import cov_upper
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _as_scaled_int(cov_upper(emb, EMB_DIM), {"cov": 6})
 
 
 # ---------------------------------------------------------------------------

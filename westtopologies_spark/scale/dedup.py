@@ -1322,6 +1322,7 @@ def incremental_minhash_pairs(
     inserts: DataFrame,
     threshold: float = C.MINHASH_JACCARD_THRESHOLD,
     vocab_mode: str = "char",
+    pre_arrayed: bool = False,
 ) -> DataFrame:
     """Incremental near-dup detection: (doc_base, doc_new, jaccard)
     pairs between a NEW batch of documents and the EXISTING corpus —
@@ -1344,9 +1345,19 @@ def incremental_minhash_pairs(
     # legacy confirm joined the two exploded indexes ON THE SHINGLE
     # KEY — a hot-key magnet (every boilerplate shingle fans out
     # across both corpora); the candidate-restricted array intersect
-    # is bounded by |candidates| instead
-    arr_base = row_shingle_arrays(base).persist()
-    arr_new = row_shingle_arrays(inserts).persist()
+    # is bounded by |candidates| instead.
+    # ``pre_arrayed`` (r9, VERDICT r8 #5): when both batches derive
+    # from ONE source table, the caller tokenizes once —
+    # ``row_shingle_arrays(docs).persist()`` filtered into the two
+    # slots — instead of this function scanning and tokenizing the
+    # source twice.  Valid because the char encoding is pure-map
+    # (row-local), so arrays computed on the union equal arrays
+    # computed per batch.  The caller owns the persist in that case.
+    if pre_arrayed:
+        arr_base, arr_new = base, inserts
+    else:
+        arr_base = row_shingle_arrays(base).persist()
+        arr_new = row_shingle_arrays(inserts).persist()
     cand = (
         _band_rows_from_arrays(arr_base)
         .select(F.col("doc_id").alias("doc_base"), "band", "bucket")

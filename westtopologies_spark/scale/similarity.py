@@ -852,47 +852,103 @@ def ann_ivfadc_topk(
     ).filter(F.col("rk") <= topk)
 
 
-def covariance_long(emb: DataFrame, dim: int = C.EMBEDDING_DIM) -> DataFrame:
-    """Full symmetric sample-covariance matrix in long form
-    (dim_i, dim_j, cov), cov rounded 6dp — the same arithmetic trace
-    as the ``emb_covariance`` catalog entry (upper triangle computed
-    once from in-row coordinate products, then mirrored), so a PCA
-    oracle can replay it from the identical SQL CTE.
+def cov_gemm_partials(
+    emb: DataFrame, dim: int = C.EMBEDDING_DIM, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-task X^T·X / column-sum / count partials via ``mapInArrow``
+    + NumPy GEMM (r9, guide §4.2 "do the heavy lifting in native code
+    inside the UDF").
 
-    Scale shape: each vector emits its d*(d+1)/2 coordinate products
-    in-row; one partial-aggregated groupBy collapses them map-side —
-    the explode form of the X^T·X GEMM with bounded (d^2) output.
+    The r8 shape emitted every vector's d·(d+1)/2 coordinate products
+    IN-ROW and hash-aggregated the exploded stream — ~2080 struct rows
+    per vector (20.8M rows at sf0.1) built and hashed one by one in
+    codegen.  A covariance is a GEMM: each task now accumulates its
+    partition's ``m.T @ m`` (float64), per-dimension sums and row
+    count with vectorized BLAS over whole Arrow batches and emits ONE
+    partial set of d·(d+1)/2 + d + 1 rows.  The shuffle then carries
+    ~2145 rows per task instead of per-task-combined hash tables built
+    from millions of rows.  Value-equivalence: both shapes sum the
+    identical multiset of float64 products (float->double is exact),
+    only the association order differs — absorbed by the 6dp round
+    downstream, verified empirically: 0/2080 differing cells vs the
+    explode shape at sf0.1 and oracle-green at all three SFs
+    (OPTIMIZATION_r09.md §5).
+
+    Output rows: ``(dim_i>0, dim_j>=dim_i, p)`` upper-triangle product
+    partials, ``(dim_i>0, 0, p)`` per-dimension sum partials,
+    ``(0, 0, p)`` row-count partials.  Only the vector column crosses
+    the Python boundary (guide §4.1 column pruning).
     """
-    e = emb.select("vec_id", F.col("embedding").alias("e"))
-    prods = e.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(dim)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(dim)),
-                        lambda j: F.struct(
-                            i.alias("dim_i"),
-                            j.alias("dim_j"),
-                            (
-                                F.element_at("e", i).cast("double")
-                                * F.element_at("e", j).cast("double")
-                            ).alias("p"),
-                        ),
-                    ),
+
+    def gemm(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        xtx = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for b in batches:
+            col = b.column(0)
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            if flat.size != dim * len(col):  # nulls / ragged rows
+                raise ValueError(
+                    f"cov_gemm_partials: expected dense {dim}-dim vectors, "
+                    f"got {flat.size} values for {len(col)} rows"
                 )
-            )
-        ).alias("t")
-    ).select("t.dim_i", "t.dim_j", "t.p")
-    sxy = prods.groupBy("dim_i", "dim_j").agg(F.sum("p").alias("sxy"))
-    ex = e.select(F.posexplode("e").alias("d0", "v")).select(
-        (F.col("d0") + 1).alias("d"), F.col("v").cast("double").alias("v")
+            m = flat.reshape(-1, dim)
+            xtx += m.T @ m
+            s += m.sum(axis=0)
+            n += m.shape[0]
+        iu = np.triu_indices(dim)
+        di = (iu[0] + 1).astype("int32")
+        dj = (iu[1] + 1).astype("int32")
+        out_i = np.concatenate(
+            [di, np.arange(1, dim + 1, dtype="int32"), np.zeros(1, "int32")]
+        )
+        out_j = np.concatenate(
+            [dj, np.zeros(dim, "int32"), np.zeros(1, "int32")]
+        )
+        out_p = np.concatenate([xtx[iu], s, np.array([float(n)])])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_i), pa.array(out_j), pa.array(out_p)],
+            names=["dim_i", "dim_j", "p"],
+        )
+
+    return emb.select(F.col(vec_col).alias("e")).mapInArrow(
+        gemm, "dim_i int, dim_j int, p double"
     )
-    s = ex.groupBy("d").agg(F.sum("v").alias("sx"))
-    nn = e.agg(F.count(F.lit(1)).alias("n"))
+
+
+def cov_upper(
+    emb: DataFrame,
+    dim: int = C.EMBEDDING_DIM,
+    partials: DataFrame | None = None,
+) -> DataFrame:
+    """Upper-triangle sample covariance (dim_i, dim_j, cov) rounded
+    6dp from the GEMM partials — the emb_covariance arithmetic:
+    cov = (sxy - sx_i*sx_j/n) / (n-1).  ``partials`` lets a caller
+    that also needs the moments (PCA's mean vector) share one corpus
+    scan."""
+    # persist: the partials feed three branches (products, sums,
+    # count) — without the pin each branch would re-run the corpus
+    # GEMM scan (3 corpus passes at any scale)
+    parts = (
+        cov_gemm_partials(emb, dim).persist() if partials is None else partials
+    )
+    sxy = (
+        parts.filter(F.col("dim_j") > 0)
+        .groupBy("dim_i", "dim_j")
+        .agg(F.sum("p").alias("sxy"))
+    )
+    s = (
+        parts.filter((F.col("dim_j") == 0) & (F.col("dim_i") > 0))
+        .groupBy(F.col("dim_i").alias("d"))
+        .agg(F.sum("p").alias("sx"))
+    )
+    nn = parts.filter(F.col("dim_i") == 0).agg(F.sum("p").alias("n"))
     sa = s.select(F.col("d").alias("_da"), F.col("sx").alias("sx_i"))
     sb = s.select(F.col("d").alias("_db"), F.col("sx").alias("sx_j"))
-    ut = (
+    return (
         sxy.join(F.broadcast(sa), sxy.dim_i == sa._da)
         .join(F.broadcast(sb), sxy.dim_j == sb._db)
         .crossJoin(F.broadcast(nn))
@@ -906,12 +962,22 @@ def covariance_long(emb: DataFrame, dim: int = C.EMBEDDING_DIM) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def covariance_long(emb: DataFrame, dim: int = C.EMBEDDING_DIM) -> DataFrame:
+    """Full symmetric sample-covariance matrix in long form
+    (dim_i, dim_j, cov), cov rounded 6dp — the same arithmetic as the
+    ``emb_covariance`` catalog entry (upper triangle computed once,
+    then mirrored), so a PCA oracle can replay it from the identical
+    SQL CTE.  r9: the upper triangle comes from per-task NumPy GEMM
+    partials (:func:`cov_gemm_partials`) instead of the per-vector
+    product explode."""
     # r8: the mirror union references ut twice — without truncation
-    # the full corpus-side product aggregation sits in the plan twice
+    # the full corpus-side partial aggregation sits in the plan twice
     # (runtime exchange reuse recovers the exchange, but the compile
     # and the post-exchange work are still doubled).  ut is at most
     # dim*(dim+1)/2 rows at ANY corpus scale: checkpoint it.
-    ut = ut.coalesce(1).localCheckpoint()
+    ut = cov_upper(emb, dim).coalesce(1).localCheckpoint()
     return ut.union(
         ut.filter(F.col("dim_i") < F.col("dim_j")).select(
             F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"), "cov"
@@ -943,9 +1009,21 @@ def pca_power_projection(
     only full-data stages are the covariance scan and the projection
     scan; the iteration cost is constant.
     """
+    # r9: ONE corpus scan feeds both the covariance and the mean
+    # vector — the GEMM partials carry the per-dimension sums and the
+    # count, so the former separate mu pass reads the persisted
+    # partials instead of re-scanning the corpus (guide §2.4).
+    parts = cov_gemm_partials(emb, dim).persist()
     # d^2 rows: single-partition from here on, so each of the tiny
     # iteration shuffles below is one task instead of a 32-way fan
-    cov = covariance_long(emb, dim).coalesce(1).localCheckpoint()
+    ut = cov_upper(emb, dim, partials=parts).coalesce(1).localCheckpoint()
+    cov = ut.union(
+        ut.filter(F.col("dim_i") < F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"),
+            F.col("dim_i").alias("dim_j"),
+            "cov",
+        )
+    )
     v0 = round(1.0 / dim**0.5, 9)
     v = (
         cov.select(F.col("dim_i").alias("d"))
@@ -984,27 +1062,48 @@ def pca_power_projection(
         "d", (F.col("vv") * sgn).alias("vv"), "nrm"
     ).localCheckpoint()
     lam = vf.agg(F.max("nrm").alias("nrm"))
-    vs = vf.select("d", "vv")
+    # mean vector from the SAME persisted partials as the covariance
+    # (formerly an independent posexplode pass over the corpus)
     mu = (
-        emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"))
-        .select((F.col("d0") + 1).alias("d"), "x")
-        .groupBy("d")
-        .agg(F.sum("x").alias("sx"))
-        .crossJoin(F.broadcast(emb.agg(F.count(F.lit(1)).alias("n"))))
+        parts.filter((F.col("dim_j") == 0) & (F.col("dim_i") > 0))
+        .groupBy(F.col("dim_i").alias("d"))
+        .agg(F.sum("p").alias("sx"))
+        .crossJoin(
+            F.broadcast(
+                parts.filter(F.col("dim_i") == 0).agg(F.sum("p").alias("n"))
+            )
+        )
         .select("d", F.round(F.col("sx") / F.col("n"), 9).alias("mu"))
     )
-    ex = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"),
-    ).select("vec_id", (F.col("d0") + 1).alias("d"), "x")
+    # r9: the projection is an IN-ROW dot product against the two
+    # broadcast 1-row (d-length) arrays — the former posexplode +
+    # per-d join + groupBy(vec_id) shuffled n*d rows just to sum d
+    # terms per vector.  The fixed ascending-d fold sums the same d
+    # doubles; the x1e4 round absorbs association-order ulps
+    # (oracle-verified at all three SFs).
+    varr = (
+        vf.select("d", "vv")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "vv"))).alias("a"))
+        .select(F.transform("a", lambda s: s.vv).alias("v_arr"))
+    )
+    muarr = (
+        mu.agg(F.array_sort(F.collect_list(F.struct("d", "mu"))).alias("a"))
+        .select(F.transform("a", lambda s: s.mu).alias("mu_arr"))
+    )
+    e = F.col("embedding").cast("array<double>")
+    proj = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at(e, i) - F.element_at("mu_arr", i))
+        * F.element_at("v_arr", i),
+    )
     return (
-        ex.join(F.broadcast(mu), "d")
-        .join(F.broadcast(vs), "d")
-        .groupBy("vec_id")
-        .agg(
-            F.round(F.sum((F.col("x") - F.col("mu")) * F.col("vv")) * 10_000)
-            .cast("long")
-            .alias("pc1_x1e4")
+        emb.crossJoin(F.broadcast(varr))
+        .crossJoin(F.broadcast(muarr))
+        .select(
+            "vec_id",
+            F.round(proj * 10_000).cast("long").alias("pc1_x1e4"),
         )
         .crossJoin(F.broadcast(lam))
         .select(
