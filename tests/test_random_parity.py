@@ -20,6 +20,12 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# r9 driver-budget tier (pytest.ini): this module alone needs 40-60
+# minutes (hypothesis example sweeps x Spark-vs-DuckDB replays) while
+# the rest of the suite totals ~25; it runs in the explicit slow tier
+# (`pytest -m slow`), re-run green each builder round.
+pytestmark = pytest.mark.slow
+
 # SPARK_GRAFT_FUZZ_X multiplies every profile's example budget for
 # dedicated deep-fuzz sessions (default 1 keeps the committed suite's
 # wall-clock); the boundary-bug yield of this file has been ~1 find
